@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate (dev tool only — the
+engine itself is pure Scala/Spark; this script just lets us run the same
+DuckDB-oracle comparison the driver runs, between rounds).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+For each query dumped by graft.Verify into <verifyOutDir>/<name>/ (parquet)
+with SQL in <verifyOutDir>/oracle_sql.json, runs the SQL in DuckDB over the
+same testdata tables and compares: column names (sorted), row count, and
+values (exact; floats reported with max-abs-diff when not bit-equal).
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize timestamp resolutions (ns vs us) to us
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            if getattr(df[c].dtype, "tz", None) is not None:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v.tolist()) if hasattr(v, "tolist")
+                else (tuple(v) if isinstance(v, list) else v))
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort",
+                            na_position="last")
+    return df.reset_index(drop=True)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: spark dump unreadable: {e}")
+            n_fail += 1
+            continue
+        try:
+            want = con.execute(sql).fetch_df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        got, want = normalize(got), normalize(want)
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns spark={list(got.columns)} "
+                  f"duck={list(want.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows spark={len(got)} duck={len(want)}")
+            n_fail += 1
+            continue
+        diffs = []
+        for c in got.columns:
+            a, b = got[c], want[c]
+            try:
+                eq = (a == b) | (a.isna() & b.isna())
+            except Exception:
+                eq = a.astype(str) == b.astype(str)
+            if not eq.all():
+                bad = (~eq).sum()
+                detail = ""
+                if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
+                    detail = f" maxabsdiff={(a - b).abs().max():.3e}"
+                i = (~eq).idxmax()
+                detail += f" first@{i}: spark={a[i]!r} duck={b[i]!r}"
+                diffs.append(f"col {c}: {bad} mismatches{detail}")
+        if diffs:
+            print(f"FAIL {name}: " + "; ".join(diffs))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
