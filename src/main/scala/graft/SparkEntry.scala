@@ -19,13 +19,15 @@ object SparkEntry {
     Events.windowAgg(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_events_window_agg" -> ((s, d) => Events.windowAgg(s, d))
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Map(
+      "q_events_window_agg" -> ((s: SparkSession, d: String) => Events.windowAgg(s, d))
+    )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q_events_window_agg" -> Events.windowAggSql
-  )
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ Map(
+      "q_events_window_agg" -> Events.windowAggSql
+    )
 }

@@ -1,0 +1,623 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.OracleSafe._
+
+/** The relational core (SURVEY.md §2.4, ids B1-B20): one named query per
+  * operator family over the TPC-H-ish testdata. The reference delegates
+  * all of this to Spark (it implements no relational operators of its
+  * own, `/root/reference/Processing&Storing/spark_processor.py` uses only
+  * select/groupBy/agg), so these are the engine-baseline capabilities
+  * re-expressed as declarative DataFrame plans Catalyst can optimize.
+  *
+  * Scale discipline applied throughout:
+  *  - dimension sides of joins are explicitly `broadcast()` (region,
+  *    nation, supplier, tier tables) — no shuffle for the big side;
+  *  - fact-fact joins (lineitem ⋈ orders) stay as shuffle joins keyed on
+  *    the join column so AQE can pick SMJ/skew-handling at runtime;
+  *  - aggregates are map-side partial by construction (hash aggregate);
+  *  - every query carries a stable ORDER BY so results are deterministic
+  *    for the oracle hash-compare (ties broken by a unique key).
+  */
+object Relational {
+
+  /** B1 — projection+filter scan; predicate and column pruning must reach
+    * the parquet reader (verified in RelationalSpec via the plan's
+    * PushedFilters).
+    */
+  def scanPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1995-06-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1995-09-01").cast("timestamp"))
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_shipdate".cast("timestamp_ntz").as("l_shipdate"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val scanPushdownSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_shipdate < TIMESTAMP '1995-09-01'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** B2 — predicate families: IN, BETWEEN, null-safe conjunctions. */
+  def filterPredicates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter($"o_orderstatus".isin("F", "P") &&
+        $"o_totalprice".between(1000.0, 200000.0) &&
+        $"o_orderpriority".isNotNull &&
+        !$"o_orderpriority".startsWith("5"))
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"o_orderpriority")
+      .orderBy($"o_orderkey")
+  }
+
+  val filterPredicatesSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_orderstatus IN ('F','P')
+      |  AND o_totalprice BETWEEN 1000.0 AND 200000.0
+      |  AND o_orderpriority IS NOT NULL
+      |  AND o_orderpriority NOT LIKE '5%'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** B3 — star join with explicitly broadcast dimensions:
+    * customer ⋈ nation ⋈ region, revenue rollup per region/nation.
+    * At 100 TB the fact side streams; nation/region (25/5 rows) ship to
+    * every executor once.
+    */
+  def joinBroadcastStar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables.customer(spark, dir)
+    val nation = broadcast(Tables.nation(spark, dir))
+    val region = broadcast(Tables.region(spark, dir))
+    customer
+      .join(nation, $"c_nationkey" === $"n_nationkey")
+      .join(region, $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        dsum($"c_acctbal").as("sum_acctbal"),
+        davg($"c_acctbal").as("avg_acctbal"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val joinBroadcastStarSql: String =
+    s"""SELECT r_name, n_name,
+       |       count(*) AS n_customers,
+       |       ${sqlSum("c_acctbal")} AS sum_acctbal,
+       |       ${sqlAvg("c_acctbal")} AS avg_acctbal
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name
+       |ORDER BY r_name, n_name""".stripMargin
+
+  /** B4 — fact-fact equi-join (shuffle/sort-merge side): lineitem ⋈
+    * orders on orderkey, order-priority shipping stats. Left as a keyed
+    * shuffle join so AQE picks the physical strategy (and skew handling)
+    * at runtime.
+    */
+  def joinFactFact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val joinFactFactSql: String =
+    s"""SELECT o_orderpriority,
+       |       count(*) AS n_lines,
+       |       ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** B5 — left outer join preserving customers with no orders. */
+  def joinLeftOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(
+        count($"o_orderkey").as("n_orders"),
+        dsum(coalesce($"o_totalprice", lit(0.0))).as("sum_totalprice"))
+      .orderBy($"c_custkey")
+  }
+
+  val joinLeftOuterSql: String =
+    s"""SELECT c_custkey, c_name,
+       |       count(o_orderkey) AS n_orders,
+       |       ${sqlSum("coalesce(o_totalprice, 0.0)")} AS sum_totalprice
+       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_custkey, c_name
+       |ORDER BY c_custkey""".stripMargin
+
+  /** B5b — full outer join of per-nation customer vs supplier counts. */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val custPerNation = Tables.customer(spark, dir)
+      .groupBy($"c_nationkey".as("nationkey")).agg(count(lit(1)).as("n_customers"))
+    val suppPerNation = Tables.supplier(spark, dir)
+      .groupBy($"s_nationkey".as("nationkey")).agg(count(lit(1)).as("n_suppliers"))
+    custPerNation.as("c")
+      .join(suppPerNation.as("s"), $"c.nationkey" === $"s.nationkey", "full")
+      .select(
+        coalesce($"c.nationkey", $"s.nationkey").as("nationkey"),
+        coalesce($"n_customers", lit(0L)).as("n_customers"),
+        coalesce($"n_suppliers", lit(0L)).as("n_suppliers"))
+      .orderBy($"nationkey")
+  }
+
+  val joinFullOuterSql: String =
+    """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+      |       coalesce(n_customers, 0) AS n_customers,
+      |       coalesce(n_suppliers, 0) AS n_suppliers
+      |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers FROM customer GROUP BY 1) c
+      |FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+      |  ON c.nationkey = s.nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  /** B6 — left-semi and left-anti joins: customers with at least one
+    * urgent order, minus those who also have a low-priority order.
+    */
+  def joinSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val urgent = orders.filter($"o_orderpriority" === "1-URGENT")
+    val low = orders.filter($"o_orderpriority" === "5-LOW")
+    Tables.customer(spark, dir)
+      .join(urgent, $"c_custkey" === urgent("o_custkey"), "left_semi")
+      .join(low, $"c_custkey" === low("o_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val joinSemiAntiSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** B7 — non-equi (range) join: price-tier table joined on a BETWEEN
+    * predicate. The tier side is 4 literal rows, so the broadcast
+    * nested-loop join this produces is the *right* physical plan — the
+    * big side never shuffles.
+    */
+  def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tiers = Seq(
+      ("t1_small", 0.0, 50000.0),
+      ("t2_medium", 50000.0, 150000.0),
+      ("t3_large", 150000.0, 300000.0),
+      ("t4_jumbo", 300000.0, 1e18)).toDF("tier", "lo", "hi")
+    Tables.orders(spark, dir)
+      .join(broadcast(tiers), $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+      .groupBy($"tier")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"tier")
+  }
+
+  val joinRangeSql: String =
+    s"""SELECT tier, count(*) AS n_orders, ${sqlSum("o_totalprice")} AS sum_price
+       |FROM orders
+       |JOIN (VALUES ('t1_small', 0.0, 50000.0),
+       |             ('t2_medium', 50000.0, 150000.0),
+       |             ('t3_large', 150000.0, 300000.0),
+       |             ('t4_jumbo', 300000.0, 1e18)) tiers(tier, lo, hi)
+       |  ON o_totalprice >= lo AND o_totalprice < hi
+       |GROUP BY tier
+       |ORDER BY tier""".stripMargin
+
+  /** B8 — cross join (two tiny dimensions; anything larger must be
+    * blocked — see Vector.pairwiseSimilarity for the blocked pattern).
+    */
+  def crossJoinDims(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.region(spark, dir).crossJoin(Tables.nation(spark, dir))
+      .select($"r_name", $"n_name", ($"r_regionkey" === $"n_regionkey").as("same_region"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val crossJoinDimsSql: String =
+    """SELECT r_name, n_name, (r_regionkey = n_regionkey) AS same_region
+      |FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** B9 — multi-key hash aggregate with count(distinct): the TPC-H Q1
+    * shape (the canonical map-side-partial aggregation benchmark).
+    */
+  def aggPricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1998-09-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_extendedprice").as("avg_price"),
+        davg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"),
+        countDistinct($"l_orderkey").as("n_orders"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val aggPricingSummarySql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |       ${sqlSum("l_quantity")} AS sum_qty,
+       |       ${sqlSum("l_extendedprice")} AS sum_base_price,
+       |       ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |       ${sqlSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       |       ${sqlAvg("l_quantity")} AS avg_qty,
+       |       ${sqlAvg("l_extendedprice")} AS avg_price,
+       |       ${sqlAvg("l_discount")} AS avg_disc,
+       |       count(*) AS count_order,
+       |       count(DISTINCT l_orderkey) AS n_orders
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** B10 — rollup (grouping sets): order counts by status × priority with
+    * subtotals. Grouping-null keys are coalesced to 'ALL' so the output
+    * (and its sort) is null-free and engine-portable.
+    */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        grouping_id($"o_orderstatus", $"o_orderpriority").cast("long").as("gid"),
+        count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .select(
+        $"gid",
+        coalesce($"o_orderstatus", lit("ALL")).as("o_orderstatus"),
+        coalesce($"o_orderpriority", lit("ALL")).as("o_orderpriority"),
+        $"n_orders", $"sum_price")
+      .orderBy($"gid", $"o_orderstatus", $"o_orderpriority")
+  }
+
+  val aggRollupSql: String =
+    s"""SELECT CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+       |       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       |       count(*) AS n_orders,
+       |       ${sqlSum("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+       |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
+
+  /** B10b — cube over part brand × size-bucket. */
+  def aggCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      // floor, not cast: DuckDB's double→int cast rounds, Spark's truncates
+      .withColumn("size_bucket", floor($"p_size" / 10) * 10)
+      .cube($"p_brand", $"size_bucket")
+      .agg(
+        grouping_id($"p_brand", $"size_bucket").cast("long").as("gid"),
+        count(lit(1)).as("n_parts"), davg($"p_retailprice").as("avg_price"))
+      .select(
+        $"gid",
+        coalesce($"p_brand", lit("ALL")).as("p_brand"),
+        coalesce($"size_bucket", lit(-1L)).as("size_bucket"),
+        $"n_parts", $"avg_price")
+      .orderBy($"gid", $"p_brand", $"size_bucket")
+  }
+
+  val aggCubeSql: String =
+    s"""SELECT CAST(grouping(p_brand) * 2 + grouping(size_bucket) AS BIGINT) AS gid,
+       |       coalesce(p_brand, 'ALL') AS p_brand,
+       |       coalesce(size_bucket, -1) AS size_bucket,
+       |       count(*) AS n_parts,
+       |       ${sqlAvg("p_retailprice")} AS avg_price
+       |FROM (SELECT *, CAST(floor(p_size / 10) AS BIGINT) * 10 AS size_bucket FROM part)
+       |GROUP BY CUBE (p_brand, size_bucket)
+       |ORDER BY gid, p_brand, size_bucket""".stripMargin
+
+  /** B12 — ranking window functions: top-3 customers per nation by
+    * account balance (ties broken by key so ranks are deterministic).
+    */
+  def windowRanking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    Tables.customer(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter($"rn" <= 3)
+      .select($"c_nationkey", $"rn", $"rnk", $"drnk", $"c_custkey", $"c_acctbal")
+      .orderBy($"c_nationkey", $"rn")
+  }
+
+  val windowRankingSql: String =
+    """SELECT c_nationkey, rn, rnk, drnk, c_custkey, c_acctbal
+      |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+      |             row_number() OVER w AS rn,
+      |             rank() OVER w AS rnk,
+      |             dense_rank() OVER w AS drnk
+      |      FROM customer
+      |      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC))
+      |WHERE rn <= 3
+      |ORDER BY c_nationkey, rn""".stripMargin
+
+  /** B13 — analytic window functions: per-customer order timeline with
+    * lag/lead and a running (decimal-exact) total.
+    */
+  def windowAnalytic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+      .withColumn("next_price", lead($"o_totalprice", 1).over(w))
+      .withColumn("running_total",
+        sum($"o_totalprice".cast("decimal(27,6)")).over(wRun).cast("double"))
+      .select($"o_custkey", $"o_orderkey",
+        $"o_orderdate".cast("timestamp_ntz").as("o_orderdate"),
+        $"o_totalprice", $"prev_price", $"next_price", $"running_total")
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
+  val windowAnalyticSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |       lag(o_totalprice, 1) OVER w AS prev_price,
+      |       lead(o_totalprice, 1) OVER w AS next_price,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) OVER
+      |            (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** B14 — global multi-column sort (total-order range exchange). */
+  def sortGlobal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_quantity")
+      .orderBy($"l_returnflag".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+  }
+
+  val sortGlobalSql: String =
+    """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity
+      |FROM lineitem
+      |ORDER BY l_returnflag DESC, l_orderkey ASC, l_linenumber ASC""".stripMargin
+
+  /** B15 — top-k: orderBy+limit compiles to TakeOrderedAndProject (per-
+    * partition heaps + driver merge of k rows — no global sort at scale).
+    */
+  def topK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(25)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  }
+
+  val topKSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 25""".stripMargin
+
+  /** B16 — set operations: union / intersect / except on key sets. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urgentCust = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey".as("custkey"))
+    val highCust = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" === "2-HIGH").select($"o_custkey".as("custkey"))
+    val bothSets = urgentCust.intersect(highCust).withColumn("set_op", lit("intersect"))
+    val urgentOnly = urgentCust.except(highCust).withColumn("set_op", lit("except"))
+    val unioned = urgentCust.union(highCust).distinct().withColumn("set_op", lit("union"))
+    bothSets.union(urgentOnly).union(unioned)
+      .select($"set_op", $"custkey")
+      .orderBy($"set_op", $"custkey")
+  }
+
+  val setOpsSql: String =
+    """WITH u AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |     h AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+      |SELECT 'intersect' AS set_op, custkey FROM (SELECT custkey FROM u INTERSECT SELECT custkey FROM h)
+      |UNION ALL
+      |SELECT 'except' AS set_op, custkey FROM (SELECT custkey FROM u EXCEPT SELECT custkey FROM h)
+      |UNION ALL
+      |SELECT 'union' AS set_op, custkey FROM (SELECT DISTINCT custkey FROM (SELECT custkey FROM u UNION ALL SELECT custkey FROM h))
+      |ORDER BY set_op, custkey""".stripMargin
+
+  /** B17 — deduplication, deterministic form: first row per key under an
+    * explicit total order (row_number = 1), not `dropDuplicates` whose
+    * survivor is partition-order-dependent.
+    */
+  def dedupFirstPerKey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey", $"o_orderstatus")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderstatus", $"o_orderkey",
+        $"o_orderdate".cast("timestamp_ntz").as("o_orderdate"))
+      .orderBy($"o_custkey", $"o_orderstatus")
+  }
+
+  val dedupFirstPerKeySql: String =
+    """SELECT o_custkey, o_orderstatus, o_orderkey, o_orderdate
+      |FROM (SELECT o_custkey, o_orderstatus, o_orderkey, o_orderdate,
+      |             row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+      |                                ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+      |      FROM orders)
+      |WHERE rn = 1
+      |ORDER BY o_custkey, o_orderstatus""".stripMargin
+
+  /** B18a — string function family. */
+  def scalarString(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select(
+        $"p_partkey",
+        upper($"p_name").as("name_upper"),
+        lower($"p_brand").as("brand_lower"),
+        length($"p_name").cast("long").as("name_len"),
+        substring($"p_type", 1, 5).as("type_prefix"),
+        trim(concat($"p_brand", lit("  "))).as("brand_trimmed"),
+        concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+        regexp_replace($"p_name", "[aeiou]", "_").as("name_devoweled"),
+        split($"p_type", " ").getItem(0).as("type_first_word"),
+        $"p_name".like("%gold%").as("has_gold"))
+      .orderBy($"p_partkey")
+  }
+
+  val scalarStringSql: String =
+    """SELECT p_partkey,
+      |       upper(p_name) AS name_upper,
+      |       lower(p_brand) AS brand_lower,
+      |       CAST(length(p_name) AS BIGINT) AS name_len,
+      |       substring(p_type, 1, 5) AS type_prefix,
+      |       trim(p_brand || '  ') AS brand_trimmed,
+      |       concat_ws('|', p_brand, p_type) AS brand_type,
+      |       regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+      |       string_split(p_type, ' ')[1] AS type_first_word,
+      |       (p_name LIKE '%gold%') AS has_gold
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  /** B18b — date/time function family (engine-portable forms: DuckDB's
+    * dayofweek is 0-based Sunday, Spark's is 1-based, handled in the
+    * oracle SQL).
+    */
+  def scalarDate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").as("order_year"),
+        month($"o_orderdate").as("order_month"),
+        dayofweek($"o_orderdate").as("order_dow"),
+        date_trunc("month", $"o_orderdate").cast("timestamp_ntz").as("month_start"),
+        datediff(lit("1998-12-31").cast("date"), $"o_orderdate".cast("date")).as("days_to_eoy"),
+        unix_timestamp($"o_orderdate").as("epoch_s"))
+      .orderBy($"o_orderkey")
+  }
+
+  val scalarDateSql: String =
+    """SELECT o_orderkey,
+      |       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      |       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+      |       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS order_dow,
+      |       date_trunc('month', o_orderdate) AS month_start,
+      |       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INTEGER) AS days_to_eoy,
+      |       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** B18c — math + conditional families (last-ULP libm differences are
+    * absorbed by round(…, 6)).
+    */
+  def scalarMathConditional(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        abs($"l_quantity" - lit(25.0)).as("qty_dev"),
+        ceil($"l_extendedprice").cast("long").as("price_ceil"),
+        floor($"l_extendedprice").cast("long").as("price_floor"),
+        round(sqrt($"l_extendedprice"), 6).as("price_sqrt"),
+        round(log($"l_extendedprice" + lit(1.0)), 6).as("price_ln"),
+        round(pow($"l_discount", lit(2.0)), 6).as("disc_sq"),
+        when($"l_quantity" > 40, "high").when($"l_quantity" > 15, "mid")
+          .otherwise("low").as("qty_band"),
+        coalesce(nullif($"l_returnflag", lit("N")), lit("none")).as("flag_or_none"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val scalarMathConditionalSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |       abs(l_quantity - 25.0) AS qty_dev,
+      |       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+      |       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+      |       round(sqrt(l_extendedprice), 6) AS price_sqrt,
+      |       round(ln(l_extendedprice + 1.0), 6) AS price_ln,
+      |       round(pow(l_discount, 2.0), 6) AS disc_sq,
+      |       CASE WHEN l_quantity > 40 THEN 'high' WHEN l_quantity > 15 THEN 'mid' ELSE 'low' END AS qty_band,
+      |       coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** B11 — approximate distinct (HLL++). No exact oracle by nature; the
+    * driver records a rows-only check and RelationalSpec asserts the
+    * estimate is within the configured rsd of the exact count.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
+        countDistinct($"l_orderkey").as("exact_orders"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** All relational queries + oracles, keyed by their SparkEntry names. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b01_scan_pushdown" -> scanPushdown _,
+    "b02_filter_predicates" -> filterPredicates _,
+    "b03_join_broadcast_star" -> joinBroadcastStar _,
+    "b04_join_fact_fact" -> joinFactFact _,
+    "b05_join_left_outer" -> joinLeftOuter _,
+    "b05b_join_full_outer" -> joinFullOuter _,
+    "b06_join_semi_anti" -> joinSemiAnti _,
+    "b07_join_range" -> joinRange _,
+    "b08_cross_join_dims" -> crossJoinDims _,
+    "b09_agg_pricing_summary" -> aggPricingSummary _,
+    "b10_agg_rollup" -> aggRollup _,
+    "b10b_agg_cube" -> aggCube _,
+    "b11_approx_distinct" -> approxDistinct _,
+    "b12_window_ranking" -> windowRanking _,
+    "b13_window_analytic" -> windowAnalytic _,
+    "b14_sort_global" -> sortGlobal _,
+    "b15_topk" -> topK _,
+    "b16_set_ops" -> setOps _,
+    "b17_dedup_first_per_key" -> dedupFirstPerKey _,
+    "b18a_scalar_string" -> scalarString _,
+    "b18b_scalar_date" -> scalarDate _,
+    "b18c_scalar_math_conditional" -> scalarMathConditional _)
+
+  val oracles: Map[String, String] = Map(
+    "b01_scan_pushdown" -> scanPushdownSql,
+    "b02_filter_predicates" -> filterPredicatesSql,
+    "b03_join_broadcast_star" -> joinBroadcastStarSql,
+    "b04_join_fact_fact" -> joinFactFactSql,
+    "b05_join_left_outer" -> joinLeftOuterSql,
+    "b05b_join_full_outer" -> joinFullOuterSql,
+    "b06_join_semi_anti" -> joinSemiAntiSql,
+    "b07_join_range" -> joinRangeSql,
+    "b08_cross_join_dims" -> crossJoinDimsSql,
+    "b09_agg_pricing_summary" -> aggPricingSummarySql,
+    "b10_agg_rollup" -> aggRollupSql,
+    "b10b_agg_cube" -> aggCubeSql,
+    // b11_approx_distinct: no exact oracle (HLL estimate) — rows-only
+    "b12_window_ranking" -> windowRankingSql,
+    "b13_window_analytic" -> windowAnalyticSql,
+    "b14_sort_global" -> sortGlobalSql,
+    "b15_topk" -> topKSql,
+    "b16_set_ops" -> setOpsSql,
+    "b17_dedup_first_per_key" -> dedupFirstPerKeySql,
+    "b18a_scalar_string" -> scalarStringSql,
+    "b18b_scalar_date" -> scalarDateSql,
+    "b18c_scalar_math_conditional" -> scalarMathConditionalSql)
+}
