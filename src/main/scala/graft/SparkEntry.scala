@@ -14,20 +14,20 @@ import graft.ops._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query; driver smoke-checks rows>0. Defaults to the sf0.001
+    * testdata but re-points via SPARK_GRAFT_ENTRY_DIR. */
   def entry(spark: SparkSession): DataFrame =
-    Events.windowAgg(spark, "/root/testdata/sf0.001")
+    Events.windowAgg(spark,
+      sys.env.getOrElse("SPARK_GRAFT_ENTRY_DIR", "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Map(
-      "q_events_window_agg" -> ((s: SparkSession, d: String) => Events.windowAgg(s, d))
-    )
+    Relational.queries ++ Events.queries ++ Text.queries ++
+      Vector.queries ++ Dedup.queries ++ Weather.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Map(
-      "q_events_window_agg" -> Events.windowAggSql
-    )
+    Relational.oracles ++ Events.oracles ++ Text.oracles ++
+      Vector.oracles ++ Dedup.oracles ++ Weather.oracles
 }

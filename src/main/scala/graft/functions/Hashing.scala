@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable hashing and vector quantization.
+  *
+  * The driver hash-compares our results against DuckDB bit-for-bit, so any
+  * hash or floating-point reduction we use inside a query must produce the
+  * exact same bits in both engines:
+  *
+  *  - `md5Long40` — a 40-bit integer hash of a string that both engines can
+  *    compute: Spark takes hex chars 17..26 of `md5()` (= bytes 8..12 of the
+  *    digest) assembled little-endian via `conv`; DuckDB gets the same value
+  *    as `md5_number_lower(x) % 2^40` (md5_number_lower is the little-endian
+  *    uint64 of digest bytes 8..15). 40 bits keeps every subsequent
+  *    `a*h + b` MinHash-style affine step inside exact i64/f64 range.
+  *  - `dotQ` — dot product of two float vectors through a fixed-point
+  *    quantization: each term is `floor(x*y * 1e15)` as i64, summed exactly.
+  *    IEEE multiply and floor are deterministic, and the integer sum is
+  *    order-independent, so Spark's sequential `aggregate` fold and DuckDB's
+  *    `list_sum` agree bit-for-bit — unlike a raw double sum, whose value
+  *    depends on accumulation order. For unit-ish embeddings the sum is
+  *    ≤ ~1e15 < 2^53, so it also survives DuckDB's double-typed list_sum
+  *    exactly. Quantization error is ~1e-15 per term — far below any
+  *    similarity threshold anyone sets.
+  *
+  * Scale note: both are pure codegen-friendly expressions (no UDFs), so they
+  * stay inside whole-stage codegen on the executor hot path.
+  */
+object Hashing {
+
+  /** 40-bit md5-derived hash of a string column; see object doc. */
+  def md5Long40(c: Column): Column = {
+    val h = md5(c)
+    conv(
+      concat(
+        substring(h, 25, 2), substring(h, 23, 2), substring(h, 21, 2),
+        substring(h, 19, 2), substring(h, 17, 2)),
+      16, 10).cast("long")
+  }
+
+  /** DuckDB fragment computing the same value as [[md5Long40]]. */
+  def sqlMd5Long40(expr: String): String =
+    s"CAST(md5_number_lower($expr) % 1099511627776 AS BIGINT)"
+
+  /** Quantized dot product of two float-array columns, as double.
+    * The 1e15 scale cancels in cosine ratios, so use dotQ consistently for
+    * numerator and norms and never mix with unquantized dots.
+    *
+    * Backed by the native codegen expression
+    * [[graft.functions.expr.QuantizedDot]]; [[dotQHof]] is the built-in
+    * HOF reference form it replaces (interpreted lambdas — ~25× slower on
+    * the similarity-join hot path; kept for the parity spec).
+    */
+  def dotQ(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.expr.QuantizedDot(
+      ColumnBridge.expression(a),
+      ColumnBridge.expression(b))).cast("double")
+  }
+
+  /** Reference HOF form of [[dotQ]] (bit-identical result on null-free
+    * equal-length arrays; see QuantizedDot's scaladoc for the edge-case
+    * differences).
+    */
+  def dotQHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        floor(x.cast("double") * y.cast("double") * lit(1e15)).cast("long")),
+      lit(0L),
+      (acc, t) => acc + t).cast("double")
+
+  /** DuckDB fragment computing the same value as [[dotQ]]. */
+  def sqlDotQ(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), " +
+      "p -> CAST(floor(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)*1e15) AS BIGINT))) AS DOUBLE)"
+
+  /** Quantized cosine similarity given two dotQ'd norms; both engines
+    * evaluate `dq / (sqrt(na)*sqrt(nb))` on identical doubles.
+    */
+  def cosQ(dq: Column, na: Column, nb: Column): Column =
+    dq / (sqrt(na) * sqrt(nb))
+
+  def sqlCosQ(dq: String, na: String, nb: String): String =
+    s"$dq / (sqrt($na) * sqrt($nb))"
+}

@@ -1,0 +1,250 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Hashing._
+
+/** Near-duplicate detection over `documents` (SURVEY.md §2.5 X2 plus the
+  * north-star fingerprinting set): MinHash+LSH, k-min document
+  * fingerprints, and SimHash — all as pure built-in expression pipelines
+  * (no UDFs/UDAFs needed: the MinHash signature is `min()` aggregates over
+  * affine transforms of one shared 40-bit shingle hash).
+  *
+  * Every hash step uses the engine-portable `md5Long40` (see
+  * graft.functions.Hashing) and exact i64 arithmetic, so the whole
+  * pipeline — signatures, band buckets, candidate set, Jaccard scores —
+  * is bit-identical in Spark and the DuckDB oracle.
+  *
+  * Scale discipline (the 100 TB contract for near-dup):
+  *  - NEVER all-pairs: candidates come only from LSH band-bucket
+  *    collisions (shuffle keyed on (band_idx, band_key); bucket sizes are
+  *    the only quadratic term and stay tiny under a decent hash);
+  *  - the signature build is one explode + one hash-agg keyed on doc_id —
+  *    map-side partial mins, no intermediate materialization;
+  *  - verification joins the (small) candidate set against the shingle
+  *    table by doc_id — candidate-side broadcastable in practice.
+  *
+  * LSH calibration: 16 hashes as 8 bands × 2 rows ⇒ s-curve midpoint
+  * (1/8)^(1/2) ≈ 0.35, so Jaccard ≥ 0.8 pairs are caught with
+  * P ≈ 1-(1-0.64)^8 ≈ 0.9997 while the sub-0.2 background mostly stays
+  * out; exact-Jaccard verification with τ = 0.5 then removes false
+  * positives deterministically.
+  */
+object Dedup {
+
+  private val P = 1099511627689L // ~2^40 modulus for the affine rehashes
+  // fixed odd multipliers/offsets for the 16 affine hash functions
+  // (a*h < 2^21 * 2^40 < 2^62 — no i64 overflow before the mod)
+  private val A = Array(740041L, 1366889L, 599479L, 1026061L, 1287787L,
+    442793L, 897473L, 1610011L, 325249L, 1442987L, 769627L, 1064981L,
+    522373L, 1931141L, 678481L, 1204147L)
+  private val B = Array(433493L, 882377L, 1742269L, 266177L, 618439L,
+    1470691L, 990151L, 366103L, 1616617L, 810343L, 1206647L, 95089L,
+    1883519L, 574297L, 1317121L, 752789L)
+
+  private val nHashes = 16
+  private val nBands = 8 // × 2 rows per band
+
+  /** Word 3-gram shingle set per document (distinct), as (doc_id, sh).
+    *
+    * The scan is repartitioned by doc_id before the CPU-heavy shingle
+    * expansion: locally the documents table arrives as a single parquet
+    * row group (one task — the whole pipeline would run on one core), and
+    * the keyed exchange both spreads the expansion across all cores and
+    * pre-partitions for every downstream groupBy(doc_id), which then needs
+    * no further shuffle. At cluster scale the same exchange is one cheap
+    * shuffle of raw text that buys hash-aligned aggregation of the ~50×
+    * larger shingle set.
+    */
+  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Lambda-free shingle construction: zip three shifted slices of the
+    // word array and explode. The obvious transform(sequence(…),
+    // i => element_at(…)) form is ~7× slower — higher-order-function
+    // lambdas evaluate interpreted, one boxed call per element, outside
+    // whole-stage codegen. slice/arrays_zip/explode stay codegen'd.
+    // trim() before split: no empty tokens, matching the oracle's
+    // list_filter(…, w -> w <> '').
+    val words = split(trim(lower($"text")), "\\s+")
+    val n = greatest(size($"words") - 2, lit(0)) // short docs → no shingles
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .withColumn("words", words)
+      .select($"doc_id", explode(arrays_zip(
+        slice($"words", lit(1), n),
+        slice($"words", lit(2), n),
+        slice($"words", lit(3), n))).as("z"))
+      .select($"doc_id", concat_ws(" ", $"z.0", $"z.1", $"z.2").as("sh"))
+      .distinct()
+  }
+
+  private val shinglesSql: String =
+    """sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
+      |  FROM (SELECT doc_id,
+      |               list_filter(string_split_regex(lower(text), '\s+'),
+      |                           w -> w <> '') AS words
+      |        FROM documents),
+      |       LATERAL unnest(generate_series(1, len(words) - 2)) AS u(i))""".stripMargin
+
+  /** X2 — MinHash signatures → LSH band buckets → candidate pairs →
+    * exact-Jaccard verification at τ = 0.5.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(spark, dir).cache()
+    val hashed = sh.select($"doc_id", md5Long40($"sh").as("h"))
+    val sig = hashed.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_sh"),
+      (0 until nHashes).map(j =>
+        min(($"h" * A(j) + B(j)) % P).as(s"m$j")): _*)
+    val bandArr = array((0 until nBands).map(b =>
+      struct(lit(b).as("band_idx"),
+        concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("band_key"))): _*)
+    val bands = sig.select($"doc_id", explode(bandArr).as("bs"))
+      .select($"doc_id", $"bs.band_idx".as("band_idx"), $"bs.band_key".as("band_key"))
+    val cand = bands.as("ba")
+      .join(bands.as("bb"),
+        col("ba.band_idx") === col("bb.band_idx") &&
+          col("ba.band_key") === col("bb.band_key") &&
+          col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.as("sa"), $"doc_a" === col("sa.doc_id"))
+      .join(sh.as("sb"), $"doc_b" === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    val sizes = sig.select($"doc_id", $"n_sh")
+    inter
+      .join(sizes.as("za"), $"doc_a" === col("za.doc_id"))
+      .join(sizes.as("zb"), $"doc_b" === col("zb.doc_id"))
+      .select($"doc_a", $"doc_b",
+        col("za.n_sh").as("n_sh_a"), col("zb.n_sh").as("n_sh_b"), $"n_common",
+        ($"n_common".cast("double") /
+          (col("za.n_sh") + col("zb.n_sh") - $"n_common").cast("double"))
+          .as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val minhashLshSql: String = {
+    val hashExpr = sqlMd5Long40("sh")
+    val minCols = (0 until nHashes)
+      .map(j => s"min((h * ${A(j)} + ${B(j)}) % $P) AS m$j").mkString(",\n         ")
+    val bandSelects = (0 until nBands)
+      .map(b => s"SELECT doc_id, $b AS band_idx, m${2 * b} || '_' || m${2 * b + 1} AS band_key FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $shinglesSql,
+       |hashed AS (SELECT doc_id, $hashExpr AS h FROM sh),
+       |sig AS (
+       |  SELECT doc_id, count(*) AS n_sh,
+       |         $minCols
+       |  FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
+       |  FROM bands ba JOIN bands bb
+       |    ON ba.band_idx = bb.band_idx AND ba.band_key = bb.band_key
+       |   AND ba.doc_id < bb.doc_id),
+       |inter AS (
+       |  SELECT doc_a, doc_b, count(*) AS n_common
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = doc_a
+       |  JOIN sh sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
+       |  GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b, za.n_sh AS n_sh_a, zb.n_sh AS n_sh_b, n_common,
+       |       CAST(n_common AS DOUBLE)
+       |         / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sig za ON za.doc_id = doc_a
+       |JOIN sig zb ON zb.doc_id = doc_b
+       |WHERE CAST(n_common AS DOUBLE)
+       |        / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** X-fingerprint — winnowing-style document fingerprint: the 4 smallest
+    * shingle hashes per doc (a k-min sketch; equal-hash docs are exact or
+    * near-exact duplicates). One explode + one agg, no shuffle beyond the
+    * doc_id hash-partition.
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    shingles(spark, dir)
+      .select($"doc_id", md5Long40($"sh").as("h"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        slice(array_sort(collect_list($"h")), 1, 4).as("sketch"))
+      .orderBy($"doc_id")
+  }
+
+  val docFingerprintSql: String = {
+    val hashExpr = sqlMd5Long40("sh")
+    s"""WITH $shinglesSql
+       |SELECT doc_id, count(*) AS n_shingles,
+       |       list_sort(list($hashExpr))[1:4] AS sketch
+       |FROM sh
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** X-simhash — 16-bit SimHash over the distinct-token set: bit p is the
+    * sign of Σ_tokens (±1 by bit p of the token hash). Same shape as the
+    * MinHash agg: explode + one hash aggregate per doc.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("tok"))
+      .filter($"tok" =!= "").distinct()
+      .select($"doc_id", md5Long40($"tok").as("h"))
+    val sums = toks.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      (0 until 16).map(p =>
+        sum(when(shiftright($"h", p).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+          .as(s"s$p")): _*)
+    val bits = (0 until 16).map(p =>
+      when(col(s"s$p") > 0, lit(1L << p)).otherwise(lit(0L)))
+    sums.select($"doc_id", $"n_tokens",
+      bits.reduce(_ + _).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  val simhashSql: String = {
+    val hashExpr = sqlMd5Long40("tok")
+    val sums = (0 until 16)
+      .map(p => s"CAST(sum(CASE WHEN (h >> $p) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$p")
+      .mkString(",\n         ")
+    val bits = (0 until 16)
+      .map(p => s"CASE WHEN s$p > 0 THEN ${1L << p} ELSE 0 END")
+      .mkString(" + ")
+    raw"""WITH toks AS (
+       |  SELECT DISTINCT doc_id, tok
+       |  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+       |        FROM documents)
+       |  WHERE tok <> ''),
+       |hashed AS (SELECT doc_id, $hashExpr AS h FROM toks),
+       |sums AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |         $sums
+       |  FROM hashed GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, $bits AS simhash
+       |FROM sums
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x02_minhash_lsh" -> minhashLsh _,
+    "x11_doc_fingerprint" -> docFingerprint _,
+    "x12_simhash" -> simhash _)
+
+  val oracles: Map[String, String] = Map(
+    "x02_minhash_lsh" -> minhashLshSql,
+    "x11_doc_fingerprint" -> docFingerprintSql,
+    "x12_simhash" -> simhashSql)
+}

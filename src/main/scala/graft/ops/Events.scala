@@ -12,12 +12,16 @@ import graft.functions.OracleSafe._
   * core (tumbling event-time window + avg/max/stddev aggregates,
   * `/root/reference/Processing&Storing/spark_processor.py:147-165`)
   * re-expressed as declarative DataFrame plans, plus the event-stream
-  * extensions (sliding windows, JSON props decode, gap sessionization).
+  * extensions: sliding windows (B21), session windows (B22), JSON props
+  * decode / map functions (X8+B20), array HOFs (B19) and gap
+  * sessionization (X9).
   *
   * Scale notes: every query here is a single hash-aggregate or window over
   * a partition-pruned parquet scan; the groupBy keys (window bucket,
   * event_type, user_id) are high-cardinality enough to parallelize across
-  * 1000 executors and all aggregation is map-side partial first.
+  * 1000 executors and all aggregation is map-side partial first. The
+  * per-user windows (X9, B22) shuffle once on user_id — the natural
+  * sessionization partitioning at any scale.
   */
 object Events {
 
@@ -53,4 +57,206 @@ object Events {
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
+
+  /** B21 — sliding event-time windows (10 min length, 5 min slide): each
+    * event lands in two overlapping windows. Same single-shuffle hash
+    * aggregate as the tumbling form; the fan-out factor is length/slide.
+    */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), davg($"value").as("avg_value"))
+      .select(
+        $"w.start".cast("timestamp_ntz").as("window_start"),
+        $"event_type", $"n_events", $"avg_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  private[graft] val slidingWindowSql: String =
+    s"""WITH e AS (
+       |  SELECT CAST(time_bucket(INTERVAL 5 MINUTE, ts) AS TIMESTAMP) AS b,
+       |         event_type, value
+       |  FROM events),
+       |x AS (
+       |  SELECT unnest([b, b - INTERVAL 5 MINUTE]) AS window_start,
+       |         event_type, value
+       |  FROM e)
+       |SELECT window_start, event_type,
+       |       count(*) AS n_events,
+       |       ${sqlAvg("value")} AS avg_value
+       |FROM x
+       |GROUP BY window_start, event_type
+       |ORDER BY window_start, event_type""".stripMargin
+
+  /** B22 — session windows (30-minute gap) per user, via Spark's native
+    * `session_window` (batch mode; the streaming form reuses the same
+    * expression — see graft.stream.Pipeline). The oracle mirrors the
+    * semantics with the lag+cumsum island form: window end = last event
+    * + gap.
+    */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .select(
+        $"user_id",
+        $"sw.start".cast("timestamp_ntz").as("session_start"),
+        $"sw.end".cast("timestamp_ntz").as("session_end"),
+        $"n_events", $"sum_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  private[graft] val sessionWindowSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+       |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events),
+       |g AS (
+       |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+       |                   OR us - lag(us) OVER w >= 1800000000
+       |                 THEN 1 ELSE 0 END AS new_sess
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+       |  FROM g)
+       |SELECT user_id,
+       |       min(ts) AS session_start,
+       |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       |       count(*) AS n_events,
+       |       ${sqlSum("value")} AS sum_value
+       |FROM s
+       |GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+
+  /** X9 — gap-based sessionization via composable window functions (the
+    * lag + cumulative-sum island trick): a new session starts after a
+    * ≥ 30-minute silence. Yields an explicit session_id, which
+    * `session_window` does not expose — useful as a join key downstream.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("prev_us", lag($"us", 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || $"us" - $"prev_us" >= 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_sess").over(running))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        dsum($"value").as("sum_value"))
+      .select($"user_id", $"session_id", $"n_events",
+        $"session_start".cast("timestamp_ntz").as("session_start"),
+        $"session_end".cast("timestamp_ntz").as("session_end"),
+        $"sum_value")
+      .orderBy($"user_id", $"session_id")
+  }
+
+  private[graft] val sessionizeSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+       |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events),
+       |g AS (
+       |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+       |                   OR us - lag(us) OVER w >= 1800000000
+       |                 THEN 1 ELSE 0 END AS new_sess
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM g)
+       |SELECT user_id, session_id,
+       |       count(*) AS n_events,
+       |       min(ts) AS session_start,
+       |       max(ts) AS session_end,
+       |       ${sqlSum("value")} AS sum_value
+       |FROM s
+       |GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  /** X8 + B20 — multimodal/metadata columns: decode the JSON `props`
+    * string both ways (`get_json_object` path extraction and a typed
+    * `from_json` map) and apply map functions. Row-local, no shuffle.
+    */
+  def propsDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("pm", from_json($"props", MapType(StringType, IntegerType)))
+      .select(
+        $"event_id",
+        get_json_object($"props", "$.k").cast("int").as("k_json"),
+        element_at($"pm", "k").as("k_map"),
+        size(map_keys($"pm")).as("n_keys"),
+        array_join(map_keys($"pm"), ",").as("keys_csv"))
+      .orderBy($"event_id")
+  }
+
+  private[graft] val propsDecodeSql: String =
+    """SELECT event_id,
+      |       CAST(json_extract(props, '$.k') AS INTEGER) AS k_json,
+      |       CAST(json_extract(props, '$.k') AS INTEGER) AS k_map,
+      |       CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+      |       array_to_string(json_keys(props), ',') AS keys_csv
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** B19 — array function family over the embedding vectors: size, minex,
+    * max, HOF filter/aggregate, slice. All row-local codegen'd expressions
+    * (the l1 norm goes through the i64 quantization for engine parity —
+    * see graft.functions.Hashing).
+    */
+  def arrayHof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select(
+        $"vec_id",
+        size($"embedding").as("n_dims"),
+        array_max($"embedding").as("max_val"),
+        array_min($"embedding").as("min_val"),
+        size(filter($"embedding", x => x > lit(0f))).as("n_pos"),
+        aggregate($"embedding", lit(0L),
+          (acc, x) => acc + floor(abs(x.cast("double")) * lit(1e7)).cast("long"))
+          .as("l1_q"),
+        slice($"embedding", 1, 3).as("head3"))
+      .orderBy($"vec_id")
+  }
+
+  private[graft] val arrayHofSql: String =
+    """SELECT vec_id,
+      |       CAST(len(embedding) AS INTEGER) AS n_dims,
+      |       list_max(embedding) AS max_val,
+      |       list_min(embedding) AS min_val,
+      |       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+      |       CAST(list_sum(list_transform(embedding,
+      |            x -> CAST(floor(abs(CAST(x AS DOUBLE)) * 1e7) AS BIGINT))) AS BIGINT) AS l1_q,
+      |       embedding[1:3] AS head3
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_window_agg" -> windowAgg _,
+    "b19_array_hof" -> arrayHof _,
+    "b21_sliding_window" -> slidingWindow _,
+    "b22_session_window" -> sessionWindow _,
+    "x08_props_decode" -> propsDecode _,
+    "x09_sessionization" -> sessionize _)
+
+  val oracles: Map[String, String] = Map(
+    "q_events_window_agg" -> windowAggSql,
+    "b19_array_hof" -> arrayHofSql,
+    "b21_sliding_window" -> slidingWindowSql,
+    "b22_session_window" -> sessionWindowSql,
+    "x08_props_decode" -> propsDecodeSql,
+    "x09_sessionization" -> sessionizeSql)
 }

@@ -561,14 +561,21 @@ object Relational {
   /** B11 — approximate distinct (HLL++). No exact oracle by nature; the
     * driver records a rows-only check and RelationalSpec asserts the
     * estimate is within the configured rsd of the exact count.
+    *
+    * The approx and exact aggregates deliberately run as two plans joined
+    * on the group key: mixing them in one `agg` makes Spark's
+    * distinct-rewrite key the *partial HLL buffers* by
+    * (group, distinct-value) — 150k × 128 KB sketches at sf0.1, a ~50 s
+    * memory blow-up. Separated, each is a clean two-phase hash aggregate.
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.lineitem(spark, dir)
-      .groupBy($"l_returnflag")
-      .agg(
-        approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
-        countDistinct($"l_orderkey").as("exact_orders"))
+    val li = Tables.lineitem(spark, dir)
+    val approx = li.groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("exact_orders"))
+    approx.join(exact, Seq("l_returnflag"))
       .orderBy($"l_returnflag")
   }
 
