@@ -58,18 +58,24 @@ object Dedup {
     * shuffle of raw text that buys hash-aligned aggregation of the ~50×
     * larger shingle set.
     */
-  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.documents(spark, dir))
+
+  /** Shingle-set construction over any (doc_id, text) frame (test seam).
+    *
+    * Lambda-free: zip three shifted slices of the word array and explode.
+    * The obvious transform(sequence(…), i => element_at(…)) form is ~7×
+    * slower — higher-order-function lambdas evaluate interpreted, one
+    * boxed call per element, outside whole-stage codegen.
+    * slice/arrays_zip/explode stay codegen'd. trim() before split: no
+    * empty tokens, matching the oracle's list_filter(…, w -> w <> '').
+    */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    // Lambda-free shingle construction: zip three shifted slices of the
-    // word array and explode. The obvious transform(sequence(…),
-    // i => element_at(…)) form is ~7× slower — higher-order-function
-    // lambdas evaluate interpreted, one boxed call per element, outside
-    // whole-stage codegen. slice/arrays_zip/explode stay codegen'd.
-    // trim() before split: no empty tokens, matching the oracle's
-    // list_filter(…, w -> w <> '').
     val words = split(trim(lower($"text")), "\\s+")
     val n = greatest(size($"words") - 2, lit(0)) // short docs → no shingles
-    Tables.documents(spark, dir)
+    docs
       .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
       .withColumn("words", words)
       .select($"doc_id", explode(arrays_zip(
@@ -93,9 +99,14 @@ object Dedup {
   /** X2 — MinHash signatures → LSH band buckets → candidate pairs →
     * exact-Jaccard verification at τ = 0.5.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(shingles(spark, dir))
+
+  /** Core of X2 over any (doc_id, sh) shingle-set frame (test seam). */
+  private[graft] def minhashPairs(shingleSet: DataFrame): DataFrame = {
+    val spark = shingleSet.sparkSession
     import spark.implicits._
-    val sh = shingles(spark, dir).cache()
+    val sh = shingleSet.cache()
     val hashed = sh.select($"doc_id", md5Long40($"sh").as("h"))
     val sig = hashed.groupBy($"doc_id").agg(
       count(lit(1)).as("n_sh"),

@@ -182,10 +182,15 @@ object Relational {
   }
 
   val joinSemiAntiSql: String =
+    // NOT EXISTS, not NOT IN: a single null o_custkey would make NOT IN
+    // return zero rows while left_anti keeps non-matches — EXISTS forms
+    // share left_semi/left_anti's null semantics exactly
     """SELECT c_custkey, c_name, c_mktsegment
-      |FROM customer
-      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
-      |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '5-LOW')
       |ORDER BY c_custkey""".stripMargin
 
   /** B7 — non-equi (range) join: price-tier table joined on a BETWEEN
@@ -560,7 +565,7 @@ object Relational {
 
   /** B11 — approximate distinct (HLL++). No exact oracle by nature; the
     * driver records a rows-only check and RelationalSpec asserts the
-    * estimate is within the configured rsd of the exact count.
+    * estimate lands within 5× the configured rsd of the exact count.
     *
     * The approx and exact aggregates deliberately run as two plans joined
     * on the group key: mixing them in one `agg` makes Spark's
@@ -578,6 +583,35 @@ object Relational {
     approx.join(exact, Seq("l_returnflag"))
       .orderBy($"l_returnflag")
   }
+
+  /** B24 — the typed-Aggregator (UDAF) surface: second-largest distinct
+    * quantity per (returnflag, linestatus) via graft.functions.SecondMax,
+    * next to the built-in max for contrast. See SecondMax's scaladoc for
+    * why its merge is scale-correct; the oracle derives the same value
+    * independently (row_number over distinct values).
+    */
+  def udafSecondMax(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val secondMax = udaf(graft.functions.SecondMax)
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        max($"l_quantity").as("max_qty"),
+        secondMax($"l_quantity").as("second_max_qty"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val udafSecondMaxSql: String =
+    """WITH d AS (SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+      |                                   ORDER BY l_quantity DESC) AS rn
+      |      FROM d)
+      |SELECT l_returnflag, l_linestatus,
+      |       max(CASE WHEN rn = 1 THEN l_quantity END) AS max_qty,
+      |       max(CASE WHEN rn = 2 THEN l_quantity END) AS second_max_qty
+      |FROM r
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** All relational queries + oracles, keyed by their SparkEntry names. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -602,7 +636,8 @@ object Relational {
     "b17_dedup_first_per_key" -> dedupFirstPerKey _,
     "b18a_scalar_string" -> scalarString _,
     "b18b_scalar_date" -> scalarDate _,
-    "b18c_scalar_math_conditional" -> scalarMathConditional _)
+    "b18c_scalar_math_conditional" -> scalarMathConditional _,
+    "b24_udaf_secondmax" -> udafSecondMax _)
 
   val oracles: Map[String, String] = Map(
     "b01_scan_pushdown" -> scanPushdownSql,
@@ -626,5 +661,6 @@ object Relational {
     "b17_dedup_first_per_key" -> dedupFirstPerKeySql,
     "b18a_scalar_string" -> scalarStringSql,
     "b18b_scalar_date" -> scalarDateSql,
-    "b18c_scalar_math_conditional" -> scalarMathConditionalSql)
+    "b18c_scalar_math_conditional" -> scalarMathConditionalSql,
+    "b24_udaf_secondmax" -> udafSecondMaxSql)
 }

@@ -29,15 +29,18 @@ object Text {
     * sha256(lower(trim(text))) survives. At 100 TB this is one shuffle on
     * the 32-byte hash; the window per hash-group is tiny (dup cluster size).
     */
-  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val w = Window.partitionBy($"text_hash").orderBy($"doc_id".asc)
-    Tables.documents(spark, dir)
-      .withColumn("text_hash", sha2(lower(trim($"text")), 256))
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    exactDedupDocs(Tables.documents(spark, dir))
+
+  /** Core of X1 over any (doc_id, lang, source, text) frame (test seam). */
+  private[graft] def exactDedupDocs(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("text_hash")).orderBy(col("doc_id").asc)
+    docs
+      .withColumn("text_hash", sha2(lower(trim(col("text"))), 256))
       .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"doc_id", $"lang", $"source", $"text_hash")
-      .orderBy($"doc_id")
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("text_hash"))
+      .orderBy(col("doc_id"))
   }
 
   val exactDedupSql: String =

@@ -1,0 +1,192 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import graft.ops.Weather
+
+/** The streaming pipeline — the reference's actual program
+  * (`/root/reference/Processing&Storing/spark_processor.py`), re-expressed
+  * as Structured Streaming building blocks:
+  *
+  *  - R1  Kafka source (`spark_processor.py:47-69`) — [[kafkaSource]];
+  *    config comes from the environment, never hard-coded credentials
+  *    (the reference embeds secrets in source, §4 anti-pattern)
+  *  - R2  Kafka sink (`weather-producer.py:19-28,224`) — [[kafkaSink]]
+  *  - R3  console diagnostic (`basic_consumer.py`) — [[consoleSink]]
+  *  - R7-R11 parse/flatten — shared with the batch replica
+  *    (graft.ops.Weather.flatten), one projection for both modes
+  *  - R18 2-minute watermark (`spark_processor.py:149`),
+  *    R19-R22 5-minute window + avg/max/stddev (`:150-165`) —
+  *    [[windowedAgg]], alias-for-alias including the `total_precipitation_mm`
+  *    avg-named-total quirk (SURVEY §2.3)
+  *  - R5  foreachBatch external sink (`:167-197`) — [[lineProtocolSink]],
+  *    but partition-parallel from executors: the reference `collect()`s
+  *    every batch onto the driver and writes synchronously, which is the
+  *    definitive 100 TB anti-pattern; here each partition encodes its rows
+  *    to line protocol and hands them to a (serializable) writer
+  *  - R6  checkpoint + blocking run (`:206-210`) — [[start]]/[[run]]
+  *  - R23 update output mode (`:204`)
+  *  - B23 streaming dedup within watermark — [[dedupedEvents]]
+  *  - custom keyed state (mapGroupsWithState surface) — [[runningCounts]]
+  *
+  * Tests drive all of this through MemoryStream + processAllAvailable
+  * (StreamingSpec) — the environment is zero-egress, so the Kafka wiring
+  * is constructed and asserted but never connected.
+  */
+object Pipeline {
+
+  /** R1 — Kafka streaming source, SASL_SSL/SCRAM-SHA-256 like the
+    * reference's (`spark_processor.py:50-68`), parameters from env/caller.
+    */
+  def kafkaSource(
+      spark: SparkSession,
+      bootstrap: String,
+      topic: String,
+      security: Map[String, String] = Map.empty): DataFrame = {
+    val reader = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+    security.foldLeft(reader) { case (r, (k, v)) => r.option(s"kafka.$k", v) }
+      .load()
+  }
+
+  /** Reference security option block (values injected, not embedded). */
+  def scramSecurity(user: String, password: String, truststorePem: String): Map[String, String] = Map(
+    "security.protocol" -> "SASL_SSL",
+    "sasl.mechanism" -> "SCRAM-SHA-256",
+    "sasl.jaas.config" ->
+      ("org.apache.kafka.common.security.scram.ScramLoginModule required " +
+        s"""username="$user" password="$password";"""),
+    "ssl.truststore.type" -> "PEM",
+    "ssl.truststore.location" -> truststorePem)
+
+  /** R7-R11 — decode the wire `value` into the flat analytic record
+    * (delegates to the shared batch/stream projection).
+    */
+  def flattened(wire: DataFrame): DataFrame =
+    Weather.flatten(wire, col("value"))
+
+  /** R18-R22 — watermark + 5-minute tumbling window with the reference's
+    * aggregate list and aliases (`spark_processor.py:147-165`), including
+    * `total_precipitation_mm` whose semantics are avg (the reference's own
+    * naming quirk, preserved deliberately).
+    */
+  def windowedAgg(flat: DataFrame): DataFrame =
+    flat
+      .withWatermark("event_time", "2 minutes")
+      .groupBy(window(col("event_time"), "5 minutes").as("window"))
+      .agg(
+        avg("temperature_c").as("avg_temperature_c"),
+        avg("apparent_temperature_c").as("avg_apparent_temperature_c"),
+        stddev_samp(col("temperature_c")).as("temperature_stddev"),
+        avg("wind_speed_kmph").as("avg_wind_speed_kmph"),
+        max("wind_gust_kmph").as("max_wind_gust_kmph"),
+        avg("pressure_hpa").as("avg_pressure_hpa"),
+        avg("humidity_pct").as("avg_humidity_pct"),
+        avg("precipitation_mm").as("total_precipitation_mm"))
+
+  /** Row → line-protocol record for the windowed aggregate (measurement/
+    * tags per `spark_processor.py:174-190`; timestamp = window end, ns).
+    */
+  def aggRowToLine(row: Row): Option[String] = {
+    val window = row.getStruct(row.fieldIndex("window"))
+    val endTs = window.getTimestamp(1)
+    def metric(name: String): (String, Any) =
+      name -> (if (row.isNullAt(row.fieldIndex(name))) null else row.getDouble(row.fieldIndex(name)))
+    LineProtocol.encode(
+      measurement = "weather_metrics_5m",
+      tags = Seq("location" -> "Bucharest", "window" -> "5m"),
+      fields = Seq(
+        metric("avg_temperature_c"),
+        metric("avg_apparent_temperature_c"),
+        metric("temperature_stddev"),
+        metric("avg_wind_speed_kmph"),
+        metric("max_wind_gust_kmph"),
+        metric("avg_pressure_hpa"),
+        metric("avg_humidity_pct"),
+        metric("total_precipitation_mm")),
+      timestampNs = endTs.getTime * 1000000L)
+  }
+
+  /** R5 — foreachBatch sink writing line protocol from the *executors*:
+    * one writer call per partition with that partition's encoded lines.
+    * `writer` must be serializable (it ships to executors).
+    */
+  def lineProtocolSink(writer: Iterator[String] => Unit)(batch: DataFrame, batchId: Long): Unit =
+    batch.foreachPartition { rows: Iterator[Row] =>
+      writer(rows.flatMap(aggRowToLine))
+    }
+
+  /** R5+R6+R23 — assemble and start the full job: source → flatten →
+    * window agg → update-mode foreachBatch line-protocol sink, with a
+    * checkpoint for offsets+state.
+    */
+  def start(
+      wire: DataFrame,
+      writer: Iterator[String] => Unit,
+      checkpointDir: String): StreamingQuery =
+    windowedAgg(flattened(wire)).writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(lineProtocolSink(writer) _)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** R6 — the reference blocks on the query (`spark_processor.py:210`). */
+  def run(query: StreamingQuery): Unit = query.awaitTermination()
+
+  /** R2 — Kafka producer sink for a streaming DataFrame: envelope → JSON
+    * bytes on `value` (the producer's serializer, `weather-producer.py:21`).
+    */
+  def kafkaSink(
+      df: DataFrame,
+      bootstrap: String,
+      topic: String,
+      checkpointDir: String,
+      security: Map[String, String] = Map.empty) = {
+    val writer = df.selectExpr("to_json(struct(*)) AS value")
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+    security.foldLeft(writer) { case (w, (k, v)) => w.option(s"kafka.$k", v) }
+  }
+
+  /** R3 — console diagnostic tail (the basic_consumer replica). */
+  def consoleSink(df: DataFrame) =
+    df.writeStream.format("console").outputMode(OutputMode.Append())
+
+  /** B23 — stateful streaming dedup bounded by the watermark: exactly the
+    * engine's answer to at-least-once sources (duplicate wire records
+    * within the lateness horizon collapse to one).
+    */
+  def dedupedEvents(flat: DataFrame): DataFrame =
+    flat
+      .withWatermark("event_time", "2 minutes")
+      .dropDuplicatesWithinWatermark("event_time", "iteration")
+
+  /** Custom keyed state via mapGroupsWithState: a running per-key record
+    * count surviving across micro-batches (the
+    * KeyValueGroupedDataset surface for state Spark's built-in aggs can't
+    * express). Update-mode compatible; state never times out (callers
+    * bound keys).
+    */
+  def runningCounts(flat: DataFrame): Dataset[(String, Long)] = {
+    val spark = flat.sparkSession
+    import spark.implicits._
+    flat
+      // weather_code is double-declared (schema narrowing, R14) — int-cast
+      // first so keys read "7", not "7.0"
+      .select(col("weather_code").cast("int").cast("string").as("key"))
+      .as[String]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[String], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (key, total)
+      }
+  }
+}

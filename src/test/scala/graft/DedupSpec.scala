@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Text}
+
+/** Near-dup and exact-dedup behavior on synthetic corpora (the oracle
+  * checks engine parity on the real tables; these check the *semantics*
+  * on controlled inputs): dedup idempotence, planted near-duplicates
+  * found, disjoint documents not paired.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "'en' AS lang", "'src' AS source", "text")
+  }
+
+  test("X1: exact dedup keeps the lowest doc_id per normalized text") {
+    val d = docs(
+      1L -> "The quick brown fox",
+      2L -> "  the QUICK brown fox  ", // same after lower+trim
+      3L -> "a different document")
+    val out = Text.exactDedupDocs(d).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("X1: dedup is idempotent") {
+    val d = docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma", 3L -> "delta")
+    val once = Text.exactDedupDocs(d)
+    val twice = Text.exactDedupDocs(
+      once.join(d.select("doc_id", "text"), "doc_id")
+        .select("doc_id", "lang", "source", "text"))
+    assert(once.select("doc_id").collect().toSeq ==
+      twice.select("doc_id").collect().toSeq)
+  }
+
+  test("X2: planted near-duplicates are found with high jaccard; disjoint docs are not paired") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val disjoint = (1 to 40).map(i => s"other$i").mkString(" ")
+    val pairs = Dedup.minhashPairs(Dedup.shinglesOf(docs(
+      1L -> base, 2L -> nearDup, 3L -> disjoint))).collect()
+    assert(pairs.length == 1, s"expected exactly the planted pair, got ${pairs.toSeq}")
+    val p = pairs(0)
+    assert(p.getAs[Long]("doc_a") == 1L && p.getAs[Long]("doc_b") == 2L)
+    val jac = p.getAs[Double]("jaccard")
+    // one changed token breaks 3 of 38 shingles → jaccard = 35/41 ≈ 0.85
+    assert(jac > 0.6 && jac < 1.0, s"unexpected jaccard $jac")
+  }
+
+  test("X2: identical documents get jaccard 1.0") {
+    val t = (1 to 30).map(i => s"w$i").mkString(" ")
+    val pairs = Dedup.minhashPairs(Dedup.shinglesOf(docs(1L -> t, 2L -> t))).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("fingerprint sketch: k smallest hashes, equal docs share sketches") {
+    val t = (1 to 30).map(i => s"w$i").mkString(" ")
+    val sk = Dedup.shinglesOf(docs(1L -> t, 2L -> t))
+      .select(col("doc_id"), graft.functions.Hashing.md5Long40(col("sh")).as("h"))
+      .groupBy("doc_id")
+      .agg(slice(array_sort(collect_list(col("h"))), 1, 4).as("sketch"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(sk.length == 2)
+    assert(sk(0)._2 == sk(1)._2, "identical docs must share the k-min sketch")
+    assert(sk(0)._2.length == 4)
+    assert(sk(0)._2 == sk(0)._2.sorted)
+  }
+}

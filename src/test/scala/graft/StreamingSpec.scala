@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.stream.Pipeline
+
+/** Collects executor-written line-protocol records; an object so the
+  * foreachPartition closure serializes (local mode shares the JVM).
+  */
+object CollectedLines {
+  val queue = new ConcurrentLinkedQueue[String]()
+  def write(lines: Iterator[String]): Unit = lines.foreach(queue.add)
+}
+
+/** Streaming goldens (SURVEY.md §5.3) driven by MemoryStream — the
+  * reference's runtime semantics that no batch oracle can check:
+  * watermark late-drop (R18), update-mode re-emission (R23), the
+  * partition-parallel foreachBatch line-protocol sink (R5) with null-safe
+  * encoding, checkpointing (R6), stateful dedup (B23), and custom keyed
+  * state via mapGroupsWithState.
+  */
+class StreamingSpec extends SparkSpec {
+
+  /** Minimal wire envelope with the fields the aggregation consumes. */
+  private def env(time: String, temp: Double, code: Int = 1, iter: Int = 1): String =
+    s"""{"timestamp":"2026-08-12T$time",""" +
+      s""""current_conditions":{"temperature":{"value":$temp,"apparent":${temp + 2}},""" +
+      s""""humidity":{"value":50.0},"wind":{"speed":10.0,"gusts":15.0},""" +
+      s""""precipitation":{"total":0.5},"atmosphere":{"pressure_msl":1000.0},""" +
+      s""""weather_code":$code},"metadata":{"iteration":$iter}}"""
+
+  test("R18+R23: watermark drops late events; update mode re-emits changed windows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val query = Pipeline.windowedAgg(Pipeline.flattened(input.toDF()))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("weather_updates").start()
+    try {
+      // batch 1: two events in the 10:00 window, one in 10:10
+      input.addData(env("10:00:30", 10.0), env("10:01:30", 20.0), env("10:10:00", 30.0))
+      query.processAllAvailable() // watermark advances to 10:08
+      // batch 2: a late event (10:02 < watermark) and an on-time update
+      input.addData(env("10:02:00", 99.0), env("10:11:00", 40.0))
+      query.processAllAvailable()
+
+      val rows = spark.table("weather_updates").collect().map { r =>
+        val w = r.getStruct(r.fieldIndex("window"))
+        (w.getTimestamp(0).toString, r.getAs[Double]("avg_temperature_c"))
+      }
+      val w1000 = rows.filter(_._1.startsWith("2026-08-12 10:00"))
+      val w1010 = rows.filter(_._1.startsWith("2026-08-12 10:10"))
+      // late 99.0 dropped: the 10:00 window was emitted once, avg 15, never revised
+      assert(w1000.toSeq == Seq(("2026-08-12 10:00:00.0", 15.0)), s"got ${w1000.toSeq}")
+      // on-time 40.0 merged: 10:10 window emitted in both batches (update mode)
+      assert(w1010.map(_._2).sorted.toSeq == Seq(30.0, 35.0), s"got ${w1010.toSeq}")
+    } finally query.stop()
+  }
+
+  test("R5+R6: foreachBatch sink writes line protocol from executors, null-safe") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    CollectedLines.queue.clear()
+    val input = MemoryStream[String]
+    val checkpoint = Files.createTempDirectory("graft-ckpt-").toString
+    val query = Pipeline.start(input.toDF(), CollectedLines.write _, checkpoint)
+    try {
+      input.addData(env("10:00:30", 21.5)) // single-record window → null stddev
+      query.processAllAvailable()
+      val lines = CollectedLines.queue.toArray(Array.empty[String])
+      assert(lines.length == 1, s"expected one record, got ${lines.toSeq}")
+      val line = lines(0)
+      assert(line.startsWith("weather_metrics_5m,location=Bucharest,window=5m "))
+      assert(line.contains("avg_temperature_c=21.5"))
+      assert(!line.contains("temperature_stddev"),
+        s"null stddev must be dropped (reference bug), got: $line")
+      // timestamp = window end (10:05) in ns
+      assert(line.endsWith(" " + java.sql.Timestamp.valueOf("2026-08-12 10:05:00").getTime * 1000000L))
+      // R6: the checkpoint recorded offsets/state
+      assert(Files.list(java.nio.file.Paths.get(checkpoint)).count() > 0)
+    } finally query.stop()
+  }
+
+  test("B23: dropDuplicatesWithinWatermark collapses wire duplicates") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val query = Pipeline.dedupedEvents(Pipeline.flattened(input.toDF()))
+      .select("event_time", "iteration")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(
+        env("10:00:30", 10.0, iter = 1),
+        env("10:00:30", 10.0, iter = 1), // exact duplicate
+        env("10:00:31", 11.0, iter = 2))
+      query.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally query.stop()
+  }
+
+  test("custom keyed state: running counts survive across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val query = Pipeline.runningCounts(Pipeline.flattened(input.toDF()))
+      .toDF("key", "total")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("counts_out").start()
+    try {
+      input.addData(env("10:00:01", 1.0, code = 7), env("10:00:02", 2.0, code = 7),
+        env("10:00:03", 3.0, code = 8))
+      query.processAllAvailable()
+      input.addData(env("10:00:04", 4.0, code = 7))
+      query.processAllAvailable()
+      val byBatch = spark.table("counts_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      // state for key 7 accumulated 2 then 3; key 8 stayed at 1
+      assert(byBatch.filter(_._1 == "7").map(_._2).sorted.toSeq == Seq(2L, 3L))
+      assert(byBatch.filter(_._1 == "8").map(_._2).toSeq == Seq(1L))
+    } finally query.stop()
+  }
+
+  test("R1/R2: Kafka source/sink wiring carries the reference's config (not run)") {
+    // zero-egress environment (no kafka connector jar): assert the config
+    // construction and that the wiring reaches Spark's source resolution
+    val security = Pipeline.scramSecurity("user", "pass", "/tmp/ca.pem")
+    assert(security("security.protocol") == "SASL_SSL")
+    assert(security("sasl.mechanism") == "SCRAM-SHA-256")
+    assert(security("sasl.jaas.config").contains("ScramLoginModule"))
+    val e = intercept[Exception] {
+      Pipeline.kafkaSource(spark, "broker:9093", "sensor_data", security)
+    }
+    assert(e.getMessage.toLowerCase.contains("kafka"),
+      s"expected missing-kafka-source resolution error, got: ${e.getMessage}")
+  }
+}

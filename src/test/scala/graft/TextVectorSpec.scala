@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.{Text, Vector => VecOps}
+
+/** Sanity/invariant tests for the text and vector operators on the real
+  * testdata (engine parity is the oracle's job; these pin semantics).
+  */
+class TextVectorSpec extends SparkSpec {
+
+  test("X5: term frequencies cover every token exactly once") {
+    val tf = Text.tokenTf(spark, sfDir).collect()
+    assert(tf.nonEmpty)
+    val totalOcc = tf.map(_.getAs[Long]("n_occurrences")).sum
+    // token count independently derived from the quality query
+    val totalTokens = Text.textQuality(spark, sfDir).collect()
+      .map(_.getAs[Long]("n_tokens")).sum
+    assert(totalOcc == totalTokens,
+      s"TF total $totalOcc != tokenization total $totalTokens")
+    // doc frequency can never exceed total docs
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(tf.forall(_.getAs[Long]("n_docs") <= nDocs))
+  }
+
+  test("X6: tf-idf is zero iff a term occurs in every document") {
+    val rows = Text.tfIdf(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    rows.foreach { r =>
+      val df = r.getAs[Long]("df")
+      val tfidf = r.getAs[Double]("tfidf")
+      if (df == nDocs) assert(tfidf == 0.0, s"df=N must zero the score: $r")
+      else assert(tfidf > 0.0, s"df<N must score positive: $r")
+    }
+  }
+
+  test("X3: top-k starts at the query vector itself with cosine 1") {
+    val top = VecOps.cosineTopK(spark, sfDir).collect()
+    assert(top.length == 20)
+    assert(top(0).getAs[Long]("vec_id") == 0L)
+    assert(math.abs(top(0).getAs[Double]("cos_sim") - 1.0) < 1e-9)
+    val sims = top.map(_.getAs[Double]("cos_sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "not sorted desc")
+    assert(sims.forall(s => s <= 1.0 + 1e-9 && s >= -1.0 - 1e-9))
+  }
+
+  test("X4: pairwise join respects the block and the threshold") {
+    val pairs = VecOps.pairwiseSimilarity(spark, sfDir).collect()
+    pairs.foreach { p =>
+      assert(p.getAs[Long]("vec_a") < p.getAs[Long]("vec_b"), "unordered pair")
+      assert(p.getAs[Double]("cos_sim") >= 0.35, "below threshold")
+    }
+    // block discipline: every returned pair shares its label by construction
+    // (the join key); verify against the base table for a sample
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    pairs.take(20).foreach { p =>
+      assert(labels(p.getAs[Long]("vec_a")) == labels(p.getAs[Long]("vec_b")))
+    }
+  }
+}
