@@ -23,11 +23,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ Text.queries ++
-      Vector.queries ++ Dedup.queries ++ Weather.queries
+      Vector.queries ++ Dedup.queries ++ Weather.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ Text.oracles ++
-      Vector.oracles ++ Dedup.oracles ++ Weather.oracles
+      Vector.oracles ++ Dedup.oracles ++ Weather.oracles ++
+      Multimodal.oracles
 }

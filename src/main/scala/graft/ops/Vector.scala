@@ -88,11 +88,107 @@ object Vector {
        |ORDER BY label, vec_a, vec_b""".stripMargin
   }
 
+  private val nPlanes = 8
+  private val hashRange = 1099511627776.0 // 2^40, md5Long40's range
+
+  /** X3 scale path — LSH-bucketed approximate nearest neighbors via random
+    * hyperplanes: 8 deterministic md5-derived planes give every vector an
+    * 8-bit sign bucket; candidates for a query are only the vectors in its
+    * bucket (1/256 of the corpus in expectation), reranked by exact
+    * cosine, top-5 per query.
+    *
+    * This is the shape that survives 100 TB where brute force (X3) cannot:
+    * bucketing is one keyed aggregation over (vector × plane) partial
+    * dots, the candidate join is keyed on the bucket id — work scales with
+    * bucket sizes, never |corpus|². (Recall tuning = more/fewer planes or
+    * multi-probe; the bucket join shape is unchanged.)
+    *
+    * Determinism for the oracle: plane coefficients derive from
+    * md5Long40("plane_p_d") (engine-portable), partial dots go through the
+    * same i64 quantization as every cosine, and the rerank breaks ties on
+    * vec_id.
+    */
+  def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    // deterministic hyperplanes: coef(p, d) ∈ [-0.5, 0.5)
+    val planes = spark.range(0, nPlanes * 64L).select(
+      (($"id" / 64).cast("int")).as("p"),
+      ($"id" % 64).cast("int").as("d"),
+      (md5Long40(concat_ws("_", lit("plane"), ($"id" / 64).cast("int"), ($"id" % 64).cast("int")))
+        .cast("double") / hashRange - 0.5).as("coef"))
+    // per-vector signed projections → 8-bit bucket
+    val dims = e.select($"vec_id", posexplode($"embedding").as(Seq("d", "x")))
+    val proj = dims.join(broadcast(planes), "d")
+      .groupBy($"vec_id", $"p")
+      .agg(sum(floor($"x".cast("double") * $"coef" * 1e15).cast("long")).as("dotq"))
+    val buckets = proj.groupBy($"vec_id")
+      .agg(sum(when($"dotq" > 0, expr("shiftleft(CAST(1 AS BIGINT), p)"))
+        .otherwise(0L)).as("bucket"))
+    val withBucket = e.join(buckets, "vec_id")
+      .select($"vec_id", $"label", $"embedding", $"bucket",
+        dotQ($"embedding", $"embedding").as("nq"))
+    // 3 fixed query vectors → same-bucket candidates → exact-cosine rerank
+    val q = withBucket.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        $"bucket".as("qbucket"), $"nq".as("qnq"))
+    val reranked = withBucket.join(broadcast(q),
+      $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        cosQ(dotQ($"embedding", $"qe"), $"nq", $"qnq").as("cos_sim"))
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+    reranked
+      .withColumn("rnk", row_number().over(byQuery))
+      .filter($"rnk" <= 5)
+      .select($"query_id", $"rnk", $"vec_id", $"cos_sim")
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val annLshTopKSql: String = {
+    val planeHash = sqlMd5Long40("concat_ws('_', 'plane', CAST(i // 64 AS INT), CAST(i % 64 AS INT))")
+    val dq = sqlDotQ("c.embedding", "q.embedding")
+    s"""WITH planes AS (
+       |  SELECT CAST(i // 64 AS INT) AS p, CAST(i % 64 AS INT) AS d,
+       |         $planeHash / 1099511627776.0 - 0.5 AS coef
+       |  FROM range(0, ${nPlanes * 64}) t(i)),
+       |dims AS (
+       |  SELECT vec_id, CAST(u.d AS INT) AS d,
+       |         CAST(embedding[u.d + 1] AS DOUBLE) AS x
+       |  FROM embeddings, LATERAL unnest(generate_series(0, 63)) AS u(d)),
+       |proj AS (
+       |  SELECT vec_id, p,
+       |         CAST(sum(CAST(floor(x * coef * 1e15) AS BIGINT)) AS BIGINT) AS dotq
+       |  FROM dims JOIN planes USING (d)
+       |  GROUP BY vec_id, p),
+       |buckets AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN dotq > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |e AS (
+       |  SELECT emb.vec_id, emb.embedding, b.bucket,
+       |         ${sqlDotQ("emb.embedding", "emb.embedding")} AS nq
+       |  FROM embeddings emb JOIN buckets b ON emb.vec_id = b.vec_id),
+       |reranked AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id,
+       |         ${sqlCosQ(dq, "c.nq", "q.nq")} AS cos_sim
+       |  FROM e c JOIN e q
+       |    ON c.bucket = q.bucket AND q.vec_id < 3 AND c.vec_id <> q.vec_id)
+       |SELECT query_id, rnk, vec_id, cos_sim
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                   ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       |      FROM reranked)
+       |WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x03_cosine_topk" -> cosineTopK _,
-    "x04_pairwise_similarity" -> pairwiseSimilarity _)
+    "x04_pairwise_similarity" -> pairwiseSimilarity _,
+    "x14_ann_lsh_topk" -> annLshTopK _)
 
   val oracles: Map[String, String] = Map(
     "x03_cosine_topk" -> cosineTopKSql,
-    "x04_pairwise_similarity" -> pairwiseSimilaritySql)
+    "x04_pairwise_similarity" -> pairwiseSimilaritySql,
+    "x14_ann_lsh_topk" -> annLshTopKSql)
 }
