@@ -212,17 +212,113 @@ object Text {
       |FROM m
       |ORDER BY doc_id""".stripMargin
 
+  /** X-tokenize — BPE-style pre-tokenization: the GPT-2-ish regex splits
+    * text into letter runs / digit runs / punctuation runs, each with its
+    * leading-space marker kept (` ?`) — the piece inventory a byte-pair
+    * tokenizer trains over. Corpus piece frequencies, one explode + one
+    * hash-agg (the same scale shape as X5).
+    */
+  def regexTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id",
+        explode(regexp_extract_all(lower($"text"),
+          lit(" ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"), lit(0))).as("piece"))
+      .groupBy($"piece")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct($"doc_id").as("n_docs"))
+      .withColumn("piece_len", length($"piece"))
+      .orderBy($"piece")
+  }
+
+  val regexTokensSql: String =
+    """SELECT piece, count(*) AS n_occurrences,
+      |       count(DISTINCT doc_id) AS n_docs,
+      |       CAST(length(piece) AS INTEGER) AS piece_len
+      |FROM (SELECT doc_id,
+      |             unnest(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+')) AS piece
+      |      FROM documents)
+      |GROUP BY piece
+      |ORDER BY piece""".stripMargin
+
+  /** X-langid — n-gram language identification: score every document
+    * against a fixed character-n-gram profile per language (occurrence
+    * count × integer weight, summed), pick the argmax. The profile join
+    * is a broadcast cross of a literal table; occurrence counting is the
+    * lambda-free (len - len(replace))/len(gram) identity, so the whole
+    * scorer is codegen'd and shuffle-free until the per-doc argmax.
+    * Integer weights keep scores exact (order-independent sums) for the
+    * oracle. On this synthetic corpus the labels are random, so accuracy
+    * is noise — the operator mechanics (profile scoring + argmax) are
+    * what's under test; real profiles drop into the same table.
+    */
+  def langIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val profiles = Seq(
+      ("en", "th", 3L), ("en", "he", 2L), ("en", "ing", 2L),
+      ("de", "sch", 3L), ("de", "ei", 2L), ("de", "en ", 2L),
+      ("es", "ll", 3L), ("es", "ci", 2L), ("es", "os ", 2L),
+      ("fr", "ou", 3L), ("fr", "eau", 2L), ("fr", "le ", 2L),
+      ("zh", "zh", 3L), ("zh", "ng", 2L), ("zh", "sh", 2L)
+    ).toDF("cand_lang", "gram", "w")
+    val scored = Tables.documents(spark, dir)
+      .select($"doc_id", lower($"text").as("t"), $"lang")
+      .crossJoin(broadcast(profiles))
+      .withColumn("occ",
+        (length($"t") - length(regexp_replace($"t", $"gram", lit(""))))
+          / length($"gram"))
+      .groupBy($"doc_id", $"lang", $"cand_lang")
+      .agg(sum(($"occ" * $"w").cast("long")).as("score"))
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score".desc, $"cand_lang".asc)
+    scored
+      .withColumn("rn", row_number().over(best))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"cand_lang".as("lang_pred"), $"score",
+        $"lang".as("lang_actual"),
+        ($"cand_lang" === $"lang").as("is_match"))
+      .orderBy($"doc_id")
+  }
+
+  val langIdNgramSql: String =
+    """WITH profiles(cand_lang, gram, w) AS (
+      |  VALUES ('en','th',3), ('en','he',2), ('en','ing',2),
+      |         ('de','sch',3), ('de','ei',2), ('de','en ',2),
+      |         ('es','ll',3), ('es','ci',2), ('es','os ',2),
+      |         ('fr','ou',3), ('fr','eau',2), ('fr','le ',2),
+      |         ('zh','zh',3), ('zh','ng',2), ('zh','sh',2)),
+      |scored AS (
+      |  SELECT doc_id, lang, cand_lang,
+      |         CAST(sum(((length(t) - length(replace(t, gram, ''))) / length(gram)) * w) AS BIGINT) AS score
+      |  FROM (SELECT doc_id, lower(text) AS t, lang FROM documents)
+      |  CROSS JOIN profiles
+      |  GROUP BY doc_id, lang, cand_lang),
+      |best AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY score DESC, cand_lang ASC) AS rn
+      |  FROM scored)
+      |SELECT doc_id, cand_lang AS lang_pred, score,
+      |       lang AS lang_actual, (cand_lang = lang) AS is_match
+      |FROM best
+      |WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_exact_dedup" -> exactDedup _,
     "x05_token_tf" -> tokenTf _,
     "x06_tfidf" -> tfIdf _,
     "x07_lang_profile" -> langProfile _,
-    "x10_text_quality" -> textQuality _)
+    "x10_text_quality" -> textQuality _,
+    "x15_regex_tokens" -> regexTokens _,
+    "x16_langid_ngram" -> langIdNgram _)
 
   val oracles: Map[String, String] = Map(
     "x01_exact_dedup" -> exactDedupSql,
     "x05_token_tf" -> tokenTfSql,
     "x06_tfidf" -> tfIdfSql,
     "x07_lang_profile" -> langProfileSql,
-    "x10_text_quality" -> textQualitySql)
+    "x10_text_quality" -> textQualitySql,
+    "x15_regex_tokens" -> regexTokensSql,
+    "x16_langid_ngram" -> langIdNgramSql)
 }
