@@ -30,8 +30,19 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
 
-  /** 40-bit md5-derived hash of a string column; see object doc. */
+  /** 40-bit md5-derived hash of a string column; see object doc. Backed
+    * by the native codegen expression [[graft.functions.expr.Md5Long40]];
+    * [[md5Long40Builtin]] is the built-in composition it replaces (kept
+    * for the parity spec).
+    */
   def md5Long40(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.expr.Md5Long40(ColumnBridge.expression(c)))
+  }
+
+  /** Built-in reference form of [[md5Long40]] (bit-identical). */
+  def md5Long40Builtin(c: Column): Column = {
     val h = md5(c)
     conv(
       concat(

@@ -105,6 +105,24 @@ object Weather {
       col("data.metadata.iteration").as("iteration"))
   }
 
+  /** Producer-loop replica (entry point 2,
+    * `weather-producer.py:124-235`): n wire-envelope JSON records at the
+    * reference's 1 Hz cadence from a fixed epoch — fully deterministic
+    * (no wall clock, no RNG; SURVEY §3.3 "deterministic DataGenerator").
+    * The HTTP-fetch side of the producer (R4) is out of engine scope by
+    * design; this generator stands where its output entered the system.
+    * Pure `spark.range` → projection: parallel, no data dependency.
+    */
+  def generateWire(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n)
+      .select(
+        $"id".as("event_id"),
+        expr("timestampadd(SECOND, id, TIMESTAMP'2026-01-01 00:00:00')").as("ts"),
+        round(lit(100.0) + sin($"id" * 0.05) * 80.0, 2).as("value"))
+      .select(envelopeJson(spark).as("value"))
+  }
+
   /** R7-R17 round trip as one registered query (see object doc).
     * Repartitioned before the serde chain: the local events file is one
     * parquet split, and JSON encode+decode is the rare CPU-bound map stage

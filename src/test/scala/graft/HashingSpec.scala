@@ -30,6 +30,15 @@ class HashingSpec extends SparkSpec {
     assert(got.forall(h => h >= 0 && h < (1L << 40)))
   }
 
+  test("md5Long40 (codegen expr) equals the builtin conv/substring form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val strs = Seq.fill(200)(rnd.alphanumeric.take(rnd.nextInt(40)).mkString)
+    val df = strs.toDF("s")
+      .select(md5Long40($"s").as("fast"), md5Long40Builtin($"s").as("ref"))
+    assert(df.filter($"fast" =!= $"ref").count() == 0)
+  }
+
   test("QuantizedDot (codegen) equals the HOF reference form") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

@@ -77,6 +77,20 @@ class WeatherSpec extends SparkSpec {
     }
   }
 
+  test("generator: deterministic 1 Hz wire stream that parses back cleanly") {
+    import spark.implicits._
+    val wire = Weather.generateWire(spark, 100)
+    val flat = Weather.flatten(wire, $"value").collect()
+    assert(flat.length == 100)
+    // 1 Hz cadence from the fixed epoch
+    val times = flat.map(_.getAs[java.sql.Timestamp]("event_time").getTime).sorted
+    assert(times.head == java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime)
+    assert(times.zip(times.tail).forall { case (a, b) => b - a == 1000L })
+    // no RNG, no wall clock → bit-identical across runs
+    val again = Weather.flatten(Weather.generateWire(spark, 100), $"value").collect()
+    assert(flat.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("clamp bounds hold over adversarial inputs (property)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
