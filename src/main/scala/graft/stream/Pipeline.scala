@@ -6,6 +6,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 import graft.ops.Weather
 
+/** Per-key session accumulator for [[Pipeline.closedSessions]]. */
+case class SessionState(startMs: Long, endMs: Long, n: Long)
+
+/** A closed session emitted exactly once by [[Pipeline.closedSessions]]. */
+case class ClosedSession(
+    key: String,
+    session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp,
+    n_events: Long)
+
 /** The streaming pipeline — the reference's actual program
   * (`/root/reference/Processing&Storing/spark_processor.py`), re-expressed
   * as Structured Streaming building blocks:
@@ -166,6 +176,68 @@ object Pipeline {
     flat
       .withWatermark("event_time", "2 minutes")
       .dropDuplicatesWithinWatermark("event_time", "iteration")
+
+  /** B22 (streaming form) — native session windows over the event-time
+    * stream: sessions close and emit once the watermark passes their end
+    * (append mode). Same expression as the batch query
+    * (graft.ops.Events.sessionWindow); Spark's incremental planner adds
+    * the session-merge state store.
+    */
+  def sessionWindowStream(flat: DataFrame, gap: String = "5 minutes"): DataFrame =
+    flat
+      .withWatermark("event_time", "2 minutes")
+      // sessions are per key: streaming session_window requires a grouping
+      // key (global session aggregation is unsupported by design — state
+      // would be a single unbounded partition)
+      .groupBy(col("weather_code").cast("int").as("key"),
+        session_window(col("event_time"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        avg("temperature_c").as("avg_temperature_c"))
+      .select(col("key"),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"), col("avg_temperature_c"))
+
+  /** Custom keyed state via flatMapGroupsWithState: gap-based streaming
+    * sessionization with event-time timeouts — the stateful twin of the
+    * batch X9 op, and the surface for session semantics `session_window`
+    * can't express (e.g. emitting an explicit closed-session record with
+    * its own schema exactly once, when the watermark passes start of
+    * session + gap). State per key is O(1) (start/end/count), evicted on
+    * emission — bounded regardless of stream length.
+    */
+  def closedSessions(flat: DataFrame, gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    val spark = flat.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    flat
+      .withWatermark("event_time", "2 minutes")
+      .select(col("weather_code").cast("int").cast("string").as("key"),
+        col("event_time"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(key,
+              new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n))
+          } else {
+            val times = rows.map(_._2.getTime).toSeq
+            val prev = state.getOption
+            val merged = SessionState(
+              startMs = (times ++ prev.map(_.startMs)).min,
+              endMs = (times ++ prev.map(_.endMs)).max,
+              n = prev.map(_.n).getOrElse(0L) + times.size)
+            state.update(merged)
+            // close when the watermark passes last-event + gap
+            state.setTimeoutTimestamp(merged.endMs + gapMs)
+            Iterator.empty
+          }
+      }
+  }
 
   /** Custom keyed state via mapGroupsWithState: a running per-key record
     * count surviving across micro-batches (the

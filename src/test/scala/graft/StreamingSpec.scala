@@ -124,6 +124,57 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("B22 streaming: session_window emits closed sessions once the watermark passes") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val query = Pipeline.sessionWindowStream(Pipeline.flattened(input.toDF()))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("session_out").start()
+    try {
+      // one session: 10:00:00 .. 10:01:00 (gap 5 min → ends 10:06:00)
+      input.addData(env("10:00:00", 10.0), env("10:01:00", 20.0))
+      query.processAllAvailable()
+      // advance the watermark far past the session end, then let the
+      // next trigger flush the closed session
+      input.addData(env("11:00:00", 30.0))
+      query.processAllAvailable()
+      input.addData(env("11:30:00", 40.0))
+      query.processAllAvailable()
+      val rows = spark.table("session_out").collect().map { r =>
+        (r.getInt(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+          r.getLong(3), r.getDouble(4))
+      }
+      assert(rows.contains(
+        (1, "2026-08-12 10:00:00.0", "2026-08-12 10:06:00.0", 2L, 15.0)),
+        s"expected the closed 10:00 session, got ${rows.toSeq}")
+    } finally query.stop()
+  }
+
+  test("flatMapGroupsWithState: gap sessionization emits each closed session exactly once") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val query = Pipeline.closedSessions(Pipeline.flattened(input.toDF()), gapMinutes = 5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("closed_sessions").start()
+    try {
+      input.addData(env("10:00:00", 10.0, code = 3), env("10:02:00", 20.0, code = 3))
+      query.processAllAvailable()
+      // advance watermark beyond 10:02 + 5 min; timeout fires on a later trigger
+      input.addData(env("11:00:00", 30.0, code = 4))
+      query.processAllAvailable()
+      input.addData(env("11:30:00", 40.0, code = 4))
+      query.processAllAvailable()
+      val rows = spark.table("closed_sessions").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3)))
+      assert(rows.toSeq == Seq(
+        ("3", "2026-08-12 10:00:00.0", "2026-08-12 10:02:00.0", 2L)),
+        s"expected exactly one closed session for key 3, got ${rows.toSeq}")
+    } finally query.stop()
+  }
+
   test("R1/R2: Kafka source/sink wiring carries the reference's config (not run)") {
     // zero-egress environment (no kafka connector jar): assert the config
     // construction and that the wiring reaches Spark's source resolution
