@@ -26,9 +26,29 @@ object OracleSafe {
   def davg(c: Column): Column =
     sum(c.cast("decimal(27,6)")).cast("double") / count(c)
 
+  /** Exact-sum-based sample stddev: sqrt((Σv² − (Σv)²/n)/(n−1)) with both
+    * sums decimal-exact, so the result is order-independent — unlike the
+    * built-in stddev_samp, whose running double sums shift with partition
+    * count (a round(…,4) guard on it can still flip at .00005 boundaries).
+    * Inputs with ≤3 decimal digits make v² exact at scale 6, so the
+    * decimal cast loses nothing. n ≤ 1 → null (stddev_samp semantics);
+    * greatest(…, 0) guards the sqrt against −0.0-scale cancellation.
+    */
+  def dstddev(c: Column): Column = {
+    val s = sum(c.cast("decimal(27,6)")).cast("double")
+    val q = sum((c * c).cast("decimal(27,6)")).cast("double")
+    val n = count(c)
+    when(n > 1,
+      sqrt(greatest((q - s * s / n) / (n - lit(1)), lit(0.0))))
+  }
+
   /** SQL fragments mirroring the above for the DuckDB oracle. */
   def sqlSum(expr: String): String =
     s"CAST(sum(CAST($expr AS DECIMAL(27,6))) AS DOUBLE)"
   def sqlAvg(expr: String): String =
     s"CAST(sum(CAST($expr AS DECIMAL(27,6))) AS DOUBLE) / count($expr)"
+  def sqlStddev(expr: String): String =
+    s"CASE WHEN count($expr) > 1 THEN sqrt(greatest(" +
+      s"(${sqlSum(s"($expr) * ($expr)")} - ${sqlSum(expr)} * ${sqlSum(expr)} / count($expr))" +
+      s" / (count($expr) - 1), 0.0)) END"
 }

@@ -37,7 +37,10 @@ object Events {
         count(lit(1)).as("n_events"),
         davg($"value").as("avg_value"),
         max($"value").as("max_value"),
-        round(stddev_samp($"value"), 4).as("stddev_value"))
+        // decimal-exact two-pass stddev, not round(stddev_samp, 4): the
+        // builtin's double sums are partition-order-dependent and the
+        // round guard can flip at .00005 boundaries (ADVICE r1)
+        dstddev($"value").as("stddev_value"))
       .select(
         // NTZ so the dumped parquet carries the same logical type DuckDB
         // produces for naive timestamps (session TZ is UTC, so no shift)
@@ -48,15 +51,15 @@ object Events {
   }
 
   private[graft] val windowAggSql: String =
-    """SELECT CAST(time_bucket(INTERVAL 5 MINUTE, ts) AS TIMESTAMP) AS window_start,
-      |       event_type,
-      |       count(*) AS n_events,
-      |       CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value) AS avg_value,
-      |       max(value) AS max_value,
-      |       round(stddev_samp(value), 4) AS stddev_value
-      |FROM events
-      |GROUP BY 1, 2
-      |ORDER BY 1, 2""".stripMargin
+    s"""SELECT CAST(time_bucket(INTERVAL 5 MINUTE, ts) AS TIMESTAMP) AS window_start,
+       |       event_type,
+       |       count(*) AS n_events,
+       |       ${sqlAvg("value")} AS avg_value,
+       |       max(value) AS max_value,
+       |       ${sqlStddev("value")} AS stddev_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
 
   /** B21 — sliding event-time windows (10 min length, 5 min slide): each
     * event lands in two overlapping windows. Same single-shuffle hash
