@@ -1,0 +1,29 @@
+package graft
+
+/** The SQL surface of the native expressions: registered functions are
+  * callable from spark.sql and agree with the Column API.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("registered SQL functions match the Column API") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT md5_long40('abc') AS h,
+        |       quantized_dot(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)),
+        |                     array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS d
+        |""".stripMargin).collect()(0)
+    // h: independently verified value in HashingSpec for 'abc'
+    import spark.implicits._
+    val viaColumn = Seq("abc").toDF("s")
+      .select(graft.functions.Hashing.md5Long40($"s")).collect()(0).getLong(0)
+    assert(r.getLong(0) == viaColumn)
+    // 0.5*1.0 + (-0.25)*2.0 = 0.0 → quantized 0
+    assert(r.getLong(1) == 0L)
+  }
+
+  test("the extensions class applies without error (config-path shape)") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; used via
+    // spark.sql.extensions=graft.GraftExtensions at session build
+  }
+}
