@@ -249,13 +249,81 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** X-ngram-jaccard — *exact* n-gram Jaccard near-dup via an
+    * inverted-index join: pairs are generated only through shared rare
+    * shingles (doc-frequency ≤ 5), then scored exactly. The standard
+    * prefix-filtering trade: dropping hot shingles from the *candidate
+    * index* bounds the quadratic term (a shingle with df=d contributes
+    * d² candidate pairs) without costing recall at τ = 0.5 — near-dup
+    * pairs share many shingles, almost all of them rare. Compare X2:
+    * same verification, LSH candidate generation instead; this exact
+    * path wins when the corpus fits one index, LSH wins at open scale.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(spark, dir).cache()
+    val rare = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"sh")))
+      .filter($"df" <= 5)
+      .select($"doc_id", $"sh")
+    val cand = rare.as("a")
+      .join(rare.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.as("sa"), $"doc_a" === col("sa.doc_id"))
+      .join(sh.as("sb"), $"doc_b" === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.as("za"), $"doc_a" === col("za.doc_id"))
+      .join(sizes.as("zb"), $"doc_b" === col("zb.doc_id"))
+      .select($"doc_a", $"doc_b", $"n_common",
+        ($"n_common".cast("double") /
+          (col("za.n_sh") + col("zb.n_sh") - $"n_common").cast("double"))
+          .as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH $shinglesSql,
+       |rare AS (
+       |  SELECT doc_id, sh
+       |  FROM (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
+       |  WHERE df <= 5),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT doc_a, doc_b, count(*) AS n_common
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = doc_a
+       |  JOIN sh sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
+       |  GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b, n_common,
+       |       CAST(n_common AS DOUBLE)
+       |         / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes za ON za.doc_id = doc_a
+       |JOIN sizes zb ON zb.doc_id = doc_b
+       |WHERE CAST(n_common AS DOUBLE)
+       |        / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x02_minhash_lsh" -> minhashLsh _,
     "x11_doc_fingerprint" -> docFingerprint _,
-    "x12_simhash" -> simhash _)
+    "x12_simhash" -> simhash _,
+    "x17_ngram_jaccard" -> ngramJaccard _)
 
   val oracles: Map[String, String] = Map(
     "x02_minhash_lsh" -> minhashLshSql,
     "x11_doc_fingerprint" -> docFingerprintSql,
-    "x12_simhash" -> simhashSql)
+    "x12_simhash" -> simhashSql,
+    "x17_ngram_jaccard" -> ngramJaccardSql)
 }
