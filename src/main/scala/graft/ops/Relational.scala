@@ -567,20 +567,24 @@ object Relational {
     * driver records a rows-only check and RelationalSpec asserts the
     * estimate lands within 5× the configured rsd of the exact count.
     *
-    * The approx and exact aggregates deliberately run as two plans joined
-    * on the group key: mixing them in one `agg` makes Spark's
+    * Both aggregates run over one shared dedup pass, NOT together in one
+    * `agg`: mixing approx with countDistinct makes Spark's
     * distinct-rewrite key the *partial HLL buffers* by
     * (group, distinct-value) — 150k × 128 KB sketches at sf0.1, a ~50 s
-    * memory blow-up. Separated, each is a clean two-phase hash aggregate.
+    * memory blow-up. Instead: dedup to (group, value) first (a plain
+    * two-phase hash aggregate), then count exactly and sketch
+    * approximately over the deduped rows — HLL registers are insensitive
+    * to duplicates, so the estimate is bit-identical to sketching the
+    * raw multiset, with one scan and one big shuffle.
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, dir)
-    val approx = li.groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
-    val exact = li.groupBy($"l_returnflag")
-      .agg(countDistinct($"l_orderkey").as("exact_orders"))
-    approx.join(exact, Seq("l_returnflag"))
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_orderkey").agg(count(lit(1)))
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
+        count(lit(1)).as("exact_orders"))
       .orderBy($"l_returnflag")
   }
 

@@ -175,6 +175,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("file streaming source: the flagship aggregation over a parquet stream matches batch") {
+    // readStream over the testdata directory (events.parquet selected by
+    // glob) — the file-source path of R1's source abstraction
+    val batch = Tables.events(spark, "/root/testdata/sf0.001") // sets nanosAsLong
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // physical schema: ts stays a nanos long at the scan (the batch loader
+    // converts it post-read; this query never touches ts)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .format("parquet")
+      .load("/root/testdata/sf0.001")
+      .groupBy(org.apache.spark.sql.functions.col("event_type"))
+      .count()
+    val query = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("file_stream_counts").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("file_stream_counts").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("R1/R2: Kafka source/sink wiring carries the reference's config (not run)") {
     // zero-egress environment (no kafka connector jar): assert the config
     // construction and that the wiring reaches Spark's source resolution
