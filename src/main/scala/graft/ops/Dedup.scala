@@ -289,8 +289,11 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  val ngramJaccardSql: String =
-    s"""WITH $shinglesSql,
+  /** Shared CTE chain: shingle sets → rare-shingle candidates → exact
+    * intersection counts — the body both x17 and x18's oracles build on.
+    */
+  private val ngramPairCtes: String =
+    s"""$shinglesSql,
        |rare AS (
        |  SELECT doc_id, sh
        |  FROM (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
@@ -304,26 +307,115 @@ object Dedup {
        |  FROM cand
        |  JOIN sh sa ON sa.doc_id = doc_a
        |  JOIN sh sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
-       |  GROUP BY doc_a, doc_b)
-       |SELECT doc_a, doc_b, n_common,
-       |       CAST(n_common AS DOUBLE)
-       |         / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) AS jaccard
-       |FROM inter
-       |JOIN sizes za ON za.doc_id = doc_a
-       |JOIN sizes zb ON zb.doc_id = doc_b
-       |WHERE CAST(n_common AS DOUBLE)
-       |        / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) >= 0.5
+       |  GROUP BY doc_a, doc_b),
+       |scored AS (
+       |  SELECT doc_a, doc_b, n_common,
+       |         CAST(n_common AS DOUBLE)
+       |           / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) AS jaccard
+       |  FROM inter
+       |  JOIN sizes za ON za.doc_id = doc_a
+       |  JOIN sizes zb ON zb.doc_id = doc_b)""".stripMargin
+
+  val ngramJaccardSql: String =
+    s"""WITH $ngramPairCtes
+       |SELECT doc_a, doc_b, n_common, jaccard
+       |FROM scored
+       |WHERE jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** X-clusters — duplicate-cluster resolution: connected components over
+    * the near-dup pair graph (x17's exact pairs), labeling every document
+    * with its cluster representative (min doc_id in the component) and
+    * marking the canonical survivor. This is the stage that turns
+    * pairwise similarity into a dedup *decision* at corpus scale.
+    *
+    * Algorithm: iterative min-label propagation to fixpoint — each round
+    * is one distributed join+aggregate keyed on the vertex; the driver
+    * only checks the scalar convergence count (no data ever leaves the
+    * executors) and `localCheckpoint` cuts lineage growth per round.
+    * Rounds needed = component diameter (near-dup clusters are tiny
+    * cliques, so 1-2 in practice; the same loop is the standard
+    * large-graph CC shape). The oracle derives components independently
+    * via a recursive-CTE transitive closure.
+    */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = connectedComponents(
+      ngramJaccard(spark, dir).select($"doc_a", $"doc_b"))
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id")
+    Tables.documents(spark, dir)
+      .join(labels, $"doc_id" === $"doc", "left")
+      .select($"doc_id",
+        coalesce($"label", $"doc_id").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .withColumn("is_canonical", $"doc_id" === $"cluster_id")
+      .orderBy($"doc_id")
+  }
+
+  /** Min-label propagation to fixpoint over an undirected (doc_a, doc_b)
+    * edge list; returns (doc, label = min doc_id in component). Test seam
+    * for [[dupClusters]].
+    */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs
+      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .cache()
+    val vertices = edges.select($"doc_a".as("doc")).distinct()
+    var labels = vertices.select($"doc", $"doc".as("label")).localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val viaNeighbor = edges
+        .join(labels, $"doc_b" === $"doc")
+        .select($"doc_a".as("doc"), $"label")
+      val next = labels.union(viaNeighbor)
+        .groupBy($"doc").agg(min($"label").as("label"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("p"), col("n.doc") === col("p.doc"))
+        .filter(col("n.label") =!= col("p.label"))
+        .isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (
+       |  SELECT a AS doc, least(a, min(b)) AS cluster_id
+       |  FROM reach GROUP BY a)
+       |SELECT doc_id,
+       |       coalesce(c.cluster_id, doc_id) AS cluster_id,
+       |       count(*) OVER (PARTITION BY coalesce(c.cluster_id, doc_id)) AS cluster_size,
+       |       (doc_id = coalesce(c.cluster_id, doc_id)) AS is_canonical
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
+       |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x02_minhash_lsh" -> minhashLsh _,
     "x11_doc_fingerprint" -> docFingerprint _,
     "x12_simhash" -> simhash _,
-    "x17_ngram_jaccard" -> ngramJaccard _)
+    "x17_ngram_jaccard" -> ngramJaccard _,
+    "x18_dup_clusters" -> dupClusters _)
 
   val oracles: Map[String, String] = Map(
     "x02_minhash_lsh" -> minhashLshSql,
     "x11_doc_fingerprint" -> docFingerprintSql,
     "x12_simhash" -> simhashSql,
-    "x17_ngram_jaccard" -> ngramJaccardSql)
+    "x17_ngram_jaccard" -> ngramJaccardSql,
+    "x18_dup_clusters" -> dupClustersSql)
 }

@@ -57,6 +57,15 @@ class DedupSpec extends SparkSpec {
     assert(pairs(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("connected components: chains merge transitively, min id labels the cluster") {
+    import spark.implicits._
+    // chain 5-3, 3-9 plus isolated pair 20-21 → components {3,5,9}, {20,21}
+    val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("fingerprint sketch: k smallest hashes, equal docs share sketches") {
     val t = (1 to 30).map(i => s"w$i").mkString(" ")
     val sk = Dedup.shinglesOf(docs(1L -> t, 2L -> t))
