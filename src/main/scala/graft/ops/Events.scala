@@ -247,7 +247,37 @@ object Events {
       |FROM embeddings
       |ORDER BY vec_id""".stripMargin
 
+  /** B27 — pivot: per-user event-type counts as columns. The pivot value
+    * list is explicit (the 5 known types), which keeps the output schema
+    * static — the scalable form: a discovery pivot (`pivot(col)` without
+    * values) needs an extra distinct pass and makes the schema
+    * data-dependent. Zero-fill so the result is null-free. The inverse
+    * (unpivot/melt) is pinned in EventsSpec as a round-trip.
+    */
+  def pivotEventCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy($"user_id")
+  }
+
+  private[graft] val pivotEventCountsSql: String =
+    """SELECT user_id,
+      |       count(*) FILTER (event_type = 'click') AS click,
+      |       count(*) FILTER (event_type = 'error') AS error,
+      |       count(*) FILTER (event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (event_type = 'signup') AS signup,
+      |       count(*) FILTER (event_type = 'view') AS view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b27_pivot" -> pivotEventCounts _,
     "q_events_window_agg" -> windowAgg _,
     "b19_array_hof" -> arrayHof _,
     "b21_sliding_window" -> slidingWindow _,
@@ -256,6 +286,7 @@ object Events {
     "x09_sessionization" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    "b27_pivot" -> pivotEventCountsSql,
     "q_events_window_agg" -> windowAggSql,
     "b19_array_hof" -> arrayHofSql,
     "b21_sliding_window" -> slidingWindowSql,
