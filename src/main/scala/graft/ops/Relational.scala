@@ -617,6 +617,44 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** B28 — salted skew join: lineitem ⋈ a per-returnflag dimension.
+    * The natural key has 3 values (extreme skew: every row of a 100 TB
+    * fact lands on 3 reducers). Salting fans each fact row to one of 16
+    * synthetic sub-keys — deterministically, from a hash of its unique
+    * key, never rand() — and replicates the tiny dimension across all 16,
+    * so the shuffle spreads evenly; join semantics are unchanged, which
+    * is exactly what the oracle checks (plain unsalted join in DuckDB).
+    * (With AQE on, skew-join splitting handles moderate skew
+    * automatically; explicit salting is the pattern for when one key
+    * dominates a whole stage, and this query keeps it oracle-pinned.)
+    */
+  def saltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nSalts = 16
+    val flagInfo = Seq(
+      ("A", "accepted"), ("N", "none"), ("R", "returned"))
+      .toDF("flag", "flag_desc")
+    val saltedDim = flagInfo.crossJoin(
+      spark.range(nSalts).select($"id".cast("int").as("salt")))
+    val saltedFact = Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(hash($"l_orderkey", $"l_linenumber"), lit(nSalts)))
+    saltedFact
+      .join(saltedDim,
+        $"l_returnflag" === $"flag" && saltedFact("salt") === saltedDim("salt"))
+      .groupBy($"flag_desc")
+      .agg(count(lit(1)).as("n_lines"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"flag_desc")
+  }
+
+  val saltedSkewJoinSql: String =
+    s"""SELECT flag_desc, count(*) AS n_lines, ${sqlSum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |JOIN (VALUES ('A', 'accepted'), ('N', 'none'), ('R', 'returned'))
+       |     flags(flag, flag_desc)
+       |  ON l_returnflag = flag
+       |GROUP BY flag_desc
+       |ORDER BY flag_desc""".stripMargin
+
   /** All relational queries + oracles, keyed by their SparkEntry names. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b01_scan_pushdown" -> scanPushdown _,
@@ -641,7 +679,8 @@ object Relational {
     "b18a_scalar_string" -> scalarString _,
     "b18b_scalar_date" -> scalarDate _,
     "b18c_scalar_math_conditional" -> scalarMathConditional _,
-    "b24_udaf_secondmax" -> udafSecondMax _)
+    "b24_udaf_secondmax" -> udafSecondMax _,
+    "b28_salted_skew_join" -> saltedSkewJoin _)
 
   val oracles: Map[String, String] = Map(
     "b01_scan_pushdown" -> scanPushdownSql,
@@ -666,5 +705,6 @@ object Relational {
     "b18a_scalar_string" -> scalarStringSql,
     "b18b_scalar_date" -> scalarDateSql,
     "b18c_scalar_math_conditional" -> scalarMathConditionalSql,
-    "b24_udaf_secondmax" -> udafSecondMaxSql)
+    "b24_udaf_secondmax" -> udafSecondMaxSql,
+    "b28_salted_skew_join" -> saltedSkewJoinSql)
 }

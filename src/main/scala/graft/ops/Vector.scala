@@ -182,10 +182,63 @@ object Vector {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** X-ann-ivf — the other standard ANN scale path: an IVF (inverted
+    * file) index with an MLlib KMeans coarse quantizer. Vectors are
+    * assigned to their nearest of 16 centroids at "index build"; a query
+    * probes only its own cell (nprobe=1) and reranks by exact cosine.
+    * Same bucket-join shape as the LSH variant (x14) with a learned
+    * partition instead of a random one — cells track the data
+    * distribution, so probe sets are tighter.
+    *
+    * No DuckDB oracle: k-means centroids depend on float reduction order
+    * (treeAggregate), so cross-engine bit-parity is not meaningful —
+    * VectorSpec instead asserts recall against the brute-force top-k
+    * (the correct acceptance test for an ANN index), and the driver
+    * records the rows-only check.
+    */
+  /** IVF index build: assign every vector to its nearest of 16 KMeans
+    * centroids. Exposed separately so tests can verify the search is
+    * exact *within* the probed cell (the IVF contract).
+    */
+  private[graft] def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("features", array_to_vector($"embedding"))
+      .cache()
+    val model = new KMeans()
+      .setK(16).setSeed(42L).setMaxIter(5).setFeaturesCol("features")
+      .fit(e)
+    model.transform(e)
+      .select($"vec_id", $"label", $"embedding",
+        $"prediction".as("cell"),
+        dotQ($"embedding", $"embedding").as("nq"))
+  }
+
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assigned = ivfAssigned(spark, dir)
+    val q = assigned.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        $"cell".as("qcell"), $"nq".as("qnq"))
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+    assigned.join(broadcast(q),
+      $"cell" === $"qcell" && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        cosQ(dotQ($"embedding", $"qe"), $"nq", $"qnq").as("cos_sim"))
+      .withColumn("rnk", row_number().over(byQuery))
+      .filter($"rnk" <= 5)
+      .select($"query_id", $"rnk", $"vec_id", $"cos_sim")
+      .orderBy($"query_id", $"rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x03_cosine_topk" -> cosineTopK _,
     "x04_pairwise_similarity" -> pairwiseSimilarity _,
-    "x14_ann_lsh_topk" -> annLshTopK _)
+    "x14_ann_lsh_topk" -> annLshTopK _,
+    "x19_ann_ivf_topk" -> annIvfTopK _)
 
   val oracles: Map[String, String] = Map(
     "x03_cosine_topk" -> cosineTopKSql,

@@ -42,6 +42,36 @@ class TextVectorSpec extends SparkSpec {
     assert(sims.forall(s => s <= 1.0 + 1e-9 && s >= -1.0 - 1e-9))
   }
 
+  test("X19: IVF-ANN is exact within the probed cell (the IVF contract)") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Hashing.{cosQ, dotQ}
+    val ivf = VecOps.annIvfTopK(spark, sfDir).collect()
+    assert(ivf.nonEmpty)
+    // per query: rank sequence well-formed, cosines sorted desc
+    ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to sorted.length))
+      val sims = sorted.map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    // exactness within the cell: for query 0, the ANN result must equal
+    // the brute-force top-5 restricted to the query's cell (nprobe=1 can
+    // miss cross-cell neighbors by design — random-ish embeddings make
+    // global recall a coin flip, but in-cell exactness is the contract)
+    val assigned = VecOps.ivfAssigned(spark, sfDir).cache()
+    val q0 = assigned.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("cell").as("qcell"), col("nq").as("qnq"))
+    val expected = assigned.join(q0,
+      col("cell") === col("qcell") && col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        cosQ(dotQ(col("embedding"), col("qe")), col("nq"), col("qnq")).as("c"))
+      .orderBy(col("c").desc, col("vec_id").asc).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    val got = ivf.filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("vec_id")).toSeq
+    assert(got == expected, s"in-cell top-5 mismatch: got $got expected $expected")
+  }
+
   test("X4: pairwise join respects the block and the threshold") {
     val pairs = VecOps.pairwiseSimilarity(spark, sfDir).collect()
     pairs.foreach { p =>
