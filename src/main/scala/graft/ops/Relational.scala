@@ -655,6 +655,35 @@ object Relational {
        |GROUP BY flag_desc
        |ORDER BY flag_desc""".stripMargin
 
+  /** B29 — deterministic (hash-systematic) sampling: keep a row iff
+    * md5Long40(key) mod 100 < pct. Unlike `df.sample()` (whose output
+    * depends on partition layout) or rand() (non-reproducible), the
+    * sample is a pure function of the key — re-runnable, joinable across
+    * tables sampled on the same key, and exactly mirrored by the oracle.
+    * Stratification is free: the predicate is uniform within any stratum,
+    * shown here with per-priority sampled counts next to the sample.
+    */
+  def deterministicSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Hashing.md5Long40
+    Tables.orders(spark, dir)
+      .filter(pmod(md5Long40($"o_orderkey".cast("string")), lit(100L)) < 10)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_sampled"),
+        dsum($"o_totalprice").as("sum_sampled_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val deterministicSampleSql: String = {
+    import graft.functions.Hashing.sqlMd5Long40
+    s"""SELECT o_orderpriority, count(*) AS n_sampled,
+       |       ${sqlSum("o_totalprice")} AS sum_sampled_price
+       |FROM orders
+       |WHERE ${sqlMd5Long40("CAST(o_orderkey AS VARCHAR)")} % 100 < 10
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+  }
+
   /** All relational queries + oracles, keyed by their SparkEntry names. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b01_scan_pushdown" -> scanPushdown _,
@@ -680,7 +709,8 @@ object Relational {
     "b18b_scalar_date" -> scalarDate _,
     "b18c_scalar_math_conditional" -> scalarMathConditional _,
     "b24_udaf_secondmax" -> udafSecondMax _,
-    "b28_salted_skew_join" -> saltedSkewJoin _)
+    "b28_salted_skew_join" -> saltedSkewJoin _,
+    "b29_deterministic_sample" -> deterministicSample _)
 
   val oracles: Map[String, String] = Map(
     "b01_scan_pushdown" -> scanPushdownSql,
@@ -706,5 +736,6 @@ object Relational {
     "b18b_scalar_date" -> scalarDateSql,
     "b18c_scalar_math_conditional" -> scalarMathConditionalSql,
     "b24_udaf_secondmax" -> udafSecondMaxSql,
-    "b28_salted_skew_join" -> saltedSkewJoinSql)
+    "b28_salted_skew_join" -> saltedSkewJoinSql,
+    "b29_deterministic_sample" -> deterministicSampleSql)
 }
