@@ -234,14 +234,69 @@ object Vector {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** X-embedding-near-dup — embedding-cosine near-duplicate *clusters*:
+    * the X4 threshold pairs fed through the same distributed
+    * connected-components used for text near-dups (Dedup.dupClusters),
+    * labeling every vector with its duplicate-cluster representative.
+    * Demonstrates the modality-agnostic dedup decision stage: any
+    * pair-producer (text Jaccard, embedding cosine, LSH) plugs into the
+    * same clustering.
+    */
+  def embeddingNearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = pairwiseSimilarity(spark, dir)
+      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
+    // rename the CC label: embeddings has its own `label` (class) column
+    val labels = Dedup.connectedComponents(pairs)
+      .select($"doc", $"label".as("cc_label"))
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id")
+    Tables.embeddings(spark, dir)
+      .join(labels, $"vec_id" === $"doc", "left")
+      .select($"vec_id", $"label".as("emb_label"),
+        coalesce($"cc_label", $"vec_id").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .orderBy($"vec_id")
+  }
+
+  val embeddingNearDupClustersSql: String = {
+    val dq = sqlDotQ("a.embedding", "b.embedding")
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, label, embedding,
+       |         ${sqlDotQ("embedding", "embedding")} AS nq
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE ${sqlCosQ(dq, "a.nq", "b.nq")} >= 0.35),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+       |comp AS (
+       |  SELECT a AS doc, least(a, min(b)) AS cluster_id
+       |  FROM reach GROUP BY a)
+       |SELECT emb.vec_id, emb.label AS emb_label,
+       |       coalesce(c.cluster_id, emb.vec_id) AS cluster_id,
+       |       count(*) OVER (PARTITION BY coalesce(c.cluster_id, emb.vec_id)) AS cluster_size
+       |FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.doc
+       |ORDER BY emb.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x03_cosine_topk" -> cosineTopK _,
     "x04_pairwise_similarity" -> pairwiseSimilarity _,
     "x14_ann_lsh_topk" -> annLshTopK _,
-    "x19_ann_ivf_topk" -> annIvfTopK _)
+    "x19_ann_ivf_topk" -> annIvfTopK _,
+    "x20_embedding_near_dup" -> embeddingNearDupClusters _)
 
   val oracles: Map[String, String] = Map(
     "x03_cosine_topk" -> cosineTopKSql,
     "x04_pairwise_similarity" -> pairwiseSimilaritySql,
-    "x14_ann_lsh_topk" -> annLshTopKSql)
+    "x14_ann_lsh_topk" -> annLshTopKSql,
+    "x20_embedding_near_dup" -> embeddingNearDupClustersSql)
 }

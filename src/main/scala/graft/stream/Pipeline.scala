@@ -137,12 +137,17 @@ object Pipeline {
   def start(
       wire: DataFrame,
       writer: Iterator[String] => Unit,
-      checkpointDir: String): StreamingQuery =
-    windowedAgg(flattened(wire)).writeStream
+      checkpointDir: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): StreamingQuery = {
+    val base = windowedAgg(flattened(wire)).writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch(lineProtocolSink(writer) _)
       .option("checkpointLocation", checkpointDir)
-      .start()
+    // default trigger = ASAP micro-batches, the reference's behavior
+    // (spark_processor.py sets none); callers pass ProcessingTime /
+    // AvailableNow for paced or drain-and-stop runs
+    trigger.fold(base)(base.trigger).start()
+  }
 
   /** R6 — the reference blocks on the query (`spark_processor.py:210`). */
   def run(query: StreamingQuery): Unit = query.awaitTermination()
