@@ -175,6 +175,33 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("R6: restart from checkpoint resumes state, no reprocessing, no loss") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    CollectedLines.queue.clear()
+    val input = MemoryStream[String]
+    val checkpoint = Files.createTempDirectory("graft-ckpt-resume-").toString
+    val q1 = Pipeline.start(input.toDF(), CollectedLines.write _, checkpoint)
+    try {
+      input.addData(env("10:00:30", 10.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterFirst = CollectedLines.queue.size()
+    assert(afterFirst == 1)
+    // second run, same checkpoint + same source: only the NEW batch runs,
+    // and the restored window state merges old and new events
+    input.addData(env("10:01:30", 20.0))
+    val q2 = Pipeline.start(input.toDF(), CollectedLines.write _, checkpoint)
+    try {
+      q2.processAllAvailable()
+      val lines = CollectedLines.queue.toArray(Array.empty[String])
+      assert(lines.length == 2, s"expected one new emission, got ${lines.toSeq}")
+      // state restored: the re-emitted 10:00 window averages BOTH events
+      assert(lines(1).contains("avg_temperature_c=15.0"),
+        s"restored state must merge across restart: ${lines(1)}")
+    } finally q2.stop()
+  }
+
   test("file streaming source: the flagship aggregation over a parquet stream matches batch") {
     // readStream over the testdata directory (events.parquet selected by
     // glob) — the file-source path of R1's source abstraction
