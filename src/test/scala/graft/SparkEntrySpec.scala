@@ -1,0 +1,39 @@
+package graft
+
+import graft.ops._
+
+/** The driver contract itself: entry() smoke, oracle-key hygiene, and —
+  * critically — that the per-module query maps never collide (`++` would
+  * silently drop a query, which the driver would report as a missing
+  * operator, not an error here).
+  */
+class SparkEntrySpec extends SparkSpec {
+
+  test("entry() answers with rows (the driver's t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a registered query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("module query maps merge without collisions") {
+    val moduleMaps = Seq(
+      "Relational" -> Relational.queries, "Events" -> Events.queries,
+      "Text" -> Text.queries, "Vector" -> Vector.queries,
+      "Dedup" -> Dedup.queries, "Weather" -> Weather.queries,
+      "Multimodal" -> Multimodal.queries, "AsOf" -> AsOf.queries)
+    val total = moduleMaps.map(_._2.size).sum
+    assert(SparkEntry.queries.size == total,
+      s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
+        moduleMaps.flatMap { case (m, q) => q.keys.map(_ -> m) }
+          .groupBy(_._1).filter(_._2.size > 1).keys.mkString(", "))
+  }
+
+  test("rows-only queries (no oracle) are the documented exceptions") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("b11_approx_distinct", "x19_ann_ivf_topk"),
+      s"unexpected oracle-less queries: $noOracle")
+  }
+}
