@@ -173,6 +173,36 @@ object Pipeline {
   def consoleSink(df: DataFrame) =
     df.writeStream.format("console").outputMode(OutputMode.Append())
 
+  /** Stream-stream inner join with event-time bounds: readings joined to
+    * a second stream (e.g. alerts) on key within ±1 minute. Both sides
+    * carry watermarks and the join condition bounds event time in both
+    * directions, so Spark can evict join state — the requirement for an
+    * unbounded-stream join to run with bounded memory.
+    */
+  def correlatedJoin(flat: DataFrame, alerts: DataFrame): DataFrame = {
+    val readings = flat
+      .withWatermark("event_time", "2 minutes")
+      .select(col("weather_code").cast("int").as("r_key"),
+        col("event_time").as("r_time"), col("temperature_c"))
+    val alertsWm = alerts
+      .withWatermark("a_time", "2 minutes")
+    readings.join(alertsWm,
+      expr("""r_key = a_key AND
+              r_time >= a_time - INTERVAL 1 MINUTE AND
+              r_time <= a_time + INTERVAL 1 MINUTE"""))
+      .select(col("r_key").as("key"), col("r_time"), col("a_time"),
+        col("temperature_c"), col("alert_level"))
+  }
+
+  /** Stream-static enrichment join: the streaming side joins a broadcast
+    * static dimension with no state at all — the cheap path whenever the
+    * right side is a table, not a stream.
+    */
+  def enrich(flat: DataFrame, dim: DataFrame): DataFrame =
+    flat.join(broadcast(dim),
+      flat("weather_code").cast("int") === dim("code"))
+      .select(col("event_time"), col("temperature_c"), col("code_desc"))
+
   /** B23 — stateful streaming dedup bounded by the watermark: exactly the
     * engine's answer to at-least-once sources (duplicate wire records
     * within the lateness horizon collapse to one).

@@ -234,6 +234,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream join: time-bounded correlation with watermarked state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val readings = MemoryStream[String]
+    val alerts = MemoryStream[(Int, java.sql.Timestamp, String)]
+    val alertsDf = alerts.toDF().toDF("a_key", "a_time", "alert_level")
+    val query = Pipeline.correlatedJoin(Pipeline.flattened(readings.toDF()), alertsDf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("corr_join").start()
+    try {
+      readings.addData(env("10:00:30", 21.0, code = 7), env("10:20:00", 30.0, code = 7))
+      alerts.addData(
+        (7, java.sql.Timestamp.valueOf("2026-08-12 10:01:00"), "high"), // within ±1 min of 10:00:30
+        (7, java.sql.Timestamp.valueOf("2026-08-12 10:05:00"), "low"),  // matches nothing
+        (9, java.sql.Timestamp.valueOf("2026-08-12 10:00:40"), "high")) // wrong key
+      query.processAllAvailable()
+      val rows = spark.table("corr_join").collect()
+        .map(r => (r.getAs[Int]("key"), r.getAs[Double]("temperature_c"),
+          r.getAs[String]("alert_level")))
+      assert(rows.toSeq == Seq((7, 21.0, "high")), s"got ${rows.toSeq}")
+    } finally query.stop()
+  }
+
+  test("stream-static join: broadcast enrichment, no streaming state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val dim = Seq((1, "clear"), (2, "cloudy")).toDF("code", "code_desc")
+    val query = Pipeline.enrich(Pipeline.flattened(input.toDF()), dim)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    try {
+      input.addData(env("10:00:30", 21.0, code = 1), env("10:00:31", 22.0, code = 5))
+      query.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getAs[Double]("temperature_c"), r.getAs[String]("code_desc")))
+      assert(rows.toSeq == Seq((21.0, "clear")), s"got ${rows.toSeq}") // code 5: no dim row
+    } finally query.stop()
+  }
+
   test("R1/R2: Kafka source/sink wiring carries the reference's config (not run)") {
     // zero-egress environment (no kafka connector jar): assert the config
     // construction and that the wiring reaches Spark's source resolution
