@@ -31,6 +31,24 @@ object AsOf {
     * @param right    right stream, must contain `key`, `ts`, and payload
     * @param payload  right-side columns to carry (become nullable)
     */
+  /** As-of join with a staleness bound: like [[join]], but a matched
+    * right row older than `toleranceSec` before the left timestamp is
+    * treated as no-match (payload nulled) — the pandas merge_asof
+    * `tolerance` semantics. Implemented by carrying the right row's own
+    * timestamp alongside its payload and age-filtering after the carry.
+    */
+  def joinWithTolerance(
+      left: DataFrame, right: DataFrame,
+      payload: Seq[String], toleranceSec: Long): DataFrame = {
+    val carried = join(left, right.withColumn("asof_ts", col("ts")),
+      payload :+ "asof_ts")
+    val fresh = col("asof_ts").isNotNull &&
+      unix_micros(col("ts")) - unix_micros(col("asof_ts")) <= toleranceSec * 1000000L
+    payload.foldLeft(carried) { (df, p) =>
+      df.withColumn(p, when(fresh, col(p)))
+    }.drop("asof_ts")
+  }
+
   def join(left: DataFrame, right: DataFrame, payload: Seq[String]): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._

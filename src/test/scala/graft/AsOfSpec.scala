@@ -37,6 +37,23 @@ class AsOfSpec extends SparkSpec {
       300L -> None))     // no right rows for key
   }
 
+  test("tolerance variant: stale matches null out, fresh ones survive") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1L),
+      (1L, ts("2026-01-01 12:00:00"), 2L)
+    ).toDF("key", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2026-01-01 09:59:00"), 11L, 1.0) // 1 min before the first left row
+    ).toDF("key", "ts", "o_orderkey", "o_totalprice")
+    val out = AsOf.joinWithTolerance(left, right,
+      Seq("o_orderkey", "o_totalprice"), toleranceSec = 600)
+      .orderBy("event_id").collect()
+    assert(out(0).getAs[java.lang.Long]("o_orderkey") == 11L) // 1 min old: fresh
+    assert(out(1).isNullAt(out(1).fieldIndex("o_orderkey")),
+      "a 2-hour-old match must be nulled by a 10-minute tolerance")
+  }
+
   test("duplicate right timestamps resolve to one deterministic survivor") {
     import spark.implicits._
     val left = Seq((1L, ts("2026-01-01 10:00:00"), 1L)).toDF("key", "ts", "event_id")
