@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // static conf — must be set at JVM level; keeps saveAsTable (bucketing
+  // specs) out of the repo working tree
+  "-Dspark.sql.warehouse.dir=/tmp/graft-warehouse",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

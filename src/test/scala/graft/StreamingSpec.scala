@@ -47,6 +47,13 @@ class StreamingSpec extends SparkSpec {
       input.addData(env("10:02:00", 99.0), env("10:11:00", 40.0))
       query.processAllAvailable()
 
+      // operational surface: the query reports its event-time watermark
+      val progress = query.lastProgress
+      assert(progress.eventTime.containsKey("watermark"),
+        s"no watermark in progress: $progress")
+      assert(progress.eventTime.get("watermark").startsWith("2026-08-12T10:09"),
+        s"watermark = last batch max event time (10:11) - 2 min: ${progress.eventTime}")
+
       val rows = spark.table("weather_updates").collect().map { r =>
         val w = r.getStruct(r.fieldIndex("window"))
         (w.getTimestamp(0).toString, r.getAs[Double]("avg_temperature_c"))
