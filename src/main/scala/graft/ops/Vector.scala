@@ -108,7 +108,12 @@ object Vector {
     * same i64 quantization as every cosine, and the rerank breaks ties on
     * vec_id.
     */
-  def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared LSH state: per-vector signed projections against the 8
+    * deterministic hyperplanes, and the derived bucket + self-norm table.
+    * Returns (proj = (vec_id, p, dotq), indexed = (vec_id, label,
+    * embedding, bucket, nq)).
+    */
+  private def lshState(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
     // deterministic hyperplanes: coef(p, d) ∈ [-0.5, 0.5)
@@ -117,7 +122,6 @@ object Vector {
       ($"id" % 64).cast("int").as("d"),
       (md5Long40(concat_ws("_", lit("plane"), ($"id" / 64).cast("int"), ($"id" % 64).cast("int")))
         .cast("double") / hashRange - 0.5).as("coef"))
-    // per-vector signed projections → 8-bit bucket
     val dims = e.select($"vec_id", posexplode($"embedding").as(Seq("d", "x")))
     val proj = dims.join(broadcast(planes), "d")
       .groupBy($"vec_id", $"p")
@@ -125,30 +129,70 @@ object Vector {
     val buckets = proj.groupBy($"vec_id")
       .agg(sum(when($"dotq" > 0, expr("shiftleft(CAST(1 AS BIGINT), p)"))
         .otherwise(0L)).as("bucket"))
-    val withBucket = e.join(buckets, "vec_id")
+    val indexed = e.join(buckets, "vec_id")
       .select($"vec_id", $"label", $"embedding", $"bucket",
         dotQ($"embedding", $"embedding").as("nq"))
-    // 3 fixed query vectors → same-bucket candidates → exact-cosine rerank
-    val q = withBucket.filter($"vec_id" < 3)
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
-        $"bucket".as("qbucket"), $"nq".as("qnq"))
-    val reranked = withBucket.join(broadcast(q),
-      $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id",
-        cosQ(dotQ($"embedding", $"qe"), $"nq", $"qnq").as("cos_sim"))
+    (proj, indexed)
+  }
+
+  /** Exact-cosine rerank of (query × candidate) rows to top-5 per query. */
+  private def rerankTop5(cands: DataFrame): DataFrame = {
+    import cands.sparkSession.implicits._
     val byQuery = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id".asc)
-    reranked
+    cands
       .withColumn("rnk", row_number().over(byQuery))
       .filter($"rnk" <= 5)
       .select($"query_id", $"rnk", $"vec_id", $"cos_sim")
       .orderBy($"query_id", $"rnk")
   }
 
-  val annLshTopKSql: String = {
+  def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, indexed) = lshState(spark, dir)
+    // 3 fixed query vectors → same-bucket candidates → exact-cosine rerank
+    val q = indexed.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        $"bucket".as("qbucket"), $"nq".as("qnq"))
+    rerankTop5(indexed.join(broadcast(q),
+      $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        cosQ(dotQ($"embedding", $"qe"), $"nq", $"qnq").as("cos_sim")))
+  }
+
+  /** X-multiprobe — multi-probe LSH: each query probes its own bucket AND
+    * the bucket across its least-confident hyperplane (the plane with the
+    * smallest |projection| — the boundary the vector most nearly
+    * straddles, where a true neighbor most likely landed on the other
+    * side). Doubles candidate recall for one extra keyed lookup, with the
+    * probe choice fully deterministic (|dotq| is exact i64; ties break on
+    * plane index) so the oracle reproduces it bit-for-bit.
+    */
+  def annMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (proj, indexed) = lshState(spark, dir)
+    val byConfidence = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy(abs($"dotq").asc, $"p".asc)
+    val flipBit = proj
+      .withColumn("rn", row_number().over(byConfidence))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"p".as("pstar"))
+    val q = indexed.filter($"vec_id" < 3)
+      .join(flipBit, "vec_id")
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nq".as("qnq"),
+        explode(array($"bucket",
+          $"bucket".bitwiseXOR(expr("shiftleft(CAST(1 AS BIGINT), pstar)"))))
+          .as("probe"))
+    rerankTop5(indexed.join(broadcast(q),
+      $"bucket" === $"probe" && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        cosQ(dotQ($"embedding", $"qe"), $"nq", $"qnq").as("cos_sim")))
+  }
+
+  /** Shared LSH CTE chain (planes → projections → buckets → indexed). */
+  private val lshCtes: String = {
     val planeHash = sqlMd5Long40("concat_ws('_', 'plane', CAST(i // 64 AS INT), CAST(i % 64 AS INT))")
-    val dq = sqlDotQ("c.embedding", "q.embedding")
-    s"""WITH planes AS (
+    s"""planes AS (
        |  SELECT CAST(i // 64 AS INT) AS p, CAST(i % 64 AS INT) AS d,
        |         $planeHash / 1099511627776.0 - 0.5 AS coef
        |  FROM range(0, ${nPlanes * 64}) t(i)),
@@ -168,18 +212,49 @@ object Vector {
        |e AS (
        |  SELECT emb.vec_id, emb.embedding, b.bucket,
        |         ${sqlDotQ("emb.embedding", "emb.embedding")} AS nq
-       |  FROM embeddings emb JOIN buckets b ON emb.vec_id = b.vec_id),
+       |  FROM embeddings emb JOIN buckets b ON emb.vec_id = b.vec_id)""".stripMargin
+  }
+
+  private val rerankSql: String =
+    """SELECT query_id, rnk, vec_id, cos_sim
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                   ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      |      FROM reranked)
+      |WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+
+  val annLshTopKSql: String = {
+    val dq = sqlDotQ("c.embedding", "q.embedding")
+    s"""WITH $lshCtes,
        |reranked AS (
        |  SELECT q.vec_id AS query_id, c.vec_id,
        |         ${sqlCosQ(dq, "c.nq", "q.nq")} AS cos_sim
        |  FROM e c JOIN e q
        |    ON c.bucket = q.bucket AND q.vec_id < 3 AND c.vec_id <> q.vec_id)
-       |SELECT query_id, rnk, vec_id, cos_sim
-       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-       |                                   ORDER BY cos_sim DESC, vec_id ASC) AS rnk
-       |      FROM reranked)
-       |WHERE rnk <= 5
-       |ORDER BY query_id, rnk""".stripMargin
+       |$rerankSql""".stripMargin
+  }
+
+  val annMultiProbeSql: String = {
+    val dq = sqlDotQ("c.embedding", "q.embedding")
+    s"""WITH $lshCtes,
+       |flip AS (
+       |  SELECT vec_id, p AS pstar
+       |  FROM (SELECT vec_id, p,
+       |               row_number() OVER (PARTITION BY vec_id
+       |                                  ORDER BY abs(dotq) ASC, p ASC) AS rn
+       |        FROM proj)
+       |  WHERE rn = 1),
+       |q AS (
+       |  SELECT e.vec_id AS query_id, e.embedding AS qe, e.nq AS qnq,
+       |         unnest([e.bucket, xor(e.bucket, CAST(1 << pstar AS BIGINT))]) AS probe
+       |  FROM e JOIN flip ON e.vec_id = flip.vec_id
+       |  WHERE e.vec_id < 3),
+       |reranked AS (
+       |  SELECT q.query_id, c.vec_id,
+       |         ${sqlCosQ(sqlDotQ("c.embedding", "q.qe"), "c.nq", "q.qnq")} AS cos_sim
+       |  FROM e c JOIN q
+       |    ON c.bucket = q.probe AND c.vec_id <> q.query_id)
+       |$rerankSql""".stripMargin
   }
 
   /** X-ann-ivf — the other standard ANN scale path: an IVF (inverted
@@ -292,11 +367,13 @@ object Vector {
     "x04_pairwise_similarity" -> pairwiseSimilarity _,
     "x14_ann_lsh_topk" -> annLshTopK _,
     "x19_ann_ivf_topk" -> annIvfTopK _,
-    "x20_embedding_near_dup" -> embeddingNearDupClusters _)
+    "x20_embedding_near_dup" -> embeddingNearDupClusters _,
+    "x21_ann_multiprobe" -> annMultiProbe _)
 
   val oracles: Map[String, String] = Map(
     "x03_cosine_topk" -> cosineTopKSql,
     "x04_pairwise_similarity" -> pairwiseSimilaritySql,
     "x14_ann_lsh_topk" -> annLshTopKSql,
-    "x20_embedding_near_dup" -> embeddingNearDupClustersSql)
+    "x20_embedding_near_dup" -> embeddingNearDupClustersSql,
+    "x21_ann_multiprobe" -> annMultiProbeSql)
 }
