@@ -684,6 +684,78 @@ object Relational {
        |ORDER BY o_orderpriority""".stripMargin
   }
 
+  /** B30 — CDC-style merge/upsert: apply a change stream (insert /
+    * update / delete ops) to a base table with deterministic conflict
+    * resolution. The change set is synthesized from orders (op chosen by
+    * the portable key hash; latest-order-wins within a key via
+    * row_number) and applied as pure relational algebra: deletes
+    * anti-join, updates overwrite via coalesce on a full outer join,
+    * inserts flow through — the exact shape a foreachBatch MERGE runs at
+    * scale (one keyed shuffle; Delta/Iceberg sinks swap in for the final
+    * join without changing the plan above it).
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Hashing.md5Long40
+    val base = Tables.customer(spark, dir)
+      .select($"c_custkey".as("key"), $"c_acctbal".as("balance"))
+    // change stream: latest order per customer decides; op = hash(key)%3
+    val latest = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    val changes = Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(latest))
+      .filter($"rn" === 1)
+      .withColumn("h", pmod(md5Long40($"o_custkey".cast("string")), lit(3L)))
+      .select(
+        when($"h" === 0, lit("D")).when($"h" === 1, lit("U"))
+          .otherwise(lit("I")).as("op"),
+        // inserts target fresh keys (key-space shifted); U/D hit the base
+        when($"h" === 2, $"o_custkey" + 100000L).otherwise($"o_custkey").as("key"),
+        $"o_totalprice".as("new_balance"))
+    val deletes = changes.filter($"op" === "D").select($"key")
+    val upserts = changes.filter($"op" =!= "D")
+      .select($"key", $"new_balance")
+    base
+      .join(deletes, Seq("key"), "left_anti")
+      .join(upserts, Seq("key"), "full_outer")
+      .select($"key",
+        coalesce($"new_balance", $"balance").as("balance"),
+        when($"new_balance".isNotNull && $"balance".isNotNull, "updated")
+          .when($"new_balance".isNotNull, "inserted")
+          .otherwise("kept").as("row_state"))
+      .orderBy($"key")
+  }
+
+  val mergeUpsertSql: String = {
+    import graft.functions.Hashing.sqlMd5Long40
+    val h = sqlMd5Long40("CAST(o_custkey AS VARCHAR)")
+    s"""WITH base AS (SELECT c_custkey AS key, c_acctbal AS balance FROM customer),
+       |latest AS (
+       |  SELECT * FROM (
+       |    SELECT o_custkey, o_totalprice,
+       |           row_number() OVER (PARTITION BY o_custkey
+       |                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+       |           $h % 3 AS h
+       |    FROM orders)
+       |  WHERE rn = 1),
+       |changes AS (
+       |  SELECT CASE WHEN h = 0 THEN 'D' WHEN h = 1 THEN 'U' ELSE 'I' END AS op,
+       |         CASE WHEN h = 2 THEN o_custkey + 100000 ELSE o_custkey END AS key,
+       |         o_totalprice AS new_balance
+       |  FROM latest),
+       |kept AS (
+       |  SELECT key, balance FROM base
+       |  WHERE key NOT IN (SELECT key FROM changes WHERE op = 'D')),
+       |ups AS (SELECT key, new_balance FROM changes WHERE op <> 'D')
+       |SELECT coalesce(k.key, u.key) AS key,
+       |       coalesce(u.new_balance, k.balance) AS balance,
+       |       CASE WHEN u.new_balance IS NOT NULL AND k.balance IS NOT NULL THEN 'updated'
+       |            WHEN u.new_balance IS NOT NULL THEN 'inserted'
+       |            ELSE 'kept' END AS row_state
+       |FROM kept k FULL JOIN ups u ON k.key = u.key
+       |ORDER BY key""".stripMargin
+  }
+
   /** All relational queries + oracles, keyed by their SparkEntry names. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b01_scan_pushdown" -> scanPushdown _,
@@ -710,7 +782,8 @@ object Relational {
     "b18c_scalar_math_conditional" -> scalarMathConditional _,
     "b24_udaf_secondmax" -> udafSecondMax _,
     "b28_salted_skew_join" -> saltedSkewJoin _,
-    "b29_deterministic_sample" -> deterministicSample _)
+    "b29_deterministic_sample" -> deterministicSample _,
+    "b30_merge_upsert" -> mergeUpsert _)
 
   val oracles: Map[String, String] = Map(
     "b01_scan_pushdown" -> scanPushdownSql,
@@ -737,5 +810,6 @@ object Relational {
     "b18c_scalar_math_conditional" -> scalarMathConditionalSql,
     "b24_udaf_secondmax" -> udafSecondMaxSql,
     "b28_salted_skew_join" -> saltedSkewJoinSql,
-    "b29_deterministic_sample" -> deterministicSampleSql)
+    "b29_deterministic_sample" -> deterministicSampleSql,
+    "b30_merge_upsert" -> mergeUpsertSql)
 }
