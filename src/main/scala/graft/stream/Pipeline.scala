@@ -179,17 +179,22 @@ object Pipeline {
     * directions, so Spark can evict join state — the requirement for an
     * unbounded-stream join to run with bounded memory.
     */
-  def correlatedJoin(flat: DataFrame, alerts: DataFrame): DataFrame = {
+  def correlatedJoin(
+      flat: DataFrame, alerts: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val readings = flat
       .withWatermark("event_time", "2 minutes")
       .select(col("weather_code").cast("int").as("r_key"),
         col("event_time").as("r_time"), col("temperature_c"))
     val alertsWm = alerts
       .withWatermark("a_time", "2 minutes")
+    // outer variants emit the null-padded row only once the watermark
+    // proves no match can still arrive — the state-eviction point
     readings.join(alertsWm,
       expr("""r_key = a_key AND
               r_time >= a_time - INTERVAL 1 MINUTE AND
-              r_time <= a_time + INTERVAL 1 MINUTE"""))
+              r_time <= a_time + INTERVAL 1 MINUTE"""),
+      joinType)
       .select(col("r_key").as("key"), col("r_time"), col("a_time"),
         col("temperature_c"), col("alert_level"))
   }

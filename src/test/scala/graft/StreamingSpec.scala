@@ -264,6 +264,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream LEFT OUTER join: unmatched rows emit null-padded after the watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val readings = MemoryStream[String]
+    val alerts = MemoryStream[(Int, java.sql.Timestamp, String)]
+    val alertsDf = alerts.toDF().toDF("a_key", "a_time", "alert_level")
+    val query = Pipeline.correlatedJoin(
+      Pipeline.flattened(readings.toDF()), alertsDf, "left_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("outer_join").start()
+    try {
+      readings.addData(env("10:00:30", 21.0, code = 7)) // will never match
+      alerts.addData((7, java.sql.Timestamp.valueOf("2026-08-12 10:10:00"), "far")) // outside ±1 min
+      query.processAllAvailable()
+      // no emission yet: a match could still arrive within the bound
+      assert(spark.table("outer_join").isEmpty)
+      // advance both watermarks far past the reading's match horizon
+      readings.addData(env("11:00:00", 30.0, code = 8))
+      alerts.addData((8, java.sql.Timestamp.valueOf("2026-08-12 11:30:00"), "late"))
+      query.processAllAvailable()
+      readings.addData(env("11:40:00", 31.0, code = 8))
+      alerts.addData((8, java.sql.Timestamp.valueOf("2026-08-12 11:50:00"), "later"))
+      query.processAllAvailable()
+      val unmatched = spark.table("outer_join").collect()
+        .filter(r => r.getAs[Int]("key") == 7)
+      assert(unmatched.length == 1, s"expected one null-padded emission, got ${unmatched.toSeq}")
+      assert(unmatched(0).isNullAt(unmatched(0).fieldIndex("alert_level")),
+        "unmatched left row must carry null right-side fields")
+    } finally query.stop()
+  }
+
   test("stream-static join: broadcast enrichment, no streaming state") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
