@@ -49,6 +49,72 @@ object AsOf {
     }.drop("asof_ts")
   }
 
+  /** Direction-complete as-of join: `backward` (latest at-or-before,
+    * = [[join]]), `forward` (earliest at-or-after — the same carry with
+    * the scan order reversed), or `nearest` (closer of the two, ties to
+    * backward — pandas merge_asof semantics).
+    */
+  def joinDirectional(
+      left: DataFrame, right: DataFrame,
+      payload: Seq[String], direction: String): DataFrame = {
+    direction match {
+      case "backward" => join(left, right, payload)
+      case "forward" =>
+        joinCarry(left, right.withColumn("asof_ts", col("ts")),
+          payload :+ "asof_ts", forward = true).drop("asof_ts")
+      case "nearest" =>
+        val back = joinCarry(left, right.withColumn("asof_ts", col("ts")),
+          payload :+ "asof_ts", forward = false)
+          .withColumnsRenamed(((payload :+ "asof_ts").map(p => p -> s"b_$p")).toMap)
+        val leftKeyCols = left.columns.toSeq
+        val fwd = joinCarry(back, right.withColumn("asof_ts", col("ts")),
+          payload :+ "asof_ts", forward = true)
+        val backCloser = col("b_asof_ts").isNotNull &&
+          (col("asof_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("b_asof_ts")) <=
+              unix_micros(col("asof_ts")) - unix_micros(col("ts")))
+        payload.foldLeft(fwd) { (df, p) =>
+          df.withColumn(p, when(backCloser, col(s"b_$p")).otherwise(col(p)))
+        }.select(leftKeyCols.map(col) ++ payload.map(col): _*)
+      case other => throw new IllegalArgumentException(s"unknown direction: $other")
+    }
+  }
+
+  /** The shared carry: union-tag then last-non-null over a (key, ts)
+    * window scanned forward (backward join) or reversed (forward join).
+    */
+  private def joinCarry(
+      left: DataFrame, right: DataFrame,
+      payload: Seq[String], forward: Boolean): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val rightDedup = right
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"key", $"ts").orderBy(payload.map(col(_).desc): _*)))
+      .filter($"rn" === 1).drop("rn")
+    val leftCols = left.columns.filterNot(payload.contains)
+    val tagged = left
+      .withColumn("src", lit(1))
+      .select((leftCols.map(col) :+ col("src")) ++
+        payload.map(p => lit(null).cast(rightDedup.schema(p).dataType).as(p)): _*)
+      .unionByName(
+        rightDedup.select(
+          (Seq(col("key"), col("ts"), lit(0).as("src")) ++
+            payload.map(col) ++
+            leftCols.filterNot(Seq("key", "ts").contains)
+              .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*),
+        allowMissingColumns = false)
+    val order = if (forward) Seq($"ts".desc, $"src".asc) else Seq($"ts".asc, $"src".asc)
+    val w = Window.partitionBy($"key")
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .select((leftCols.map(col) :+ col("src")) ++
+        payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+      .filter($"src" === 1)
+      .drop("src")
+  }
+
   def join(left: DataFrame, right: DataFrame, payload: Seq[String]): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._

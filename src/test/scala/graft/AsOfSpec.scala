@@ -54,6 +54,29 @@ class AsOfSpec extends SparkSpec {
       "a 2-hour-old match must be nulled by a 10-minute tolerance")
   }
 
+  test("directional: forward takes earliest-at-or-after, nearest picks the closer side") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2026-01-01 10:00:00"), 1L)).toDF("key", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2026-01-01 09:57:00"), 11L, 1.0), // 3 min before
+      (1L, ts("2026-01-01 10:01:00"), 12L, 2.0), // 1 min after
+      (1L, ts("2026-01-01 10:30:00"), 13L, 3.0)
+    ).toDF("key", "ts", "o_orderkey", "o_totalprice")
+    def run(dir: String): Long =
+      AsOf.joinDirectional(left, right, Seq("o_orderkey", "o_totalprice"), dir)
+        .collect()(0).getAs[Long]("o_orderkey")
+    assert(run("backward") == 11L)
+    assert(run("forward") == 12L)
+    assert(run("nearest") == 12L) // 1 min after beats 3 min before
+    // nearest ties go backward
+    val tieRight = Seq(
+      (1L, ts("2026-01-01 09:59:00"), 21L, 1.0),
+      (1L, ts("2026-01-01 10:01:00"), 22L, 2.0)
+    ).toDF("key", "ts", "o_orderkey", "o_totalprice")
+    assert(AsOf.joinDirectional(left, tieRight, Seq("o_orderkey", "o_totalprice"), "nearest")
+      .collect()(0).getAs[Long]("o_orderkey") == 21L)
+  }
+
   test("duplicate right timestamps resolve to one deterministic survivor") {
     import spark.implicits._
     val left = Seq((1L, ts("2026-01-01 10:00:00"), 1L)).toDF("key", "ts", "event_id")
