@@ -87,6 +87,26 @@ object Hashing {
     s"CAST(list_sum(list_transform(list_zip($a, $b), " +
       "p -> CAST(floor(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)*1e15) AS BIGINT))) AS DOUBLE)"
 
+  /** Quantized L1 norm Σ floor(|xᵢ|·1e7) of a float-array column, as long.
+    * Native codegen ([[graft.functions.expr.QuantizedAbsL1]]); the
+    * `aggregate`-lambda reference form is pinned bit-equal in EventsSpec.
+    */
+  def l1Q(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.expr.QuantizedAbsL1(ColumnBridge.expression(c)))
+  }
+
+  /** Count of strictly-positive elements of a float-array column, as int.
+    * Native codegen ([[graft.functions.expr.CountPositive]]); the
+    * `size(filter(…))`-lambda reference form is pinned in EventsSpec.
+    */
+  def countPos(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.expr.CountPositive(ColumnBridge.expression(c)))
+  }
+
   /** Quantized cosine similarity given two dotQ'd norms; both engines
     * evaluate `dq / (sqrt(na)*sqrt(nb))` on identical doubles.
     */
