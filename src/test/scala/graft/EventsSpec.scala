@@ -32,4 +32,65 @@ class EventsSpec extends SparkSpec {
     assert(x9.exceptAll(b22).isEmpty && b22.exceptAll(x9).isEmpty,
       "lag+cumsum islands and session_window must produce identical sessions")
   }
+
+  test("B19: countPos/l1Q native expressions are bit-equal to the lambda forms on the corpus") {
+    import spark.implicits._
+    import graft.functions.Hashing._
+    val mismatches = Tables.embeddings(spark, sfDir)
+      .select(
+        countPos($"embedding").as("np_native"),
+        countPosHof($"embedding").as("np_lambda"),
+        l1Q($"embedding").as("l1_native"),
+        l1QHof($"embedding").as("l1_lambda"))
+      .filter($"np_native" =!= $"np_lambda" || $"l1_native" =!= $"l1_lambda")
+    assert(mismatches.isEmpty,
+      "native array folds must match the HOF lambda reference forms bit-for-bit")
+  }
+
+  test("B19: countPos/l1Q edge cases — null element, NaN, empty array, null array") {
+    import spark.implicits._
+    import graft.functions.Hashing._
+    def row(arr: org.apache.spark.sql.Column) =
+      spark.range(1).select(arr.as("a"))
+        .select(
+          countPos($"a").as("np"), countPosHof($"a").as("nph"),
+          l1Q($"a").as("l1"), l1QHof($"a").as("l1h"))
+        .head()
+
+    // null element: both forms skip it (filter drops non-true; l1QHof coalesces)
+    val withNull = row(array(lit(1.5f), lit(null).cast("float"), lit(-2.5f)))
+    assert(withNull.getInt(0) === 1 && withNull.getInt(1) === 1)
+    assert(withNull.getLong(2) === 40000000L && withNull.getLong(3) === 40000000L)
+    // ...while the PLAIN aggregate fold nulls the whole total (documented divergence)
+    val plain = spark.range(1)
+      .select(aggregate(array(lit(1.5f), lit(null).cast("float")), lit(0L),
+        (acc, x) => acc + floor(abs(x.cast("double")) * lit(1e7)).cast("long")).as("v"))
+      .head()
+    assert(plain.isNullAt(0), "plain aggregate fold must propagate a null element")
+
+    // NaN: Spark SQL float ordering puts NaN above 0 — counted as positive
+    val withNaN = row(array(lit(Float.NaN), lit(-1.0f), lit(2.0f)))
+    assert(withNaN.getInt(0) === 2 && withNaN.getInt(1) === 2,
+      "NaN must count as positive in BOTH the native and lambda forms")
+    assert(withNaN.getLong(2) === withNaN.getLong(3))
+
+    // empty array → 0; null array → null
+    val empty = row(array().cast("array<float>"))
+    assert(empty.getInt(0) === 0 && empty.getLong(2) === 0L)
+    val nullArr = row(lit(null).cast("array<float>"))
+    assert(nullArr.isNullAt(0) && nullArr.isNullAt(2))
+  }
+
+  test("X8: get_json_object path extraction equals the parsed-map lookup") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+    val diff = Tables.events(spark, sfDir)
+      .withColumn("pm", from_json($"props", MapType(StringType, IntegerType)))
+      .select(
+        get_json_object($"props", "$.k").cast("int").as("via_path"),
+        element_at($"pm", "k").as("via_map"))
+      .filter(!($"via_path" <=> $"via_map"))
+    assert(diff.isEmpty,
+      "path extraction and the single-parse map lookup must agree on every row")
+  }
 }

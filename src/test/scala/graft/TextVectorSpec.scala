@@ -21,6 +21,19 @@ class TextVectorSpec extends SparkSpec {
     assert(tf.forall(_.getAs[Long]("n_docs") <= nDocs))
   }
 
+  test("X6: every document tokenizes to at least one word (tf-derived corpus size is exact)") {
+    import org.apache.spark.sql.functions._
+    // tfIdf derives n_docs_total from the cached tf relation instead of a
+    // second documents scan; that is only equal if no doc tokenizes to
+    // zero words — pin it
+    val docs = Tables.documents(spark, sfDir)
+    assert(docs.filter(trim(col("text")) === "").isEmpty,
+      "a whitespace-only document would break the tf-derived corpus count")
+    val nFromTf = Text.tfIdf(spark, sfDir)
+      .select(countDistinct(col("doc_id"))).head().getLong(0)
+    assert(nFromTf === docs.count())
+  }
+
   test("X6: tf-idf is zero iff a term occurs in every document") {
     val rows = Text.tfIdf(spark, sfDir).collect()
     val nDocs = Tables.documents(spark, sfDir).count()
@@ -54,11 +67,13 @@ class TextVectorSpec extends SparkSpec {
       val sims = sorted.map(_.getAs[Double]("cos_sim"))
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
     }
-    // exactness within the cell: for query 0, the ANN result must equal
-    // the brute-force top-5 restricted to the query's cell (nprobe=1 can
-    // miss cross-cell neighbors by design — random-ish embeddings make
-    // global recall a coin flip, but in-cell exactness is the contract)
-    val assigned = VecOps.ivfAssigned(spark, sfDir).cache()
+    // exactness within the cell: for query 0 at nprobe=1, the ANN result
+    // must equal the brute-force top-5 restricted to the query's own cell
+    // (probing can miss cross-cell neighbors by design — random-ish
+    // embeddings make global recall a coin flip, but in-cell exactness is
+    // the contract)
+    val index = VecOps.ivfIndex(spark, sfDir)
+    val assigned = index.assigned
     val q0 = assigned.filter(col("vec_id") === 0)
       .select(col("embedding").as("qe"), col("cell").as("qcell"), col("nq").as("qnq"))
     val expected = assigned.join(q0,
@@ -67,9 +82,48 @@ class TextVectorSpec extends SparkSpec {
         cosQ(dotQ(col("embedding"), col("qe")), col("nq"), col("qnq")).as("c"))
       .orderBy(col("c").desc, col("vec_id").asc).limit(5)
       .collect().map(_.getLong(0)).toSeq
-    val got = ivf.filter(_.getAs[Long]("query_id") == 0L)
+    val got = VecOps.ivfProbe(index, nprobe = 1).collect()
+      .filter(_.getAs[Long]("query_id") == 0L)
       .sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("vec_id")).toSeq
     assert(got == expected, s"in-cell top-5 mismatch: got $got expected $expected")
+  }
+
+  test("X19: nprobe sweep — recall vs brute force is monotone in probed cells") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Hashing.{cosQ, dotQ}
+    val index = VecOps.ivfIndex(spark, sfDir)
+    // brute-force top-5 per query (the ANN ground truth)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        dotQ(col("embedding"), col("embedding")).as("nq"))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nq").as("qnq"))
+    val byQ = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("c").desc, col("vec_id").asc)
+    val brute = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosQ(dotQ(col("embedding"), col("qe")), col("nq"), col("qnq")).as("c"))
+      .withColumn("rnk", row_number().over(byQ)).filter(col("rnk") <= 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cellSizes = index.assigned.groupBy(col("cell")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sweep = Seq(1, 2, 4).map { np =>
+      val got = VecOps.ivfProbe(index, np).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+      val recall = (got & brute).size.toDouble / brute.size
+      np -> recall
+    }
+    info(s"IVF sweep (recall@5 over 3 queries, 16 cells, cell sizes " +
+      s"min=${cellSizes.values.min} max=${cellSizes.values.max}): " +
+      sweep.map { case (np, r) => s"nprobe=$np -> ${"%.2f".format(r)}" }
+        .mkString(", "))
+    // probing more cells is a candidate superset → recall is monotone
+    sweep.sliding(2).foreach { case Seq((_, r1), (_, r2)) =>
+      assert(r2 >= r1 - 1e-9, s"recall regressed in sweep: $sweep")
+    }
   }
 
   test("X4: pairwise join respects the block and the threshold") {
