@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass the forked program's stdout straight through instead of routing it
+// via sbt's logger: the driver parses graft.Bench's single JSON line, and
+// the logger's "[info] " prefix broke that parse (BENCH_r03 parsed:null)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -6,6 +6,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default matches the documented environment (local[32]); env overrides
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // per-query repetitions; the median absorbs the ±20-30% single-VM
+    // run-to-run noise documented in BASELINE.md (GC/contention), which a
+    // single pass cannot distinguish from a real regression
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,24 +21,33 @@ object Bench {
     spark.range(100000).selectExpr("id", "id * 2 as x")
       .groupBy(expr("id % 7")).count()
       .write.format("noop").mode("overwrite").save()
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: fully executes the plan (incl. sorts/projections that
-      // Catalyst would elide under a bare count()) without write-path cost
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: fully executes the plan (incl. sorts/projections that
+        // Catalyst would elide under a bare count()) without write-path cost
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val t = (System.nanoTime() - t0) / 1e9
+        // clear BETWEEN reps too: a query's internal .cache() must be
+        // rebuilt each rep, so the median reports the full plan cost (and
+        // heap pressure never bleeds into later measurements)
+        spark.catalog.clearCache()
+        t
       }
-      val t = (System.nanoTime() - t0) / 1e9
-      // queries that cache intermediates (e.g. the minhash shingle set)
-      // must not bleed heap pressure into later measurements
-      spark.catalog.clearCache()
-      name -> t
+      name -> median(times)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stat":"median_per_query","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
