@@ -240,10 +240,13 @@ object Events {
         array_min($"embedding").as("min_val"),
         countPos($"embedding").as("n_pos"),
         l1Q($"embedding").as("l1_q"),
-        // 3-element transform: lambda cost is negligible at this width and
-        // the quantization must match the oracle's term-exact i64 math
-        to_json(transform(slice($"embedding", 1, 3),
-          x => floor(x.cast("double") * lit(1e7)).cast("long"))).as("head3"))
+        // explicit element_at composition, not transform(...): the lambda
+        // HOF is CodegenFallback and would push this projection back out
+        // of whole-stage codegen — the exact cost the native folds above
+        // exist to avoid. Fixed 64-dim vectors make the unrolled form safe.
+        to_json(array((1 to 3).map(i =>
+          floor(element_at($"embedding", i).cast("double") * lit(1e7))
+            .cast("long")): _*)).as("head3"))
       .orderBy($"vec_id")
   }
 

@@ -137,8 +137,11 @@ object Multimodal {
     import spark.implicits._
     features(mediaTable(spark, dir)).toDF()
       .select($"media_id", $"media_type", $"n_bytes", $"n_frames",
-        to_json(transform($"histogram",
-          x => floor(x.cast("double") * lit(1e7)).cast("long"))).as("histogram"))
+        // unrolled element_at over the fixed 16 bins (transform's lambda
+        // is CodegenFallback; see Events.arrayHof)
+        to_json(array((1 to 16).map(i =>
+          floor(element_at($"histogram", i).cast("double") * lit(1e7))
+            .cast("long")): _*)).as("histogram"))
       .orderBy($"media_id")
   }
 
