@@ -67,6 +67,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("state-store surface: windowed-agg state is bounded — eviction follows the watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    // append mode: a window's state lives until the watermark passes its
+    // end, then emits once and is REMOVED — the property that bounds
+    // state-store memory at any scale (update mode keeps re-emitting but
+    // evicts on the same schedule)
+    val query = Pipeline.windowedAgg(Pipeline.flattened(input.toDF()))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("state_metrics").start()
+    try {
+      input.addData(env("10:00:30", 10.0), env("10:01:00", 12.0))
+      query.processAllAvailable()
+      input.addData(env("10:30:00", 20.0)) // watermark sails past 10:05
+      query.processAllAvailable()
+      input.addData(env("11:00:00", 30.0)) // and past 10:35 — evicts again
+      query.processAllAvailable()
+      val ops = query.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      assert(ops.nonEmpty, "no state operator metrics reported")
+      assert(ops.exists(_.numRowsUpdated > 0), s"no state updates seen: $ops")
+      assert(ops.exists(_.numRowsRemoved > 0),
+        "the watermark must evict closed-window state (unbounded state otherwise)")
+      val last = query.lastProgress.stateOperators.head
+      assert(last.numRowsTotal <= 2,
+        s"state must hold only still-open windows, got ${last.numRowsTotal}")
+      assert(last.memoryUsedBytes > 0, "state sizing must be observable")
+    } finally query.stop()
+  }
+
   test("R5+R6: foreachBatch sink writes line protocol from executors, null-safe") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
