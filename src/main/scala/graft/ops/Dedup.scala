@@ -108,10 +108,13 @@ object Dedup {
     import spark.implicits._
     val sh = shingleSet.cache()
     val hashed = sh.select($"doc_id", md5Long40($"sh").as("h"))
+    // sig feeds both the band explode and the size lookup — cache so the
+    // 16-min aggregation runs once (one row per doc; tiny)
     val sig = hashed.groupBy($"doc_id").agg(
       count(lit(1)).as("n_sh"),
       (0 until nHashes).map(j =>
         min(($"h" * A(j) + B(j)) % P).as(s"m$j")): _*)
+      .cache()
     val bandArr = array((0 until nBands).map(b =>
       struct(lit(b).as("band_idx"),
         concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("band_key"))): _*)

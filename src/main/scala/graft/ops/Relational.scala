@@ -245,6 +245,13 @@ object Relational {
     import spark.implicits._
     Tables.lineitem(spark, dir)
       .filter($"l_shipdate" <= lit("1998-09-01").cast("timestamp"))
+      // the local single-row-group parquet yields ONE input split, so the
+      // decimal partial aggregation would run on one core; the round-robin
+      // exchange fans the map-side pass across all of them (after the
+      // pushed filter, so pushdown is intact). At cluster scale the scan's
+      // natural splits provide this parallelism and the exchange is just
+      // one cheap extra hop (same trade as Weather.roundTrip).
+      .repartition(spark.sparkContext.defaultParallelism)
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         dsum($"l_quantity").as("sum_qty"),
@@ -536,6 +543,10 @@ object Relational {
   def scalarMathConditional(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
+      // sqrt/ln/pow over every row is the rare CPU-bound map stage; the
+      // single-row-group local file would pin it to one task (see
+      // aggPricingSummary) — fan out before computing
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(
         $"l_orderkey", $"l_linenumber",
         abs($"l_quantity" - lit(25.0)).as("qty_dev"),
