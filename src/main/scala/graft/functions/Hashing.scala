@@ -128,6 +128,23 @@ object Hashing {
   def countPosHof(c: Column): Column =
     size(filter(c, x => x > lit(0f)))
 
+  /** Count of array<string> elements in a literal set, as int. Native
+    * codegen ([[graft.functions.expr.CountInSet]]) — the x10 stopword
+    * counter without the interpreted filter lambda; [[countInSetHof]] is
+    * the lambda reference form TextVectorSpec pins it equal against.
+    */
+  def countInSet(c: Column, values: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.expr.CountInSet(ColumnBridge.expression(c), values))
+  }
+
+  /** Reference HOF form of [[countInSet]] (interpreted lambda; for the
+    * parity pin).
+    */
+  def countInSetHof(c: Column, values: Seq[String]): Column =
+    size(filter(c, w => values.map(v => w === lit(v)).reduce(_ || _)))
+
   /** Quantized cosine similarity given two dotQ'd norms; both engines
     * evaluate `dq / (sqrt(na)*sqrt(nb))` on identical doubles.
     */

@@ -167,16 +167,18 @@ object Text {
     */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // trim-then-split yields no empty tokens (so no filter lambda), and
-    // the per-doc char total is a regexp_replace length — both stay in
-    // codegen; only the stopword filter keeps an (interpreted) HOF lambda
+    // trim-then-split yields no empty tokens (so no filter lambda), the
+    // per-doc char total is a regexp_replace length, and the stopword
+    // counter is the native CountInSet expression — the whole scorer
+    // stays inside whole-stage codegen (the filter-lambda reference form
+    // is pinned bit-equal in TextVectorSpec)
+    import graft.functions.Hashing.countInSet
     val words = split(trim(lower($"text")), "\\s+")
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
       .withColumn("words", words)
       .withColumn("n_tokens", size($"words").cast("long"))
-      .withColumn("n_stop",
-        size(filter($"words", w => w === "the" || w === "a")).cast("long"))
+      .withColumn("n_stop", countInSet($"words", Seq("the", "a")).cast("long"))
       .withColumn("sum_word_chars",
         length(regexp_replace(lower($"text"), "\\s+", "")).cast("long"))
       .withColumn("avg_word_len",

@@ -34,6 +34,25 @@ class TextVectorSpec extends SparkSpec {
     assert(nFromTf === docs.count())
   }
 
+  test("X10: CountInSet native expression is bit-equal to the filter-lambda form") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Hashing.{countInSet, countInSetHof}
+    val stop = Seq("the", "a")
+    val words = split(trim(lower(col("text"))), "\\s+")
+    val mismatches = Tables.documents(spark, sfDir)
+      .select(words.as("w"))
+      .select(countInSet(col("w"), stop).as("native"),
+        countInSetHof(col("w"), stop).as("lambda"))
+      .filter(col("native") =!= col("lambda"))
+    assert(mismatches.isEmpty)
+    // edge cases: null element skipped, empty array → 0, null array → null
+    val edge = spark.range(1).select(
+      countInSet(array(lit("the"), lit(null).cast("string"), lit("b")), stop).as("a"),
+      countInSet(array().cast("array<string>"), stop).as("b"),
+      countInSet(lit(null).cast("array<string>"), stop).as("c")).head()
+    assert(edge.getInt(0) === 1 && edge.getInt(1) === 0 && edge.isNullAt(2))
+  }
+
   test("X6: tf-idf is zero iff a term occurs in every document") {
     val rows = Text.tfIdf(spark, sfDir).collect()
     val nDocs = Tables.documents(spark, sfDir).count()
