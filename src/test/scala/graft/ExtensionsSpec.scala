@@ -21,6 +21,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getLong(1) == 0L)
   }
 
+  test("array-fold SQL functions: quantized_abs_l1 / count_positive / count_in_set") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT quantized_abs_l1(array(CAST(1.5 AS FLOAT), CAST(-2.5 AS FLOAT))) AS l1,
+        |       count_positive(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT),
+        |                            CAST(2.0 AS FLOAT))) AS np,
+        |       count_in_set(array('the', 'cat', 'a'), 'the', 'a') AS ns
+        |""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 40000000L) // floor(1.5e7) + floor(2.5e7)
+    assert(r.getInt(1) == 2)
+    assert(r.getInt(2) == 2)
+    // non-literal set members must be rejected, not silently mis-planned
+    val e = intercept[Exception] {
+      spark.sql("SELECT count_in_set(array('x'), lower('THE'))").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
   test("the extensions class applies without error (config-path shape)") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; used via
