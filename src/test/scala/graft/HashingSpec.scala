@@ -86,4 +86,72 @@ class HashingSpec extends SparkSpec {
     assert(out(0).getDouble(1) == 3.0)
     assert(out(1).isNullAt(1))
   }
+
+  test("array folds: randomized parity vs lambda forms, codegen AND interpreted") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.functions.Hashing._
+    // 300 seeded random float arrays with null elements, NaN, ±values and
+    // empties — broader input space than the fixed EventsSpec pins
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 300).map { i =>
+      val n = rnd.nextInt(8)
+      val arr = (0 until n).map { _ =>
+        rnd.nextInt(10) match {
+          case 0 => null
+          case 1 => java.lang.Float.valueOf(Float.NaN)
+          case _ => java.lang.Float.valueOf((rnd.nextFloat() - 0.5f) * 4f)
+        }
+      }
+      Row(i.toLong, arr)
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("arr", ArrayType(FloatType, containsNull = true))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+
+    def mismatches(): Long = df.select(
+      countPos(col("arr")).as("a"), countPosHof(col("arr")).as("b"),
+      l1Q(col("arr")).as("c"), l1QHof(col("arr")).as("d"))
+      .filter(!(col("a") <=> col("b")) || !(col("c") <=> col("d")))
+      .count()
+
+    assert(mismatches() == 0, "codegen path diverges from lambda forms")
+    // force interpreted projections so nullSafeEval is exercised too —
+    // a doGenCode/eval divergence would otherwise hide behind codegen
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.get(key, "FALLBACK")
+    spark.conf.set(key, "NO_CODEGEN")
+    try assert(mismatches() == 0, "interpreted eval diverges from lambda forms")
+    finally spark.conf.set(key, prev)
+  }
+
+  test("count_in_set: randomized parity vs lambda form over word arrays") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.functions.Hashing._
+    val vocab = Seq("the", "a", "cat", "sat", "mat", "", "thé")
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map { i =>
+      val n = rnd.nextInt(10)
+      val arr = (0 until n).map { _ =>
+        if (rnd.nextInt(10) == 0) null else vocab(rnd.nextInt(vocab.size))
+      }
+      Row(i.toLong, arr)
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("arr", ArrayType(StringType, containsNull = true))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val stop = Seq("the", "a", "")
+    val bad = df.select(
+      countInSet(col("arr"), stop).as("a"),
+      countInSetHof(col("arr"), stop).as("b"))
+      .filter(!(col("a") <=> col("b")))
+    assert(bad.isEmpty)
+  }
 }
