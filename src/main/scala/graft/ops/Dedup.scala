@@ -383,19 +383,26 @@ object Dedup {
     var rounds = 0
     while (!converged && rounds < 50) {
       // carry each vertex's previous label through the aggregation (as the
-      // min over a column that is null on neighbor rows), so convergence
-      // is read off the SAME checkpointed result — one distributed job per
-      // round, not a second join-recompute just to compare labels
+      // min over a column that is null on neighbor rows), and collect the
+      // changed-count as an OBSERVED metric of the same execution — the
+      // eager localCheckpoint is then the round's ONLY distributed job;
+      // convergence costs no second action, and only that one scalar
+      // reaches the driver
       val viaNeighbor = edges
         .join(labels, $"doc_b" === $"doc")
         .select($"doc_a".as("doc"), $"label",
           when(lit(false), $"label").as("prev"))
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$rounds")
       val next = labels.select($"doc", $"label", $"label".as("prev"))
         .unionByName(viaNeighbor)
         .groupBy($"doc")
         .agg(min($"label").as("label"), min($"prev").as("prev"))
+        .observe(obs,
+          sum(when($"label" =!= $"prev", 1L).otherwise(0L)).as("changed"))
         .localCheckpoint()
-      converged = next.filter($"label" =!= $"prev").isEmpty
+      // sum over ZERO vertices observes null (an empty edge list) — treat
+      // as converged rather than relying on null-unboxing
+      converged = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
       labels = next.select($"doc", $"label")
       rounds += 1
     }

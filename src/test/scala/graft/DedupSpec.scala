@@ -66,6 +66,14 @@ class DedupSpec extends SparkSpec {
     assert(labels == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components: empty edge list terminates with no labels") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    // the observed changed-count over zero vertices is null — must read
+    // as converged, not loop or throw
+    assert(Dedup.connectedComponents(none).isEmpty)
+  }
+
   test("fingerprint sketch: k smallest hashes, equal docs share sketches") {
     val t = (1 to 30).map(i => s"w$i").mkString(" ")
     val sk = Dedup.shinglesOf(docs(1L -> t, 2L -> t))
