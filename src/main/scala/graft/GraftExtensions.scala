@@ -29,28 +29,64 @@ object GraftFunctions {
   type Registration =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
+  // Analysis-style arity check (the error a user sees for
+  // `SELECT md5_long40()` in SQL) — same error condition Spark's own
+  // builders raise, so tooling that matches on errorClass/sqlState works.
+  private def requireArgs(
+      name: String, args: Seq[Expression], exact: Int = -1, atLeast: Int = -1): Unit = {
+    val ok = (exact < 0 || args.length == exact) &&
+      (atLeast < 0 || args.length >= atLeast)
+    if (!ok) throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> s"`$name`",
+        "expectedNum" -> (if (exact >= 0) exact.toString else s">= $atLeast"),
+        "actualNum" -> args.length.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"),
+      cause = None)
+  }
+
   val registrations: Seq[Registration] = Seq(
     (FunctionIdentifier("md5_long40"),
       new ExpressionInfo(classOf[Md5Long40].getName, "md5_long40"),
-      (args: Seq[Expression]) => Md5Long40(args.head)),
+      (args: Seq[Expression]) => {
+        requireArgs("md5_long40", args, exact = 1); Md5Long40(args.head)
+      }),
     (FunctionIdentifier("quantized_dot"),
       new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),
-      (args: Seq[Expression]) => QuantizedDot(args(0), args(1))),
+      (args: Seq[Expression]) => {
+        requireArgs("quantized_dot", args, exact = 2)
+        QuantizedDot(args(0), args(1))
+      }),
     (FunctionIdentifier("quantized_abs_l1"),
       new ExpressionInfo(classOf[QuantizedAbsL1].getName, "quantized_abs_l1"),
-      (args: Seq[Expression]) => QuantizedAbsL1(args.head)),
+      (args: Seq[Expression]) => {
+        requireArgs("quantized_abs_l1", args, exact = 1)
+        QuantizedAbsL1(args.head)
+      }),
     (FunctionIdentifier("count_positive"),
       new ExpressionInfo(classOf[CountPositive].getName, "count_positive"),
-      (args: Seq[Expression]) => CountPositive(args.head)),
+      (args: Seq[Expression]) => {
+        requireArgs("count_positive", args, exact = 1)
+        CountPositive(args.head)
+      }),
     // count_in_set(arr, 'v1', 'v2', …): the set must be literal strings —
     // it is baked into the generated code, not evaluated per row
     (FunctionIdentifier("count_in_set"),
       new ExpressionInfo(classOf[CountInSet].getName, "count_in_set"),
-      (args: Seq[Expression]) => CountInSet(args.head, args.tail.map {
-        case Literal(v: UTF8String, StringType) => v.toString
-        case other => throw new IllegalArgumentException(
-          s"count_in_set expects literal string set members, got $other")
-      })))
+      (args: Seq[Expression]) => {
+        requireArgs("count_in_set", args, atLeast = 1)
+        CountInSet(args.head, args.tail.zipWithIndex.map {
+          case (Literal(v: UTF8String, StringType), _) => v.toString
+          case (_, i) => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map(
+              "funcName" -> "`count_in_set`",
+              "paramName" -> s"`set_member_${i + 1}`",
+              "paramType" -> "\"STRING\""),
+            cause = None)
+        })
+      }))
 
   def register(spark: SparkSession): Unit =
     registrations.foreach { case (ident, info, builder) =>

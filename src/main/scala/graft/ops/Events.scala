@@ -194,6 +194,15 @@ object Events {
     * cost of this query, so parse once per row, not once per output
     * column. The `get_json_object` path-extraction surface is pinned
     * equivalent to the map lookup in EventsSpec. Row-local, no shuffle.
+    *
+    * DATA-SHAPE PRECONDITION (pinned on this corpus in EventsSpec): every
+    * `props` value is strictly `map<string,int>`-shaped JSON. The oracle
+    * extracts each path independently (`json_extract` per column), while
+    * this plan parses the whole object once — a single non-integer value
+    * would null the ENTIRE `from_json` map (PERMISSIVE mode) and so null
+    * `n_keys`/`keys_csv` where the per-path oracle would still return
+    * them. On mixed-typed props, parse to `map<string,string>` and cast
+    * per output instead.
     */
   def propsDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

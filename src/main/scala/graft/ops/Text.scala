@@ -100,10 +100,13 @@ object Text {
       .agg(count(lit(1)).as("tf"))
       .cache()
     val dfT = tf.groupBy($"word").agg(count(lit(1)).as("df"))
-    // corpus size from the cached tf, not a second scan of documents —
-    // equal because every document tokenizes to ≥1 word (asserted in
-    // TextVectorSpec; the testdata has no whitespace-only docs)
-    val n = tf.agg(countDistinct($"doc_id").as("n_docs_total"))
+    // corpus size N counts DOCUMENTS, not tokenized docs: a doc that
+    // tokenizes to zero words still belongs to the corpus, and deriving N
+    // from tf would silently inflate idf on such input. The scan is
+    // pruned to one column and aggregates to a single row — cheap at any
+    // scale, and it matches the oracle's `FROM documents` count exactly.
+    val n = Tables.documents(spark, dir)
+      .agg(countDistinct($"doc_id").as("n_docs_total"))
     tf
       .join(broadcast(dfT), Seq("word"))
       .crossJoin(broadcast(n))

@@ -281,16 +281,26 @@ object Vector {
     */
   final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
 
+  // Weak-keyed by the session INSTANCE: identity hash codes can collide
+  // across distinct sessions (handing a checkpointed DataFrame bound to a
+  // stopped session to a live one), and a strong key would retain every
+  // session's localCheckpoint blocks for the JVM lifetime. Weak keys let
+  // a stopped, dereferenced session's entry be collected with it.
   private val ivfIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), IvfIndex]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, IvfIndex]]
 
   /** Build-once accessor: the index for (session, dir), fitting only on
     * first use — index construction is charged to the build, not to every
     * probe (round-3 verdict item 6).
     */
-  private[graft] def ivfIndex(spark: SparkSession, dir: String): IvfIndex =
-    ivfIndexCache.getOrElseUpdate(
-      (System.identityHashCode(spark), dir), buildIvfIndex(spark, dir))
+  private[graft] def ivfIndex(spark: SparkSession, dir: String): IvfIndex = {
+    val perSession = ivfIndexCache.synchronized {
+      ivfIndexCache.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[String, IvfIndex])
+    }
+    perSession.getOrElseUpdate(dir, buildIvfIndex(spark, dir))
+  }
 
   /** IVF index build: KMeans fit + nearest-centroid assignment,
     * materialized (localCheckpoint) so no probe re-executes the fit

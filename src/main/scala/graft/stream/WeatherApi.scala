@@ -100,6 +100,8 @@ object WeatherApiSource {
   final case class Tick(
       iteration: Long,
       apiTime: Long,
+      latitude: Double,
+      longitude: Double,
       simulatedTemp: Double,
       simulatedHumidity: Double,
       simulatedWindSpeed: Double,
@@ -140,7 +142,7 @@ object WeatherApiSource {
       val t = baseTemp + math.sin(i * 0.1) * 0.5
       val h = math.max(0.0, math.min(100.0, baseHumidity + math.sin(i * 0.1) * 2.0))
       val w = math.max(0.0, baseWind + math.sin(i * 0.1) * 1.5)
-      Tick(i.toLong, baseline.time, t, h, w, baseline)
+      Tick(i.toLong, baseline.time, latitude, longitude, t, h, w, baseline)
     }
     ticks.toDF()
   }
@@ -150,18 +152,27 @@ object WeatherApiSource {
     * names, same round(…,2)/round(…,0) quantization, ints for
     * weather_code, bool for is_day). Feeds graft.ops.Weather.flatten /
     * the streaming pipeline as-is.
+    *
+    * Coordinates come from the Tick rows (whatever acquire() was called
+    * with), so a non-default acquisition reports its own location; the
+    * timezone pair is a parameter (a coordinate→timezone lookup needs a
+    * tz database — the reference gets it from the API response itself,
+    * weather-producer.py:180-181) defaulting to the reference's site.
     */
-  def toWire(ticks: DataFrame): DataFrame = {
+  def toWire(
+      ticks: DataFrame,
+      timezone: String = "Europe/Bucharest",
+      timezoneAbbreviation: String = "EET"): DataFrame = {
     val obs = (f: String) => col(s"observation.$f")
     val ts = timestamp_seconds(col("apiTime") + col("iteration"))
     val tsStr = date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
     val envelope = struct(
       tsStr.as("timestamp"),
       struct(
-        lit(44.4274689).as("latitude"),
-        lit(26.1028208).as("longitude"),
-        lit("Europe/Bucharest").as("timezone"),
-        lit("EET").as("timezone_abbreviation")).as("location"),
+        col("latitude"),
+        col("longitude"),
+        lit(timezone).as("timezone"),
+        lit(timezoneAbbreviation).as("timezone_abbreviation")).as("location"),
       struct(
         struct(round(col("simulatedTemp"), 2).as("value"),
           lit("celsius").as("unit"),

@@ -93,4 +93,18 @@ class EventsSpec extends SparkSpec {
     assert(diff.isEmpty,
       "path extraction and the single-parse map lookup must agree on every row")
   }
+
+  test("X8 precondition: every props value is strictly map<string,int>-shaped") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+    // propsDecode's single-parse plan diverges from the per-path oracle
+    // only if a props object fails the strict map<string,int> parse
+    // (PERMISSIVE nulls the whole map) — pin that no corpus row does
+    val broken = Tables.events(spark, sfDir)
+      .withColumn("pm", from_json($"props", MapType(StringType, IntegerType)))
+      .filter($"props".isNotNull && $"pm".isNull)
+    assert(broken.isEmpty,
+      "a props value failed the strict map<string,int> parse — the " +
+        "single-parse plan would null n_keys/keys_csv where the oracle would not")
+  }
 }

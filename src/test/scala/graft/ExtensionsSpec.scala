@@ -32,11 +32,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getLong(0) == 40000000L) // floor(1.5e7) + floor(2.5e7)
     assert(r.getInt(1) == 2)
     assert(r.getInt(2) == 2)
-    // non-literal set members must be rejected, not silently mis-planned
-    val e = intercept[Exception] {
+    // non-literal set members must be rejected with an analysis error
+    // naming the function, not silently mis-planned
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT count_in_set(array('x'), lower('THE'))").collect()
     }
-    assert(e.getMessage.contains("literal"), e.getMessage)
+    assert(e.getCondition == "NON_FOLDABLE_ARGUMENT", e.getMessage)
+    assert(e.getMessage.contains("count_in_set"), e.getMessage)
+  }
+
+  test("wrong arity raises the standard WRONG_NUM_ARGS analysis error") {
+    GraftFunctions.register(spark)
+    for (sql <- Seq(
+        "SELECT count_in_set()", // the args.head IndexOutOfBounds case
+        "SELECT md5_long40('a', 'b')",
+        "SELECT quantized_dot(array(CAST(1.0 AS FLOAT)))")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(sql).collect()
+      }
+      assert(e.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        s"$sql → ${e.getMessage}")
+    }
   }
 
   test("the extensions class applies without error (config-path shape)") {

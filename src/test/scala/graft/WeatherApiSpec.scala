@@ -55,4 +55,18 @@ class WeatherApiSpec extends SparkSpec {
     val iters = flat.select($"iteration").collect().map(_.getDouble(0).toInt).sorted
     assert(iters.toSeq == (0 until 120))
   }
+
+  test("R4: envelopes report the acquired coordinates, not a hardcoded site") {
+    import spark.implicits._
+    val wire = WeatherApiSource.toWire(
+      WeatherApiSource.acquire(spark, new FakeWeatherApiClient(), 5,
+        latitude = -33.8688, longitude = 151.2093),
+      timezone = "Australia/Sydney", timezoneAbbreviation = "AEST")
+    val loc = wire.select(
+      get_json_object($"value", "$.location.latitude").cast("double").as("lat"),
+      get_json_object($"value", "$.location.longitude").cast("double").as("lon"),
+      get_json_object($"value", "$.location.timezone").as("tz")).head()
+    assert(loc.getDouble(0) == -33.8688 && loc.getDouble(1) == 151.2093)
+    assert(loc.getString(2) == "Australia/Sydney")
+  }
 }
