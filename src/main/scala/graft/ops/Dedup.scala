@@ -374,11 +374,41 @@ object Dedup {
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs
-      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      .cache()
-    val vertices = edges.select($"doc_a".as("doc")).distinct()
-    var labels = vertices.select($"doc", $"doc".as("label")).localCheckpoint()
+    val sc = spark.sparkContext
+    // diff of the persistent-RDD set around a localCheckpoint = the RDD
+    // that checkpoint pinned; lets a round release its predecessor once
+    // superseded (queries here run sequentially per session, so the diff
+    // is not racing another materialization)
+    def pinned(body: => DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val df = body
+      (df, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    // symmetrize in ONE pass: a union of the pair subplan with its swap
+    // would execute the (expensive) pair-producing subplan twice; explode
+    // emits both directions from a single scan. localCheckpoint (not
+    // cache) materializes it exactly once, eagerly — every loop round
+    // then reads the blocks with no plan-matching or columnar encode.
+    val (edges, edgeIds) = pinned {
+      pairs
+        .select(explode(array(
+          struct($"doc_a", $"doc_b"),
+          struct($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))).as("e"))
+        .select($"e.doc_a", $"e.doc_b")
+        .localCheckpoint()
+    }
+    // initial labels FUSE the first propagation round: label(v) =
+    // min(v, neighbors(v)) is exactly what one join+agg round over
+    // self-labels produces, at the cost of a plain agg over the edge
+    // list. Near-dup components are tiny cliques (diameter 1), so this
+    // usually leaves a single confirming loop round.
+    var (labels, labelIds) = pinned {
+      edges.groupBy($"doc_a".as("doc"))
+        .agg(min(least($"doc_a", $"doc_b")).as("label"))
+        .localCheckpoint()
+    }
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -393,19 +423,25 @@ object Dedup {
         .select($"doc_a".as("doc"), $"label",
           when(lit(false), $"label").as("prev"))
       val obs = org.apache.spark.sql.Observation(s"cc_round_$rounds")
-      val next = labels.select($"doc", $"label", $"label".as("prev"))
-        .unionByName(viaNeighbor)
-        .groupBy($"doc")
-        .agg(min($"label").as("label"), min($"prev").as("prev"))
-        .observe(obs,
-          sum(when($"label" =!= $"prev", 1L).otherwise(0L)).as("changed"))
-        .localCheckpoint()
+      val (next, nextIds) = pinned {
+        labels.select($"doc", $"label", $"label".as("prev"))
+          .unionByName(viaNeighbor)
+          .groupBy($"doc")
+          .agg(min($"label").as("label"), min($"prev").as("prev"))
+          .observe(obs,
+            sum(when($"label" =!= $"prev", 1L).otherwise(0L)).as("changed"))
+          .localCheckpoint()
+      }
       // sum over ZERO vertices observes null (an empty edge list) — treat
       // as converged rather than relying on null-unboxing
       converged = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
+      release(labelIds) // superseded round — stop pinning its blocks
       labels = next.select($"doc", $"label")
+      labelIds = nextIds
       rounds += 1
     }
+    // the result is checkpoint-backed; it no longer references the edges
+    release(edgeIds)
     labels
   }
 
