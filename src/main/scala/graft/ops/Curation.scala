@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** X22 — the composed corpus-curation pass: the decision pipeline a
+  * training-data build runs over raw documents, produced as a per-document
+  * verdict log. Stages, in the order a 100 TB pass wants them (each stage
+  * SHRINKS the corpus before the next, more expensive one):
+  *
+  *  1. score: row-local quality + language heuristics (Text.qualityOf —
+  *     no shuffle, whole-stage codegen);
+  *  2. filter: drop `quality_score < 0.5` → verdict `low_quality`;
+  *  3. exact dedup: content-hash groups keep their min doc_id (one
+  *     shuffle on the 32-byte hash; losers → `exact_dup`) — cheap exact
+  *     matching BEFORE fuzzy matching, so identical boilerplate never
+  *     reaches the quadratic-ish near-dup stage;
+  *  4. near-dup: shingle ONLY the surviving unique docs
+  *     (Dedup.shinglesOf on the filtered frame, not the corpus), generate
+  *     exact-Jaccard pairs through the rare-shingle inverted index
+  *     (Dedup.ngramJaccardOf), resolve clusters with the distributed CC
+  *     loop (Dedup.connectedComponents);
+  *  5. decide: per cluster keep the highest-quality doc (ties → min
+  *     doc_id) → `kept`; the rest → `near_dup`.
+  *
+  * Output: every input document with (lang_guess, quality_score,
+  * cluster_id, verdict) — cluster_id only for docs that reached the
+  * clustering stage. The DuckDB oracle recomputes the whole pass
+  * independently, deriving components via a recursive-CTE transitive
+  * closure (the engine's iterative min-label loop never appears in the
+  * oracle).
+  *
+  * Reference scope: the reference repo stops at envelope analytics; this
+  * composition is part of the mandated LLM-pipeline extension set (SURVEY
+  * §2.5), built entirely from the already-verified X10/X1/X17/X18 stages.
+  */
+object Curation {
+
+  /** Quality threshold: ~10th percentile of the corpus score distribution
+    * at every shipped SF, so the filter stage meaningfully drops docs
+    * without starving the dedup stages.
+    */
+  private val MinQuality = 0.5
+
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame =
+    curationOf(Tables.documents(spark, dir))
+
+  /** Core of X22 over any (doc_id, text) frame (test seam). */
+  private[graft] def curationOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // scored feeds the verdict join AND the surviving-doc stages — cache
+    // the one row-local scan instead of re-scoring per consumer (persisted
+    // intermediate at cluster scale, same statement of intent as x06's tf)
+    val scored = Text.qualityOf(docs)
+      .select($"doc_id", $"text", $"lang_guess", $"quality_score")
+      .cache()
+    // stage 2+3: quality gate, then exact content-hash dedup; the hash
+    // groups are tiny (dup-cluster size), so the min-over-group window
+    // never funnels a hot key
+    val withRep = scored
+      .filter($"quality_score" >= MinQuality)
+      .withColumn("text_hash", sha2(lower(trim($"text")), 256))
+      .withColumn("rep",
+        min($"doc_id").over(Window.partitionBy($"text_hash")))
+      .select($"doc_id", $"text", $"quality_score", $"rep")
+    val uniq = withRep.filter($"doc_id" === $"rep")
+      .select($"doc_id", $"text", $"quality_score")
+    // stage 4: near-dup pairs among the unique survivors ONLY — the
+    // shingle/index cost is paid on the shrunk corpus, not the raw one
+    val pairs = Dedup.ngramJaccardOf(Dedup.shinglesOf(uniq))
+      .select($"doc_a", $"doc_b")
+    val labels = Dedup.connectedComponents(pairs)
+    val clustered = uniq
+      .join(labels, $"doc_id" === $"doc", "left")
+      .select($"doc_id",
+        coalesce($"label", $"doc_id").as("cluster_id"),
+        $"quality_score")
+    // stage 5: canonical survivor per cluster = best quality, then min
+    // doc_id (quality_score doubles are bit-identical in both engines, so
+    // the rank is too)
+    val ranked = clustered.withColumn("rn",
+      row_number().over(Window.partitionBy($"cluster_id")
+        .orderBy($"quality_score".desc, $"doc_id".asc)))
+    scored
+      .join(withRep.select($"doc_id", $"rep"), Seq("doc_id"), "left")
+      .join(ranked.select($"doc_id", $"cluster_id", $"rn"), Seq("doc_id"), "left")
+      .select($"doc_id", $"lang_guess", $"quality_score", $"cluster_id",
+        when($"rep".isNull, "low_quality")
+          .when($"doc_id" =!= $"rep", "exact_dup")
+          .when($"rn" === 1, "kept")
+          .otherwise("near_dup").as("verdict"))
+      .orderBy($"doc_id")
+  }
+
+  val curationPipelineSql: String = {
+    // the near-dup CTE chain over the curation survivors, not the corpus
+    val pairCtes = Dedup.ngramPairCtesFrom("uniq")
+    s"""WITH RECURSIVE
+       |t AS (
+       |  SELECT doc_id, text,
+       |         string_split_regex(trim(lower(text)), '\\s+') AS words
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, text,
+       |         CAST(len(words) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_filter(words, w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop,
+       |         CAST(length(regexp_replace(lower(text), '\\s+', '', 'g')) AS BIGINT) AS swc
+       |  FROM t),
+       |qdocs AS (
+       |  SELECT doc_id, text,
+       |         CASE WHEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.12
+       |              THEN 'en_like' ELSE 'other' END AS lang_guess,
+       |         least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5
+       |           + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
+       |           + least(1.0, (CAST(swc AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 8.0) * 0.2
+       |           AS quality_score
+       |  FROM m),
+       |pass AS (
+       |  SELECT doc_id, text, quality_score,
+       |         min(doc_id) OVER (PARTITION BY sha256(lower(trim(text)))) AS rep
+       |  FROM qdocs WHERE quality_score >= 0.5),
+       |uniq AS (SELECT doc_id, text, quality_score FROM pass WHERE doc_id = rep),
+       |$pairCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (
+       |  SELECT a AS doc, least(a, min(b)) AS cluster_id
+       |  FROM reach GROUP BY a),
+       |clustered AS (
+       |  SELECT u.doc_id,
+       |         coalesce(c.cluster_id, u.doc_id) AS cluster_id,
+       |         u.quality_score
+       |  FROM uniq u LEFT JOIN comp c ON u.doc_id = c.doc),
+       |ranked AS (
+       |  SELECT doc_id, cluster_id,
+       |         row_number() OVER (PARTITION BY cluster_id
+       |                            ORDER BY quality_score DESC, doc_id ASC) AS rn
+       |  FROM clustered)
+       |SELECT q.doc_id, q.lang_guess, q.quality_score,
+       |       r.cluster_id,
+       |       CASE WHEN p.doc_id IS NULL THEN 'low_quality'
+       |            WHEN p.doc_id <> p.rep THEN 'exact_dup'
+       |            WHEN r.rn = 1 THEN 'kept'
+       |            ELSE 'near_dup' END AS verdict
+       |FROM qdocs q
+       |LEFT JOIN pass p ON q.doc_id = p.doc_id
+       |LEFT JOIN ranked r ON q.doc_id = r.doc_id
+       |ORDER BY q.doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x22_curation_pipeline" -> curationPipeline _)
+
+  val oracles: Map[String, String] = Map(
+    "x22_curation_pipeline" -> curationPipelineSql)
+}

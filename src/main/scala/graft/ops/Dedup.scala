@@ -86,15 +86,21 @@ object Dedup {
       .distinct()
   }
 
-  private val shinglesSql: String =
-    """sh AS (
-      |  SELECT DISTINCT doc_id,
-      |         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
-      |  FROM (SELECT doc_id,
-      |               list_filter(string_split_regex(lower(text), '\s+'),
-      |                           w -> w <> '') AS words
-      |        FROM documents),
-      |       LATERAL unnest(generate_series(1, len(words) - 2)) AS u(i))""".stripMargin
+  /** Shingle CTE over an arbitrary (doc_id, text) relation `src` — the
+    * oracle twin of [[shinglesOf]] (x22 shingles only its curation
+    * survivors, not the whole corpus).
+    */
+  private[graft] def shinglesSqlFrom(src: String): String =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split_regex(lower(text), '\\s+'),
+       |                           w -> w <> '') AS words
+       |        FROM $src),
+       |       LATERAL unnest(generate_series(1, len(words) - 2)) AS u(i))""".stripMargin
+
+  private val shinglesSql: String = shinglesSqlFrom("documents")
 
   /** X2 — MinHash signatures → LSH band buckets → candidate pairs →
     * exact-Jaccard verification at τ = 0.5.
@@ -264,9 +270,16 @@ object Dedup {
     * same verification, LSH candidate generation instead; this exact
     * path wins when the corpus fits one index, LSH wins at open scale.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOf(shingles(spark, dir))
+
+  /** Core of X17 over any (doc_id, sh) shingle frame — x22 feeds it only
+    * its curation survivors.
+    */
+  private[graft] def ngramJaccardOf(shingleSet: DataFrame): DataFrame = {
+    val spark = shingleSet.sparkSession
     import spark.implicits._
-    val sh = shingles(spark, dir).cache()
+    val sh = shingleSet.cache()
     // document frequency as groupBy+join, NOT count(*) OVER (PARTITION BY
     // sh): the window form funnels every (doc, shingle) row of a hot
     // shingle through one task with no map-side partial aggregation — the
@@ -304,10 +317,11 @@ object Dedup {
   }
 
   /** Shared CTE chain: shingle sets → rare-shingle candidates → exact
-    * intersection counts — the body both x17 and x18's oracles build on.
+    * intersection counts — the body the x17/x18/x22 oracles build on,
+    * parameterized by the (doc_id, text) source relation.
     */
-  private val ngramPairCtes: String =
-    s"""$shinglesSql,
+  private[graft] def ngramPairCtesFrom(src: String): String =
+    s"""${shinglesSqlFrom(src)},
        |rare AS (
        |  SELECT doc_id, sh
        |  FROM (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
@@ -329,6 +343,8 @@ object Dedup {
        |  FROM inter
        |  JOIN sizes za ON za.doc_id = doc_a
        |  JOIN sizes zb ON zb.doc_id = doc_b)""".stripMargin
+
+  private val ngramPairCtes: String = ngramPairCtesFrom("documents")
 
   val ngramJaccardSql: String =
     s"""WITH $ngramPairCtes

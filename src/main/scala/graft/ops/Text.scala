@@ -170,6 +170,19 @@ object Text {
     */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    qualityOf(Tables.documents(spark, dir))
+      .select($"doc_id", $"n_tokens", $"n_stop", $"avg_word_len",
+        $"stop_ratio", $"lang_guess", $"quality_score")
+      .orderBy($"doc_id")
+  }
+
+  /** Core of X10 over any (doc_id, text) frame: the input columns plus
+    * the token/quality metrics, unsorted — x22's curation pass filters on
+    * `quality_score` and still needs `text` for its dedup stages.
+    */
+  private[graft] def qualityOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     // trim-then-split yields no empty tokens (so no filter lambda), the
     // per-doc char total is a regexp_replace length, and the stopword
     // counter is the native CountInSet expression — the whole scorer
@@ -177,7 +190,7 @@ object Text {
     // is pinned bit-equal in TextVectorSpec)
     import graft.functions.Hashing.countInSet
     val words = split(trim(lower($"text")), "\\s+")
-    Tables.documents(spark, dir)
+    docs
       .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
       .withColumn("words", words)
       .withColumn("n_tokens", size($"words").cast("long"))
@@ -197,9 +210,7 @@ object Text {
         least(lit(1.0), $"n_tokens".cast("double") / 100.0) * 0.5
           + (lit(1.0) - $"stop_ratio") * 0.3
           + least(lit(1.0), $"avg_word_len" / 8.0) * 0.2)
-      .select($"doc_id", $"n_tokens", $"n_stop", $"avg_word_len",
-        $"stop_ratio", $"lang_guess", $"quality_score")
-      .orderBy($"doc_id")
+      .drop("words")
   }
 
   val textQualitySql: String =
