@@ -34,18 +34,18 @@ import graft.functions.Hashing._
   */
 object Dedup {
 
-  private val P = 1099511627689L // ~2^40 modulus for the affine rehashes
+  private[graft] val P = 1099511627689L // ~2^40 modulus for the affine rehashes
   // fixed odd multipliers/offsets for the 16 affine hash functions
   // (a*h < 2^21 * 2^40 < 2^62 — no i64 overflow before the mod)
-  private val A = Array(740041L, 1366889L, 599479L, 1026061L, 1287787L,
+  private[graft] val A = Array(740041L, 1366889L, 599479L, 1026061L, 1287787L,
     442793L, 897473L, 1610011L, 325249L, 1442987L, 769627L, 1064981L,
     522373L, 1931141L, 678481L, 1204147L)
-  private val B = Array(433493L, 882377L, 1742269L, 266177L, 618439L,
+  private[graft] val B = Array(433493L, 882377L, 1742269L, 266177L, 618439L,
     1470691L, 990151L, 366103L, 1616617L, 810343L, 1206647L, 95089L,
     1883519L, 574297L, 1317121L, 752789L)
 
-  private val nHashes = 16
-  private val nBands = 8 // × 2 rows per band
+  private[graft] val nHashes = 16
+  private[graft] val nBands = 8 // × 2 rows per band
 
   /** Word 3-gram shingle set per document (distinct), as (doc_id, sh).
     *
@@ -108,31 +108,50 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashPairs(shingles(spark, dir))
 
-  /** Core of X2 over any (doc_id, sh) shingle-set frame (test seam). */
-  private[graft] def minhashPairs(shingleSet: DataFrame): DataFrame = {
+  /** MinHash signature table (doc_id, n_sh, m0..m15) over a shingle
+    * frame — one hash-agg of affine-transformed 40-bit shingle hashes
+    * (order-independent mins, so partition layout never matters). Shared
+    * by X2 and the streaming near-dup's parity spec.
+    */
+  private[graft] def minhashSignatures(shingleSet: DataFrame): DataFrame = {
     val spark = shingleSet.sparkSession
     import spark.implicits._
-    val sh = shingleSet.cache()
-    val hashed = sh.select($"doc_id", md5Long40($"sh").as("h"))
-    // sig feeds both the band explode and the size lookup — cache so the
-    // 16-min aggregation runs once (one row per doc; tiny)
-    val sig = hashed.groupBy($"doc_id").agg(
-      count(lit(1)).as("n_sh"),
-      (0 until nHashes).map(j =>
-        min(($"h" * A(j) + B(j)) % P).as(s"m$j")): _*)
-      .cache()
+    shingleSet.select($"doc_id", md5Long40($"sh").as("h"))
+      .groupBy($"doc_id").agg(
+        count(lit(1)).as("n_sh"),
+        (0 until nHashes).map(j =>
+          min(($"h" * A(j) + B(j)) % P).as(s"m$j")): _*)
+  }
+
+  /** LSH band-bucket candidate pairs from a signature table — the
+    * only pair producer in X2 (never all-pairs).
+    */
+  private[graft] def minhashCandidates(sig: DataFrame): DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
     val bandArr = array((0 until nBands).map(b =>
       struct(lit(b).as("band_idx"),
         concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("band_key"))): _*)
     val bands = sig.select($"doc_id", explode(bandArr).as("bs"))
       .select($"doc_id", $"bs.band_idx".as("band_idx"), $"bs.band_key".as("band_key"))
-    val cand = bands.as("ba")
+    bands.as("ba")
       .join(bands.as("bb"),
         col("ba.band_idx") === col("bb.band_idx") &&
           col("ba.band_key") === col("bb.band_key") &&
           col("ba.doc_id") < col("bb.doc_id"))
       .select(col("ba.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Core of X2 over any (doc_id, sh) shingle-set frame (test seam). */
+  private[graft] def minhashPairs(shingleSet: DataFrame): DataFrame = {
+    val spark = shingleSet.sparkSession
+    import spark.implicits._
+    val sh = shingleSet.cache()
+    // sig feeds both the band explode and the size lookup — cache so the
+    // 16-min aggregation runs once (one row per doc; tiny)
+    val sig = minhashSignatures(sh).cache()
+    val cand = minhashCandidates(sig)
     val inter = cand
       .join(sh.as("sa"), $"doc_a" === col("sa.doc_id"))
       .join(sh.as("sb"), $"doc_b" === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))

@@ -23,7 +23,8 @@ class SparkEntrySpec extends SparkSpec {
       "Relational" -> Relational.queries, "Events" -> Events.queries,
       "Text" -> Text.queries, "Vector" -> Vector.queries,
       "Dedup" -> Dedup.queries, "Weather" -> Weather.queries,
-      "Multimodal" -> Multimodal.queries, "AsOf" -> AsOf.queries)
+      "Multimodal" -> Multimodal.queries, "AsOf" -> AsOf.queries,
+      "Curation" -> Curation.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
