@@ -12,8 +12,30 @@ import org.apache.spark.sql.functions.expr
   * changes, which is the point of keeping IO behind one seam.
   */
 object Tables {
+
+  // Memoized relations per (session, path): building a parquet relation
+  // lists the path and reads footers, and the engine's query suite hits
+  // the same handful of tables from every query — a catalog would
+  // amortize that, so this seam does too. Weak session keys (same
+  // pattern as the IVF index cache): a stopped, dereferenced session's
+  // relations are collectable, and identity-hash collisions across
+  // sessions are impossible.
+  private val relationCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]
+
+  private def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val perSession = relationCache.synchronized {
+      relationCache.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+    }
+    perSession.getOrElseUpdate(key, build)
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    memo(spark, s"$dir/$name.parquet") {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
@@ -31,14 +53,15 @@ object Tables {
     * (round-1 ADVICE). The long is floor-divided to microseconds, matching
     * DuckDB's ns→µs truncating CAST.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-        "value DOUBLE, props STRING")
-    spark.read.schema(schema)
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"$dir/events.parquet") {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+          "value DOUBLE, props STRING")
+      spark.read.schema(schema)
+        .parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }
