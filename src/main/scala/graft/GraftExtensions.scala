@@ -70,6 +70,15 @@ object GraftFunctions {
         requireArgs("count_positive", args, exact = 1)
         CountPositive(args.head)
       }),
+    // minhash_sig(arr<bigint>): the engine's standard 16-hash MinHash
+    // signature (the X2/X23 coefficient set baked in)
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.expr.MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        requireArgs("minhash_sig", args, exact = 1)
+        graft.functions.expr.MinHashSig(args.head,
+          graft.ops.Dedup.A.toSeq, graft.ops.Dedup.B.toSeq, graft.ops.Dedup.P)
+      }),
     // count_in_set(arr, 'v1', 'v2', …): the set must be literal strings —
     // it is baked into the generated code, not evaluated per row
     (FunctionIdentifier("count_in_set"),

@@ -145,6 +145,29 @@ object Hashing {
   def countInSetHof(c: Column, values: Seq[String]): Column =
     size(filter(c, w => values.map(v => w === lit(v)).reduce(_ || _)))
 
+  /** Full MinHash signature of a long-array column in one fused pass
+    * (`sig[j] = min_i (h_i·a(j)+b(j)) % p`). Native codegen
+    * ([[graft.functions.expr.MinHashSig]]), used on the streaming ingest
+    * path; [[minHashSigHof]] is the per-band lambda reference form
+    * StreamDedupSpec pins it bit-equal against (on non-empty arrays —
+    * the lambda form yields an array of per-band nulls on an empty
+    * input where the native form yields one null signature).
+    */
+  def minHashSig(c: Column, a: Seq[Long], b: Seq[Long], p: Long): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.expr.MinHashSig(ColumnBridge.expression(c), a, b, p))
+  }
+
+  /** Reference per-band HOF form of [[minHashSig]] (interpreted lambdas;
+    * for the parity pin): nHashes separate `array_min(transform(...))`
+    * walks of the hash array.
+    */
+  def minHashSigHof(c: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
+    array(a.indices.map { j =>
+      array_min(transform(c, h => (h * lit(a(j)) + lit(b(j))) % lit(p)))
+    }: _*)
+
   /** Quantized cosine similarity given two dotQ'd norms; both engines
     * evaluate `dq / (sqrt(na)*sqrt(nb))` on identical doubles.
     */

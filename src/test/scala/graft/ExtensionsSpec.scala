@@ -41,6 +41,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("count_in_set"), e.getMessage)
   }
 
+  test("minhash_sig SQL function matches the Column API with the engine constants") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    import graft.ops.Dedup
+    val viaSql = spark.sql(
+      "SELECT minhash_sig(array(CAST(12345 AS BIGINT), CAST(67890 AS BIGINT))) AS s")
+      .head().getSeq[Long](0)
+    val viaColumn = Seq(Seq(12345L, 67890L)).toDF("hs")
+      .select(graft.functions.Hashing.minHashSig(
+        $"hs", Dedup.A.toSeq, Dedup.B.toSeq, Dedup.P))
+      .head().getSeq[Long](0)
+    assert(viaSql == viaColumn && viaSql.length == Dedup.nHashes)
+  }
+
   test("wrong arity raises the standard WRONG_NUM_ARGS analysis error") {
     GraftFunctions.register(spark)
     for (sql <- Seq(

@@ -26,6 +26,35 @@ class StreamDedupSpec extends SparkSpec {
       "streaming and batch signatures must be bit-identical per doc")
   }
 
+  test("MinHashSig native expression is bit-equal to the per-band lambda form") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.Hashing.{md5Long40, minHashSig, minHashSigHof}
+    // real shingle hashes + adversarial synthetic arrays (null elements,
+    // single element, extreme values)
+    val real = Dedup.shinglesOf(Tables.documents(spark, sfDir))
+      .groupBy($"doc_id").agg(collect_list(md5Long40($"sh")).as("hs"))
+    val synth = Seq(
+      Seq[java.lang.Long](0L, (1L << 40) - 1, 12345L),
+      Seq[java.lang.Long](7L),
+      Seq[java.lang.Long](null, 42L, null)
+    ).toDF("hs")
+    for (df <- Seq(real.select($"hs"), synth)) {
+      val mism = df.select(
+        minHashSig($"hs", Dedup.A.toSeq, Dedup.B.toSeq, Dedup.P).as("native"),
+        minHashSigHof($"hs", Dedup.A.toSeq, Dedup.B.toSeq, Dedup.P).as("lambda"))
+        .filter(not($"native" <=> $"lambda"))
+      assert(mism.isEmpty, "native and lambda signatures must agree")
+    }
+    // documented divergence: empty / all-null arrays → native null, and
+    // a null array propagates
+    val edge = Seq(Seq.empty[java.lang.Long], null)
+      .toDF("hs")
+      .select(minHashSig($"hs", Dedup.A.toSeq, Dedup.B.toSeq, Dedup.P).as("s"))
+      .collect()
+    assert(edge.forall(_.isNullAt(0)))
+  }
+
   test("incremental matching equals the batch candidate set, across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
