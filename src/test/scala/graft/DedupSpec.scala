@@ -66,6 +66,37 @@ class DedupSpec extends SparkSpec {
     assert(labels == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components: randomized graphs match a union-find oracle") {
+    import spark.implicits._
+    // seeded graphs with deliberately long paths: near-dup components are
+    // cliques (diameter 1), so random graphs + explicit paths are what
+    // actually stress the loop's multi-round convergence
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val nVerts = 30 + trial * 10
+      val random = Seq.fill(40)((rnd.nextInt(nVerts).toLong, rnd.nextInt(nVerts).toLong))
+        .filter { case (a, b) => a != b }
+      // a 12-vertex path on ids far above the random block (diameter 11)
+      val path = (0 until 11).map(i => (1000L + i, 1001L + i))
+      val edges = random ++ path
+      // oracle: plain union-find with path compression
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val verts = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val expected = {
+        val byRoot = verts.groupBy(find)
+        verts.map(v => v -> byRoot(find(v)).min).toMap
+      }
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: CC labels diverge from union-find")
+    }
+  }
+
   test("connected components: empty edge list terminates with no labels") {
     import spark.implicits._
     val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
