@@ -14,10 +14,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * times through interpreted lambdas — one boxed call per element per
   * band, and a CodegenFallback in the projection. This fuses all bands
   * into a single primitive loop inside whole-stage codegen: measured
-  * ~1.4× end-to-end on the streaming ingest path (StreamDedupBench,
-  * ~11.2k vs ~8.0k docs/s median — the bucket shuffle and state store
-  * dominate the remainder). StreamDedupSpec pins bit-equality against
-  * both the lambda form and batch X2's aggregated signatures.
+  * ~1.9× end-to-end on the streaming ingest path (StreamDedupBench,
+  * ~16.7k vs ~8.8k docs/s, medians of 3 in one warm session).
+  * StreamDedupSpec pins bit-equality against both the lambda form and
+  * batch X2's aggregated signatures.
   *
   * Null semantics: null array → null (UnaryExpression default); null
   * elements are skipped (the batch `min()` aggregate ignores nulls); an

@@ -64,13 +64,13 @@ object StreamDedup {
     *
     * The signature is the fused native MinHashSig expression (one
     * primitive loop over the hash array, all 16 bands per element).
-    * Measured on StreamDedupBench: ~11.2k docs/s median vs ~8.0k for the
-    * 16 interpreted `array_min(transform(...))` walks it replaced —
-    * ~1.4× end-to-end; the bucket shuffle + state store dominate the
-    * rest. The lambda form is kept as
+    * Measured on StreamDedupBench (200k docs, median of 3 in one warm
+    * session): ~16.7k docs/s vs ~8.8k for the 16 interpreted
+    * `array_min(transform(...))` walks it replaced — ~1.9× end-to-end.
+    * The lambda form is kept as
     * [[graft.functions.Hashing.minHashSigHof]] for the parity pin. The
-    * shingle build's own lambdas remain interpreted — not the measured
-    * bottleneck.
+    * shingle build's own lambdas remain interpreted — secondary at these
+    * rates.
     */
   private[graft] def signatures(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
