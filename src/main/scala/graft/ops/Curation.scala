@@ -58,17 +58,25 @@ object Curation {
     val scored = Text.qualityOf(docs)
       .select($"doc_id", $"text", $"lang_guess", $"quality_score")
       .cache()
-    // stage 2+3: quality gate, then exact content-hash dedup; the hash
-    // groups are tiny (dup-cluster size), so the min-over-group window
-    // never funnels a hot key
+    // stage 2+3: quality gate, then exact content-hash dedup. The
+    // min-over-group window runs on a SLIM (doc_id, hash, quality)
+    // projection — text never rides the text_hash shuffle (the window is
+    // consumed twice, by `uniq` and by the verdict join, so keeping it
+    // narrow matters twice over). Hash groups are tiny (dup-cluster
+    // size), so the window never funnels a hot key.
     val withRep = scored
       .filter($"quality_score" >= MinQuality)
-      .withColumn("text_hash", sha2(lower(trim($"text")), 256))
+      .select($"doc_id",
+        sha2(lower(trim($"text")), 256).as("text_hash"), $"quality_score")
       .withColumn("rep",
         min($"doc_id").over(Window.partitionBy($"text_hash")))
-      .select($"doc_id", $"text", $"quality_score", $"rep")
+      .select($"doc_id", $"quality_score", $"rep")
+    // re-attach text to the surviving unique docs by doc_id — the ONE
+    // shuffle text takes, and the same key the shingle stage partitions
+    // by next
     val uniq = withRep.filter($"doc_id" === $"rep")
-      .select($"doc_id", $"text", $"quality_score")
+      .select($"doc_id", $"quality_score")
+      .join(scored.select($"doc_id", $"text"), "doc_id")
     // stage 4: near-dup pairs among the unique survivors ONLY — the
     // shingle/index cost is paid on the shrunk corpus, not the raw one
     val pairs = Dedup.ngramJaccardOf(Dedup.shinglesOf(uniq))
