@@ -70,19 +70,25 @@ object Dedup {
     * slice/arrays_zip/explode stay codegen'd. trim() before split: no
     * empty tokens, matching the oracle's list_filter(…, w -> w <> '').
     */
-  private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame = ngramsOf(docs, 3)
+
+  /** Distinct word n-grams per document, as (doc_id, sh) — the general
+    * form of [[shinglesOf]] (X24 decontamination matches on longer
+    * n-grams than the 3-gram near-dup shingles). Same lambda-free
+    * zip-of-shifted-slices construction at any n.
+    */
+  private[graft] def ngramsOf(docs: DataFrame, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val words = split(trim(lower($"text")), "\\s+")
-    val n = greatest(size($"words") - 2, lit(0)) // short docs → no shingles
+    val len = greatest(size($"words") - (n - 1), lit(0)) // short docs → none
     docs
       .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
       .withColumn("words", words)
       .select($"doc_id", explode(arrays_zip(
-        slice($"words", lit(1), n),
-        slice($"words", lit(2), n),
-        slice($"words", lit(3), n))).as("z"))
-      .select($"doc_id", concat_ws(" ", $"z.0", $"z.1", $"z.2").as("sh"))
+        (0 until n).map(j => slice($"words", lit(j + 1), len)): _*)).as("z"))
+      .select($"doc_id",
+        concat_ws(" ", (0 until n).map(j => col(s"z.$j")): _*).as("sh"))
       .distinct()
   }
 
