@@ -43,13 +43,16 @@ object Curation {
     * at every shipped SF, so the filter stage meaningfully drops docs
     * without starving the dedup stages.
     */
-  private val MinQuality = 0.5
+  val MinQuality = 0.5
 
   def curationPipeline(spark: SparkSession, dir: String): DataFrame =
     curationOf(Tables.documents(spark, dir))
 
-  /** Core of X22 over any (doc_id, text) frame (test seam). */
-  private[graft] def curationOf(docs: DataFrame): DataFrame = {
+  /** Core of X22 over any (doc_id, text) frame; `minQuality` is the gate
+    * threshold (the registered query uses [[MinQuality]], which the
+    * oracle mirrors).
+    */
+  def curationOf(docs: DataFrame, minQuality: Double = MinQuality): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // scored feeds the verdict join AND the surviving-doc stages — cache
@@ -65,7 +68,7 @@ object Curation {
     // narrow matters twice over). Hash groups are tiny (dup-cluster
     // size), so the window never funnels a hot key.
     val withRep = scored
-      .filter($"quality_score" >= MinQuality)
+      .filter($"quality_score" >= minQuality)
       .select($"doc_id",
         sha2(lower(trim($"text")), 256).as("text_hash"), $"quality_score")
       .withColumn("rep",

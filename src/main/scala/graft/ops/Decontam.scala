@@ -27,18 +27,30 @@ import graft.Tables
   */
 object Decontam {
 
-  private val N = 6
-  private def isEval = col("doc_id") % 20 === 0
+  /** Registered-query parameters; the oracle mirrors both. */
+  val N = 6
+  private def evalSlice = col("doc_id") % 20 === 0
 
-  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+  def decontamination(spark: SparkSession, dir: String): DataFrame =
+    decontaminationOf(Tables.documents(spark, dir), evalSlice, N)
+
+  /** Core of X24 over any (doc_id, text) frame: `isEval` marks the
+    * benchmark slice (swap for a join against a real suite), `n` the
+    * overlap length (13 is customary on natural text).
+    */
+  def decontaminationOf(
+      docs: DataFrame,
+      isEval: org.apache.spark.sql.Column,
+      n: Int): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val grams = Dedup.ngramsOf(Tables.documents(spark, dir), N)
+    val grams = Dedup.ngramsOf(docs, n)
     val evalGrams = grams.filter(isEval).select($"sh").distinct()
     val hits = grams.filter(!isEval)
       .join(broadcast(evalGrams), "sh")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shared")) // grams are distinct per doc
-    Tables.documents(spark, dir)
+    docs
       .select($"doc_id", isEval.as("is_eval"))
       .join(hits, Seq("doc_id"), "left")
       .select($"doc_id", $"is_eval",
