@@ -150,21 +150,23 @@ object Dedup {
   }
 
   /** Core of X2 over any (doc_id, sh) shingle-set frame (test seam). */
-  private[graft] def minhashPairs(shingleSet: DataFrame): DataFrame = {
-    val spark = shingleSet.sparkSession
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    * against a shingle frame: intersection counts via the keyed join,
+    * sizes via the (doc_id, n_sh) lookup, jaccard = |∩| / |∪|. The
+    * shared VERIFY stage behind X2 (LSH candidates), X17 (rare-shingle
+    * candidates), and the X23 stream's emitted candidates when a batch
+    * consumer verifies them exactly (pinned end-to-end in
+    * StreamDedupSpec). Unfiltered and unsorted — callers threshold.
+    */
+  private[graft] def exactJaccard(
+      cand: DataFrame, sh: DataFrame, sizes: DataFrame): DataFrame = {
+    val spark = cand.sparkSession
     import spark.implicits._
-    val sh = shingleSet.cache()
-    // sig feeds both the band explode and the size lookup — cache so the
-    // 16-min aggregation runs once (one row per doc; tiny)
-    val sig = minhashSignatures(sh).cache()
-    val cand = minhashCandidates(sig)
-    val inter = cand
+    cand
       .join(sh.as("sa"), $"doc_a" === col("sa.doc_id"))
       .join(sh.as("sb"), $"doc_b" === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("n_common"))
-    val sizes = sig.select($"doc_id", $"n_sh")
-    inter
       .join(sizes.as("za"), $"doc_a" === col("za.doc_id"))
       .join(sizes.as("zb"), $"doc_b" === col("zb.doc_id"))
       .select($"doc_a", $"doc_b",
@@ -172,6 +174,16 @@ object Dedup {
         ($"n_common".cast("double") /
           (col("za.n_sh") + col("zb.n_sh") - $"n_common").cast("double"))
           .as("jaccard"))
+  }
+
+  private[graft] def minhashPairs(shingleSet: DataFrame): DataFrame = {
+    val spark = shingleSet.sparkSession
+    import spark.implicits._
+    val sh = shingleSet.cache()
+    // sig feeds both the band explode and the size lookup — cache so the
+    // 16-min aggregation runs once (one row per doc; tiny)
+    val sig = minhashSignatures(sh).cache()
+    exactJaccard(minhashCandidates(sig), sh, sig.select($"doc_id", $"n_sh"))
       .filter($"jaccard" >= 0.5)
       .orderBy($"doc_a", $"doc_b")
   }
@@ -325,18 +337,8 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = cand
-      .join(sh.as("sa"), $"doc_a" === col("sa.doc_id"))
-      .join(sh.as("sb"), $"doc_b" === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.as("za"), $"doc_a" === col("za.doc_id"))
-      .join(sizes.as("zb"), $"doc_b" === col("zb.doc_id"))
-      .select($"doc_a", $"doc_b", $"n_common",
-        ($"n_common".cast("double") /
-          (col("za.n_sh") + col("zb.n_sh") - $"n_common").cast("double"))
-          .as("jaccard"))
+    exactJaccard(cand, sh, sizes)
+      .select($"doc_a", $"doc_b", $"n_common", $"jaccard")
       .filter($"jaccard" >= 0.5)
       .orderBy($"doc_a", $"doc_b")
   }

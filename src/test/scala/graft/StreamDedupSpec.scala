@@ -102,6 +102,38 @@ class StreamDedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream candidates + batch exact verification == batch X2 end to end") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val input = MemoryStream[(Long, String)]
+    val query = StreamDedup.nearDupCandidates(
+      input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("verify_pairs").start()
+    try {
+      input.addData(docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+    // the documented downstream step: dedup the emitted candidates and
+    // verify them exactly against the shingle store
+    val cand = spark.table("verify_pairs")
+      .select($"doc_a", $"doc_b").distinct()
+    val sh = Dedup.shinglesOf(docs).cache()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val verified = Dedup.exactJaccard(cand, sh, sizes)
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Dedup.minhashLsh(spark, sfDir)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(verified == batch,
+      "streaming candidates verified in batch must reproduce batch X2 exactly")
+    assert(batch.nonEmpty)
+  }
+
   test("bucket state is bounded: a hot bucket caps members and stays alive") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
