@@ -24,7 +24,8 @@ class SparkEntrySpec extends SparkSpec {
       "Text" -> Text.queries, "Vector" -> Vector.queries,
       "Dedup" -> Dedup.queries, "Weather" -> Weather.queries,
       "Multimodal" -> Multimodal.queries, "AsOf" -> AsOf.queries,
-      "Curation" -> Curation.queries, "Decontam" -> Decontam.queries)
+      "Curation" -> Curation.queries, "Decontam" -> Decontam.queries,
+      "Profile" -> Profile.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
