@@ -43,11 +43,27 @@ object Packing {
     val spark = docs.sparkSession
     import spark.implicits._
     val parallelism = spark.sparkContext.defaultParallelism
+    // Materialize the ranged slim projection ONCE. RangePartitioner picks
+    // its boundaries by reservoir-sampling, so two instantiations of this
+    // exchange need not agree on them — and the plan DOES instantiate it
+    // more than once: the consuming branches (running-sum window, per-pid
+    // totals) rely on AQE stage reuse to share one shuffle, but that reuse
+    // is a planning-time race when identical exchanges materialize
+    // concurrently, and the triangular key side even plans a column-pruned
+    // variant (different canonical form, never reused). If any two
+    // instances disagree on a boundary, `pid` names different row sets in
+    // different branches and part_offset drifts by a few tokens there — a
+    // nondeterministic, run-dependent wrong answer (caught by the round-5
+    // driver hash gate, while quiet local sessions won the reuse race and
+    // stayed green). localCheckpoint freezes one physical partitioning
+    // that every consumer then reads; the checkpointed data is the slim
+    // (doc_id, n_tokens, pid) projection, never the text.
     val toks = docs
       .select($"doc_id",
         size(split(trim(lower($"text")), "\\s+")).cast("long").as("n_tokens"))
       .repartitionByRange(parallelism, $"doc_id")
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     // phase 2: local running (exclusive) sums — windows keyed by pid run
     // in parallel, one per partition
     val localW = Window.partitionBy($"pid").orderBy($"doc_id")

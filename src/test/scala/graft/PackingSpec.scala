@@ -25,6 +25,48 @@ class PackingSpec extends SparkSpec {
     assert(packs.head == 0L && packs.toSeq == (packs.head to packs.last).toSeq)
   }
 
+  test("X26: offsets are exact when range boundaries are sample-dependent") {
+    // Regression for the round-5 driver hash mismatch: RangePartitioner
+    // reservoir-samples its boundaries with an RDD-id-derived seed, so if
+    // the range exchange is instantiated once per consuming branch (window
+    // branch + both partials branches), the branches can disagree on which
+    // partition a boundary doc lands in, and part_offset drifts. A corpus
+    // large enough that the reservoir SUB-samples (3000 docs in one input
+    // partition vs a ~240-row reservoir) makes boundary agreement across
+    // independent samples essentially impossible — so this test fails
+    // almost surely unless the ranged projection is materialized once.
+    import spark.implicits._
+    val docs = (0 until 3000)
+      .map(i => (i.toLong, Seq.fill(1 + (i * 2654435761L % 97).toInt % 13)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+      .coalesce(1)
+    (1 to 3).foreach { rep =>
+      val rows = Packing.packingOf(docs, 64L).collect()
+      var running = 0L
+      rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("start_offset") == running,
+          s"rep $rep doc ${r.getAs[Long]("doc_id")}: " +
+            s"${r.getAs[Long]("start_offset")} != $running")
+        running += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
+  test("X26: the ranged projection is materialized once (single range shuffle)") {
+    // Post-fix plan shape: the repartitionByRange runs at checkpoint time,
+    // so the RESULT plan must contain exactly one RangePartitioning — the
+    // oracle-determinism ORDER BY on the final output — and scan the
+    // checkpointed RDD, not three independently-sampled range exchanges.
+    val plan = Packing.sequencePacking(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val rangeExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange rangepartitioning"))
+    assert(rangeExchanges == 1,
+      s"expected only the final ORDER BY range exchange, got $rangeExchanges:\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"expected the checkpointed ranged projection in the plan:\n$plan")
+  }
+
   test("X26: no un-partitioned global window in the plan") {
     val plan = Packing.sequencePacking(spark, sfDir)
       .queryExecution.optimizedPlan.toString
