@@ -15,6 +15,10 @@ run / fork := true
 // via sbt's logger: the driver parses graft.Bench's single JSON line, and
 // the logger's "[info] " prefix broke that parse (BENCH_r03 parsed:null)
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// …and keep sbt's own "[success] Total time: …" epilogue off stdout: the
+// driver's 2000-char tail window must end with the JSON line itself
+// (every char after it crowds out the head of the line)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

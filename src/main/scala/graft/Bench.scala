@@ -52,10 +52,17 @@ object Bench {
       }
       name -> median(times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Compact rendering: the driver captures only the LAST 2000 chars of
+    // output and JSON-parses the bench line from that tail — a full-
+    // precision 58-query line overflowed it (BENCH_r05 parsed:null while
+    // the shorter r04 line parsed). 2 decimals ≈ the measurement floor
+    // here anyway (±20-30% run-to-run noise, BASELINE.md).
+    def sec(v: Double): String = // Locale.ROOT: "." decimal point always
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stat":"median_per_query","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"stat":"median_per_query","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
