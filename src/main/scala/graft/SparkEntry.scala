@@ -24,12 +24,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ Text.queries ++
       Vector.queries ++ Dedup.queries ++ Weather.queries ++
-      Multimodal.queries ++ AsOf.queries ++ Curation.queries ++ Decontam.queries ++ Profile.queries ++ Packing.queries
+      Multimodal.queries ++ AsOf.queries ++ Curation.queries ++ Decontam.queries ++ Profile.queries ++ Packing.queries ++
+      Repetition.queries ++ Mixing.queries ++ Scrub.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ Text.oracles ++
       Vector.oracles ++ Dedup.oracles ++ Weather.oracles ++
-      Multimodal.oracles ++ AsOf.oracles ++ Curation.oracles ++ Decontam.oracles ++ Profile.oracles ++ Packing.oracles
+      Multimodal.oracles ++ AsOf.oracles ++ Curation.oracles ++ Decontam.oracles ++ Profile.oracles ++ Packing.oracles ++
+      Repetition.oracles ++ Mixing.oracles ++ Scrub.oracles
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Mixing
+
+/** X28/X29 — data-mixture samplers: hash-sampling determinism and
+  * monotonicity, and the salted two-phase quota's equality with the
+  * naive single-window form it replaces.
+  */
+class MixingSpec extends SparkSpec {
+
+  test("X28: the stratified sample is deterministic and rate-shaped") {
+    val a = Mixing.stratifiedSample(spark, sfDir).collect()
+    val b = Mixing.stratifiedSample(spark, sfDir).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq, "two runs differ")
+    assert(a.nonEmpty)
+    // every kept row's bucket is consistent with its stratum's rate
+    a.foreach { r =>
+      val num = r.getAs[String]("lang") match {
+        case "en" => 4; case "zh" => 1; case _ => 2
+      }
+      val bucket = r.getAs[Long]("bucket")
+      assert(bucket >= 0 && bucket < num,
+        s"doc ${r.getAs[Long]("doc_id")} kept with bucket $bucket >= rate $num")
+    }
+    // rates are per-stratum fractions of the full table (loose bounds:
+    // a 40-bit hash split over tiny strata still concentrates around the
+    // target; just exclude degenerate keep-all / keep-none behavior)
+    val total = Tables.documents(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    kept.foreach { case (lang, k) =>
+      assert(k > 0 && k < total(lang),
+        s"$lang kept $k of ${total(lang)} — not a proper subsample")
+    }
+  }
+
+  test("X28: raising a stratum's rate only adds documents (monotone)") {
+    import spark.implicits._
+    // bucket < num is monotone in num by construction; pin it end-to-end
+    // by comparing the shipped sample against the all-buckets universe
+    val universe = Tables.documents(spark, sfDir)
+      .withColumn("bucket",
+        graft.functions.Hashing.md5Long40(
+          concat($"doc_id".cast("string"), lit(":mix"))) % Mixing.SampleDenom)
+      .select($"doc_id", $"bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sampled = Mixing.stratifiedSample(spark, sfDir).collect()
+    sampled.foreach { r =>
+      assert(universe(r.getAs[Long]("doc_id")) == r.getAs[Long]("bucket"))
+    }
+  }
+
+  test("X29: the salted two-phase quota equals the naive single window") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val twoPhase = Mixing.qualityQuotaOf(docs, Mixing.QuotaN, Mixing.QuotaSalts)
+      .collect().map(_.toString).toSeq
+    // the form the operator exists to avoid: one window per whole stratum
+    val naive = graft.ops.Text.qualityOf(docs)
+      .select($"doc_id", $"lang", $"quality_score")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"lang").orderBy($"quality_score".desc, $"doc_id".asc)))
+      .filter($"rk" <= Mixing.QuotaN)
+      .select($"doc_id", $"lang", $"quality_score", $"rk")
+      .orderBy($"lang", $"rk")
+      .collect().map(_.toString).toSeq
+    assert(twoPhase == naive, "two-phase result diverges from the naive window")
+    assert(twoPhase.nonEmpty)
+  }
+
+  test("X29: quota is exact per stratum and salt-count-invariant") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val n = 7
+    val r1 = Mixing.qualityQuotaOf(docs, n, 1).collect()
+    val r16 = Mixing.qualityQuotaOf(docs, n, 16).collect()
+    assert(r1.map(_.toString).toSeq == r16.map(_.toString).toSeq,
+      "salt fan-out changed the selected set")
+    val strata = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perLang = r1.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    strata.foreach { case (lang, size) =>
+      assert(perLang.getOrElse(lang, 0) == math.min(n.toLong, size).toInt,
+        s"$lang quota wrong: got ${perLang.getOrElse(lang, 0)}")
+    }
+    // ranks are 1..quota with no gaps, per stratum
+    r1.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+  }
+}

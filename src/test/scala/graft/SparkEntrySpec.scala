@@ -25,7 +25,9 @@ class SparkEntrySpec extends SparkSpec {
       "Dedup" -> Dedup.queries, "Weather" -> Weather.queries,
       "Multimodal" -> Multimodal.queries, "AsOf" -> AsOf.queries,
       "Curation" -> Curation.queries, "Decontam" -> Decontam.queries,
-      "Profile" -> Profile.queries, "Packing" -> Packing.queries)
+      "Profile" -> Profile.queries, "Packing" -> Packing.queries,
+      "Repetition" -> Repetition.queries, "Mixing" -> Mixing.queries,
+      "Scrub" -> Scrub.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
