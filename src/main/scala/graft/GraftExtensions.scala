@@ -95,6 +95,15 @@ object GraftFunctions {
               "paramType" -> "\"STRING\""),
             cause = None)
         })
+      }),
+    // repetition_counts(arr<string>): the six X27 intra-doc repetition
+    // counts in one pass
+    (FunctionIdentifier("repetition_counts"),
+      new ExpressionInfo(
+        classOf[graft.functions.expr.RepetitionCounts].getName, "repetition_counts"),
+      (args: Seq[Expression]) => {
+        requireArgs("repetition_counts", args, exact = 1)
+        graft.functions.expr.RepetitionCounts(args.head)
       }))
 
   def register(spark: SparkSession): Unit =

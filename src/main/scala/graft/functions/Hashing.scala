@@ -168,6 +168,20 @@ object Hashing {
       array_min(transform(c, h => (h * lit(a(j)) + lit(b(j))) % lit(p)))
     }: _*)
 
+  /** All six X27 repetition counts of an array<string> column in one
+    * fused pass: `[n_tokens, n_distinct_words, n_grams2,
+    * n_distinct_grams2, n_grams3, n_distinct_grams3]`. Native
+    * ([[graft.functions.expr.RepetitionCounts]]) — replaces two guarded
+    * interpreted transform(sequence(...)) gram builds plus three
+    * array_distinct walks; Repetition.repetitionOfLambda is the
+    * reference form RepetitionSpec pins it equal against.
+    */
+  def repetitionCounts(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.expr.RepetitionCounts(ColumnBridge.expression(c)))
+  }
+
   /** Quantized cosine similarity given two dotQ'd norms; both engines
     * evaluate `dq / (sqrt(na)*sqrt(nb))` on identical doubles.
     */

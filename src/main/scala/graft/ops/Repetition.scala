@@ -35,6 +35,31 @@ object Repetition {
   private[graft] def repetitionOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // one fused pass for all six counts (native RepetitionCounts);
+    // repetitionOfLambda is the built-in reference form the spec pins
+    // this bit-equal against
+    val c = graft.functions.Hashing.repetitionCounts($"words")
+    docs
+      .select($"doc_id", split(trim(lower($"text")), "\\s+").as("words"))
+      .withColumn("rc", c)
+      .select(
+        $"doc_id",
+        element_at($"rc", 1).as("n_tokens"),
+        element_at($"rc", 2).as("n_distinct_words"),
+        element_at($"rc", 3).as("n_grams2"),
+        element_at($"rc", 4).as("n_distinct_grams2"),
+        element_at($"rc", 5).as("n_grams3"),
+        element_at($"rc", 6).as("n_distinct_grams3"))
+      .transform(deriveSignals)
+  }
+
+  /** Built-in reference form of [[repetitionOf]] (interpreted HOF
+    * lambdas + array_distinct; for the RepetitionSpec parity pin and
+    * RepetitionBench comparison).
+    */
+  private[graft] def repetitionOfLambda(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     // n-grams as joined strings via a 1-based index sequence; sequence()
     // must be guarded: Spark's sequence(1, n-1) with n=1 yields the
     // DESCENDING [1, 0], not an empty array
@@ -55,6 +80,16 @@ object Repetition {
         size(array_distinct($"grams2")).cast("long").as("n_distinct_grams2"),
         size($"grams3").cast("long").as("n_grams3"),
         size(array_distinct($"grams3")).cast("long").as("n_distinct_grams3"))
+      .transform(deriveSignals)
+  }
+
+  /** The derived fraction/flag columns + the deterministic output order,
+    * shared by the native and reference forms.
+    */
+  private def deriveSignals(counted: DataFrame): DataFrame = {
+    val spark = counted.sparkSession
+    import spark.implicits._
+    counted
       .withColumn("dup_gram2_frac",
         when($"n_grams2" > 0,
           ($"n_grams2" - $"n_distinct_grams2").cast("double") / $"n_grams2".cast("double"))

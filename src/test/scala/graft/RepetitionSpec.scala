@@ -41,6 +41,26 @@ class RepetitionSpec extends SparkSpec {
     assert(r4.getAs[Double]("dup_gram2_frac") == 0.0 && r4.getAs[Int]("repetitive") == 0)
   }
 
+  test("X27: native RepetitionCounts is bit-equal to the lambda reference form") {
+    import spark.implicits._
+    // the real corpus plus the planted edge cases (single token, total
+    // repetition, empty-ish text)
+    val edge = Seq(900001L -> "solo", 900002L -> "a a a a a", 900003L -> " ")
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      .unionByName(edge)
+    val native = Repetition.repetitionOf(docs).collect().map(_.toString).toSeq
+    val lambda = Repetition.repetitionOfLambda(docs).collect().map(_.toString).toSeq
+    assert(native.nonEmpty && native == lambda)
+  }
+
+  test("X27: repetition_counts is SQL-registered") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT repetition_counts(array('x','y','x','y','x')) AS c").head()
+    assert(r.getSeq[Long](0).toSeq == Seq(5L, 2L, 4L, 2L, 3L, 2L))
+  }
+
   test("X27: every metric matches a brute-force recompute on the corpus") {
     val docs = Tables.documents(spark, sfDir)
       .selectExpr("doc_id", "text").collect()
