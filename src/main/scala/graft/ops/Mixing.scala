@@ -22,19 +22,27 @@ import graft.functions.Hashing
   *
   * X29 `qualityQuota` — per-stratum quality quota: the N highest-quality
   * documents per language (the "take the best N per bucket" mixture
-  * rule). The naive plan — one `row_number() OVER (PARTITION BY lang)`
-  * window — shuffles EVERY row of a stratum into one task; at 100 TB a
-  * language is tens of terabytes, so that task is the job. This operator
-  * computes the identical result with a salted two-phase top-N:
+  * rule). The scale hazard of `row_number() OVER (PARTITION BY lang) …
+  * <= N` is that a stratum is tens of terabytes at 100 TB — but Spark
+  * already defuses it: `InferWindowGroupLimit` plans a
+  * `WindowGroupLimit … Partial` BELOW the exchange (each map partition
+  * keeps only its own top N per stratum before shuffling) and a `Final`
+  * above it, so the shuffle carries ≤ N rows per stratum per map
+  * partition and the per-stratum task sorts ≤ N·P rows — never the
+  * stratum. MixingSpec pins that plan shape so a regression to a
+  * full-stratum shuffle fails the suite.
   *
-  *  1. phase 1: row_number over (lang, salt) for a hash-derived salt in
-  *     [0, S) — S parallel windows per stratum, each keeping its own
-  *     top N; the global per-lang top N is a subset of the union of the
-  *     per-salt top Ns (every survivor beats N others in its own salt
-  *     group), so phase 1 is a lossless prefilter that caps the data
-  *     entering phase 2 at S·N rows per stratum;
-  *  2. phase 2: the exact window over `lang` alone, on ≤ S·N rows per
-  *     stratum — bounded work independent of corpus size.
+  * A hand-rolled salted two-phase top-N (S parallel pre-windows per
+  * stratum — a lossless prefilter, since any global top-N row is in its
+  * salt group's top N — then the exact window over bounded input) is
+  * kept as [[quotaTwoPhaseScored]] for the equality pin and the
+  * measurement: it re-implements what WindowGroupLimit already does,
+  * and the shipped single window measured ~1.5× FASTER than it
+  * (MixingBench, 4M single-stratum rows, local[32], alternating medians
+  * of 5: 0.49 s vs 0.74 s) — the extra salt shuffle and second sort buy
+  * nothing. "Let Catalyst optimize" wins here; the two-phase form
+  * remains the documented fallback for engines without rank-limit
+  * pushdown.
   *
   * Ordering ties are broken by doc_id, so the selected set and ranks are
   * total-order deterministic; quality_score is Text.qualityOf's double
@@ -71,18 +79,46 @@ object Mixing {
        |                    ELSE 2 END
        |ORDER BY doc_id""".stripMargin
 
-  /** X29 quota and salt fan-out (S parallel pre-windows per stratum). */
+  /** X29 quota; QuotaSalts is the reference two-phase form's fan-out. */
   val QuotaN = 30
   val QuotaSalts = 8
 
   def qualityQuota(spark: SparkSession, dir: String): DataFrame =
-    qualityQuotaOf(Tables.documents(spark, dir), QuotaN, QuotaSalts)
+    qualityQuotaOf(Tables.documents(spark, dir), QuotaN)
 
-  private[graft] def qualityQuotaOf(docs: DataFrame, n: Int, salts: Int): DataFrame = {
+  private[graft] def qualityQuotaOf(docs: DataFrame, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val scored = Text.qualityOf(docs)
-      .select($"doc_id", $"lang", $"quality_score")
+    quotaOfScored(
+      Text.qualityOf(docs).select($"doc_id", $"lang", $"quality_score"), n)
+  }
+
+  /** The window stage alone, over any (doc_id, lang, quality_score)
+    * frame: the single per-stratum window, relying on Spark's
+    * WindowGroupLimit rank-limit pushdown for the map-side top-N (plan
+    * shape pinned in MixingSpec; see the object doc).
+    */
+  private[graft] def quotaOfScored(scored: DataFrame, n: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val finW = Window.partitionBy($"lang")
+      .orderBy($"quality_score".desc, $"doc_id".asc)
+    scored
+      .withColumn("rk", row_number().over(finW))
+      .filter($"rk" <= n)
+      .select($"doc_id", $"lang", $"quality_score", $"rk")
+      .orderBy($"lang", $"rk")
+  }
+
+  /** Hand-rolled salted two-phase reference form (see the object doc:
+    * measured SLOWER than [[quotaOfScored]] because WindowGroupLimit
+    * already does the map-side cap; kept for the MixingSpec equality pin
+    * and as the documented fallback shape for engines without rank-limit
+    * pushdown).
+    */
+  private[graft] def quotaTwoPhaseScored(scored: DataFrame, n: Int, salts: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
     // phase 1: lossless salted prefilter — caps phase 2 at salts·n rows
     // per stratum regardless of corpus size
     val salted = scored.withColumn("salt",

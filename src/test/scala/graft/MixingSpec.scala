@@ -54,32 +54,44 @@ class MixingSpec extends SparkSpec {
     }
   }
 
-  test("X29: the salted two-phase quota equals the naive single window") {
-    import spark.implicits._
-    val docs = Tables.documents(spark, sfDir)
-    val twoPhase = Mixing.qualityQuotaOf(docs, Mixing.QuotaN, Mixing.QuotaSalts)
-      .collect().map(_.toString).toSeq
-    // the form the operator exists to avoid: one window per whole stratum
-    val naive = graft.ops.Text.qualityOf(docs)
-      .select($"doc_id", $"lang", $"quality_score")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"lang").orderBy($"quality_score".desc, $"doc_id".asc)))
-      .filter($"rk" <= Mixing.QuotaN)
-      .select($"doc_id", $"lang", $"quality_score", $"rk")
-      .orderBy($"lang", $"rk")
-      .collect().map(_.toString).toSeq
-    assert(twoPhase == naive, "two-phase result diverges from the naive window")
-    assert(twoPhase.nonEmpty)
+  test("X29: the shipped window gets the map-side WindowGroupLimit pushdown") {
+    // the property that makes the single per-stratum window scale: a
+    // Partial WindowGroupLimit BELOW the exchange (each map partition
+    // pre-caps its top N per stratum) and a Final above it. If Catalyst
+    // ever stops inferring it here, the shuffle reverts to carrying
+    // whole strata — fail loudly.
+    val df = Mixing.qualityQuota(spark, sfDir)
+    df.queryExecution.executedPlan.execute().foreach(_ => ())
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected a partial (map-side) WindowGroupLimit in:\n$plan")
   }
 
-  test("X29: quota is exact per stratum and salt-count-invariant") {
+  test("X29: the shipped quota equals the two-phase reference form") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
+    val scored = graft.ops.Text.qualityOf(docs)
+      .select($"doc_id", $"lang", $"quality_score")
+    val shipped = Mixing.quotaOfScored(scored, Mixing.QuotaN)
+      .collect().map(_.toString).toSeq
+    // the salted two-phase decomposition must select the identical set
+    // with identical ranks, at any salt fan-out
+    Seq(1, 8, 16).foreach { salts =>
+      val tp = Mixing.quotaTwoPhaseScored(scored, Mixing.QuotaN, salts)
+        .collect().map(_.toString).toSeq
+      assert(tp == shipped, s"two-phase (salts=$salts) diverges")
+    }
+    assert(shipped.nonEmpty)
+  }
+
+  test("X29: quota is exact per stratum with gap-free ranks") {
+    val docs = Tables.documents(spark, sfDir)
     val n = 7
-    val r1 = Mixing.qualityQuotaOf(docs, n, 1).collect()
-    val r16 = Mixing.qualityQuotaOf(docs, n, 16).collect()
-    assert(r1.map(_.toString).toSeq == r16.map(_.toString).toSeq,
-      "salt fan-out changed the selected set")
+    val r1 = Mixing.qualityQuotaOf(docs, n).collect()
     val strata = docs.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val perLang = r1.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
