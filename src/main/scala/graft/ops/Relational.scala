@@ -339,6 +339,38 @@ object Relational {
        |GROUP BY CUBE (p_brand, size_bucket)
        |ORDER BY gid, p_brand, size_bucket""".stripMargin
 
+  /** B10c — explicit GROUPING SETS (the general form rollup/cube are
+    * sugar for): (status, priority) detail + per-status subtotal + grand
+    * total, with the grouping_id disambiguating real NULL keys from
+    * subtotal rows. Same single-shuffle Expand plan as rollup/cube.
+    */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"), Seq($"o_orderstatus"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(
+        grouping_id($"o_orderstatus", $"o_orderpriority").cast("long").as("gid"),
+        count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .select(
+        $"gid",
+        coalesce($"o_orderstatus", lit("ALL")).as("o_orderstatus"),
+        coalesce($"o_orderpriority", lit("ALL")).as("o_orderpriority"),
+        $"n_orders", $"sum_price")
+      .orderBy($"gid", $"o_orderstatus", $"o_orderpriority")
+  }
+
+  val aggGroupingSetsSql: String =
+    s"""SELECT CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+       |       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       |       count(*) AS n_orders,
+       |       ${sqlSum("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+       |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
+
   /** B12 — ranking window functions: top-3 customers per nation by
     * account balance (ties broken by key so ranks are deterministic).
     */
@@ -365,6 +397,33 @@ object Relational {
       |      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC))
       |WHERE rn <= 3
       |ORDER BY c_nationkey, rn""".stripMargin
+
+  /** B12b — distribution window functions: ntile quartiles plus the
+    * percent_rank/cume_dist positions per nation. The window's ORDER BY
+    * is a total order (balance, then key), so every rank — and therefore
+    * every distribution value, each one a single IEEE division of exact
+    * integers — is engine-deterministic.
+    */
+  def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    Tables.customer(spark, dir)
+      .select($"c_nationkey", $"c_custkey", $"c_acctbal")
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .orderBy($"c_nationkey", $"c_acctbal".desc, $"c_custkey")
+  }
+
+  val windowDistributionSql: String =
+    """SELECT c_nationkey, c_custkey, c_acctbal,
+      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |       percent_rank() OVER w AS pr,
+      |       cume_dist() OVER w AS cd
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+      |ORDER BY c_nationkey, c_acctbal DESC, c_custkey""".stripMargin
 
   /** B13 — analytic window functions: per-customer order timeline with
     * lag/lead and a running (decimal-exact) total.
@@ -781,8 +840,10 @@ object Relational {
     "b09_agg_pricing_summary" -> aggPricingSummary _,
     "b10_agg_rollup" -> aggRollup _,
     "b10b_agg_cube" -> aggCube _,
+    "b10c_agg_grouping_sets" -> aggGroupingSets _,
     "b11_approx_distinct" -> approxDistinct _,
     "b12_window_ranking" -> windowRanking _,
+    "b12b_window_distribution" -> windowDistribution _,
     "b13_window_analytic" -> windowAnalytic _,
     "b14_sort_global" -> sortGlobal _,
     "b15_topk" -> topK _,
@@ -809,8 +870,10 @@ object Relational {
     "b09_agg_pricing_summary" -> aggPricingSummarySql,
     "b10_agg_rollup" -> aggRollupSql,
     "b10b_agg_cube" -> aggCubeSql,
+    "b10c_agg_grouping_sets" -> aggGroupingSetsSql,
     // b11_approx_distinct: no exact oracle (HLL estimate) — rows-only
     "b12_window_ranking" -> windowRankingSql,
+    "b12b_window_distribution" -> windowDistributionSql,
     "b13_window_analytic" -> windowAnalyticSql,
     "b14_sort_global" -> sortGlobalSql,
     "b15_topk" -> topKSql,

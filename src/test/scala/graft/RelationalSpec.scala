@@ -25,6 +25,35 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("b10c: grouping sets plan one Expand and a single aggregation shuffle") {
+    val qe = Relational.aggGroupingSets(spark, sfDir).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("Expand"), s"expected Expand for grouping sets:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected one agg shuffle, got $shuffles:\n$plan")
+  }
+
+  test("b12b: distribution values are exact rank ratios") {
+    // cross-check percent_rank/cume_dist/ntile against a driver-side
+    // recompute on one partition (exact integer ratios, no float slack)
+    val byNation = Relational.windowDistribution(spark, sfDir)
+      .collect().groupBy(_.getAs[Number]("c_nationkey").longValue)
+    assert(byNation.nonEmpty && byNation.values.exists(_.length > 4))
+    byNation.values.foreach { rows =>
+      val n = rows.length
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Double]("pr") == (if (n == 1) 0.0 else i.toDouble / (n - 1)))
+        assert(r.getAs[Double]("cd") == (i + 1).toDouble / n)
+        // SQL ntile: first (n mod 4) buckets get the extra rows
+        val big = n % 4; val base = n / 4
+        val q = r.getAs[Long]("quartile").toInt
+        val start = (q - 1) * base + math.min(q - 1, big)
+        val sz = base + (if (q <= big) 1 else 0)
+        assert(i >= start && i < start + sz, s"row $i in wrong quartile $q")
+      }
+    }
+  }
+
   test("b11: HLL estimate within tolerance of exact count") {
     val rows = Relational.approxDistinct(spark, sfDir).collect()
     assert(rows.nonEmpty)
