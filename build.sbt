@@ -19,6 +19,9 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // driver's 2000-char tail window must end with the JSON line itself
 // (every char after it crowds out the head of the line)
 ThisBuild / showSuccess := false
+// showSuccess is read by sbt's command engine, not a task — exclude it
+// from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -420,13 +420,126 @@ object Vector {
        |ORDER BY emb.vec_id""".stripMargin
   }
 
+  /** X-ann-pq — product quantization, the memory-side ANN scale trick:
+    * split the D=64-dim space into M=8 subspaces of 8 dims, learn a
+    * K=16-centroid codebook per subspace (seeded MLlib KMeans on the
+    * slices), and store every vector as M one-byte codes — a 64-float
+    * vector becomes 8 small ints, a ~32× footprint cut, which is what
+    * makes billion-vector indexes fit a cluster's memory at 100 TB.
+    *
+    * Query path (asymmetric distance computation, ADC): per query, the
+    * exact squared distance from the query's slice to EVERY centroid of
+    * every subspace forms a tiny M×K lookup table (built distributed via
+    * a broadcast cross join + ordered array_sort fold — never a driver
+    * collect); approximate distance to a stored vector is then the sum of
+    * M table lookups on its codes — row-local, codegen'd, touching only
+    * the codes, never the original floats. The nearest `CandK` by ADC
+    * are reranked by exact cosine (same [[rerankTop5]] seam as
+    * LSH/IVF). The rank filter gets Spark's map-side WindowGroupLimit.
+    *
+    * Index build is once-per-(session, dir), memoized and materialized
+    * exactly like the IVF index ([[pqIndex]]); the codebook table is
+    * M×K rows of 8-dim arrays — broadcastable at any corpus size.
+    *
+    * No DuckDB oracle (k-means float-order nondeterminism, as X19);
+    * VectorSpec asserts recall vs the brute-force top-5 and the driver
+    * records the rows-only check.
+    */
+  val PqM = 8 // subspaces
+  val PqSub = 8 // dims per subspace (M * Sub = 64)
+  val PqK = 16 // centroids per subspace codebook
+  val PqCandK = 48 // ADC candidates entering exact rerank, per query
+
+  final case class PqIndex(encoded: DataFrame, codebooks: DataFrame)
+
+  private val pqIndexCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, PqIndex]]
+
+  private[graft] def pqIndex(spark: SparkSession, dir: String): PqIndex = {
+    val perSession = pqIndexCache.synchronized {
+      pqIndexCache.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[String, PqIndex])
+    }
+    perSession.getOrElseUpdate(dir, buildPqIndex(spark, dir))
+  }
+
+  /** PQ index build: M seeded KMeans fits on the 8-dim slices, vectors
+    * encoded to their per-subspace nearest-centroid codes, materialized
+    * via localCheckpoint; plus the M×K codebook table.
+    */
+  private[graft] def buildPqIndex(spark: SparkSession, dir: String): PqIndex = {
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.embeddings(spark, dir)
+    val sliced = (0 until PqM).foldLeft(e) { (df, j) =>
+      df.withColumn(s"f_$j",
+        array_to_vector(slice($"embedding", j * PqSub + 1, PqSub)))
+    }
+    val models = (0 until PqM).map { j =>
+      new KMeans().setK(PqK).setSeed(42L + j).setMaxIter(5)
+        .setFeaturesCol(s"f_$j").setPredictionCol(s"code_$j")
+        .fit(sliced)
+    }
+    val encoded = models.zipWithIndex
+      .foldLeft(sliced) { case (df, (m, _)) => m.transform(df) }
+      .select(Seq($"vec_id", $"embedding",
+        dotQ($"embedding", $"embedding").as("nq")) ++
+        (0 until PqM).map(j => col(s"code_$j")): _*)
+      .localCheckpoint()
+    val codebooks = models.zipWithIndex.flatMap { case (m, j) =>
+      m.clusterCenters.zipWithIndex.map { case (c, k) => (j, k, c.toArray) }
+    }.toDF("sub", "code", "centroid")
+    PqIndex(encoded, codebooks)
+  }
+
+  /** ADC probe: broadcast M×K lookup tables per query, approximate
+    * distance = sum of M code lookups, top-[[PqCandK]] by ADC, exact
+    * cosine rerank, top-5.
+    */
+  private[graft] def pqProbe(index: PqIndex): DataFrame = {
+    val spark = index.encoded.sparkSession
+    import spark.implicits._
+    val q = index.encoded.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nq".as("qnq"))
+    // the per-query ADC table, ordered by (sub, code) into one flat array
+    // so a code lookup is element_at(lut, sub*K + code + 1)
+    val lut = q.crossJoin(broadcast(index.codebooks))
+      .withColumn("d2", aggregate(
+        zip_with(slice($"qe", $"sub" * PqSub + 1, lit(PqSub)), $"centroid",
+          (x, c) => { val d = x.cast("double") - c; d * d }),
+        lit(0.0), (acc, t) => acc + t))
+      .groupBy($"query_id", $"qe", $"qnq")
+      .agg(transform(
+        array_sort(collect_list(struct($"sub", $"code", $"d2"))),
+        s => s.getField("d2")).as("lut"))
+    val adc = (0 until PqM)
+      .map(j => element_at($"lut", col(s"code_$j") + lit(j * PqK + 1)))
+      .reduce(_ + _)
+    val byAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"approx_d2".asc, $"vec_id".asc)
+    val cands = index.encoded.crossJoin(broadcast(lut))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("approx_d2", adc)
+      .withColumn("arn", row_number().over(byAdc))
+      .filter($"arn" <= PqCandK)
+      .select($"query_id", $"vec_id",
+        cosQ(dotQ($"embedding", $"qe"), $"nq", $"qnq").as("cos_sim"))
+    rerankTop5(cands)
+  }
+
+  def annPqTopK(spark: SparkSession, dir: String): DataFrame =
+    pqProbe(pqIndex(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x03_cosine_topk" -> cosineTopK _,
     "x04_pairwise_similarity" -> pairwiseSimilarity _,
     "x14_ann_lsh_topk" -> annLshTopK _,
     "x19_ann_ivf_topk" -> annIvfTopK _,
     "x20_embedding_near_dup" -> embeddingNearDupClusters _,
-    "x21_ann_multiprobe" -> annMultiProbe _)
+    "x21_ann_multiprobe" -> annMultiProbe _,
+    "x31_ann_pq_topk" -> annPqTopK _)
 
   val oracles: Map[String, String] = Map(
     "x03_cosine_topk" -> cosineTopKSql,

@@ -37,7 +37,8 @@ class SparkEntrySpec extends SparkSpec {
 
   test("rows-only queries (no oracle) are the documented exceptions") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("b11_approx_distinct", "x19_ann_ivf_topk"),
+    assert(noOracle == Set(
+      "b11_approx_distinct", "x19_ann_ivf_topk", "x31_ann_pq_topk"),
       s"unexpected oracle-less queries: $noOracle")
   }
 }

@@ -151,6 +151,41 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("X31: PQ codes are valid and ADC recall vs brute force is high") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Hashing.{cosQ, dotQ}
+    val index = VecOps.pqIndex(spark, sfDir)
+    // every vector carries M codes, each inside its codebook
+    val codeCols = (0 until VecOps.PqM).map(j => s"code_$j")
+    val bad = index.encoded.filter(
+      codeCols.map(c => col(c) < 0 || col(c) >= VecOps.PqK).reduce(_ || _))
+    assert(bad.count() == 0, "PQ code outside [0, K)")
+    assert(index.codebooks.count() == VecOps.PqM.toLong * VecOps.PqK)
+    // brute-force ground truth (same construction as the X19 sweep)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        dotQ(col("embedding"), col("embedding")).as("nq"))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nq").as("qnq"))
+    val byQ = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("c").desc, col("vec_id").asc)
+    val brute = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosQ(dotQ(col("embedding"), col("qe")), col("nq"), col("qnq")).as("c"))
+      .withColumn("rnk", row_number().over(byQ)).filter(col("rnk") <= 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = VecOps.pqProbe(index).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    info(s"PQ ADC recall@5 over 3 queries (M=${VecOps.PqM}, K=${VecOps.PqK}, " +
+      s"cand=${VecOps.PqCandK}): ${"%.2f".format(recall)}")
+    assert(got.size == brute.size, "PQ probe returned a wrong-size top-5")
+    assert(recall >= 0.6, s"ADC recall too low: $recall")
+  }
+
   test("X4: pairwise join respects the block and the threshold") {
     val pairs = VecOps.pairwiseSimilarity(spark, sfDir).collect()
     pairs.foreach { p =>
