@@ -18,15 +18,15 @@ import graft.Tables
   * result with the standard two-phase decomposition, all phases
   * partition-parallel:
   *
-  *  1. range-repartition by doc_id (RangePartitioner assigns ascending
-  *     key ranges to ascending partition ids, so partition order is
-  *     global order);
-  *  2. per-partition running sums via a window PARTITIONED by the
-  *     physical partition id (parallel across partitions);
-  *  3. per-partition totals (tiny: one row per partition) joined
-  *     triangularly to form each partition's global starting offset —
+  *  1. bucket rows by a row-local, order-preserving key-range function
+  *     `pid = (doc_id - min) div width` (deterministic from the data —
+  *     see the note in [[packingOf]]);
+  *  2. per-bucket running sums via a window PARTITIONED by `pid`
+  *     (parallel across buckets);
+  *  3. per-bucket totals (tiny: one row per bucket) joined
+  *     triangularly to form each bucket's global starting offset —
   *     P² pairs of scalar rows, broadcast back;
-  *  4. global offset = partition offset + local running sum.
+  *  4. global offset = bucket offset + local running sum.
   *
   * The DuckDB oracle computes the naive single-sequence form — the
   * decomposition is proven bit-equal to it by the hash gate.
@@ -43,27 +43,32 @@ object Packing {
     val spark = docs.sparkSession
     import spark.implicits._
     val parallelism = spark.sparkContext.defaultParallelism
-    // Materialize the ranged slim projection ONCE. RangePartitioner picks
-    // its boundaries by reservoir-sampling, so two instantiations of this
-    // exchange need not agree on them — and the plan DOES instantiate it
-    // more than once: the consuming branches (running-sum window, per-pid
-    // totals) rely on AQE stage reuse to share one shuffle, but that reuse
-    // is a planning-time race when identical exchanges materialize
-    // concurrently, and the triangular key side even plans a column-pruned
-    // variant (different canonical form, never reused). If any two
-    // instances disagree on a boundary, `pid` names different row sets in
-    // different branches and part_offset drifts by a few tokens there — a
-    // nondeterministic, run-dependent wrong answer (caught by the round-5
-    // driver hash gate, while quiet local sessions won the reuse race and
-    // stayed green). localCheckpoint freezes one physical partitioning
-    // that every consumer then reads; the checkpointed data is the slim
-    // (doc_id, n_tokens, pid) projection, never the text.
+    // Bucketing must be a DETERMINISTIC function of the data. The previous
+    // form (repartitionByRange + spark_partition_id + localCheckpoint)
+    // derived `pid` from RangePartitioner's reservoir-sampled boundaries —
+    // a physical-execution artifact that two instantiations of the same
+    // exchange need not agree on. Even checkpoint-frozen, it kept failing
+    // the round-6 driver hash gate under full-suite session pressure while
+    // staying green locally. Row-local `pid = (doc_id - min) / width` is
+    // order-preserving (pid asc, doc_id asc ⟺ doc_id asc), identical on
+    // every instantiation, and survives any recompute — nothing physical
+    // to freeze. Cost: one scalar min/max scan of the key column (parquet
+    // footer stats at cluster scale). Buckets are balanced when doc_id is
+    // dense (it is here); skew only widens a window partition, never
+    // breaks correctness.
+    val Array(mn, mx) = docs.agg(
+      min($"doc_id").cast("long"), max($"doc_id").cast("long"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val width = math.max(1L, (mx - mn) / parallelism + 1L)
+    // `div` = exact integral division (the `/` Column operator is double
+    // division — lossy past 2^53); cache so the two consumers (running-sum
+    // window, per-pid totals) tokenize once — safe now that every
+    // recompute yields identical values
     val toks = docs
       .select($"doc_id",
         size(split(trim(lower($"text")), "\\s+")).cast("long").as("n_tokens"))
-      .repartitionByRange(parallelism, $"doc_id")
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .withColumn("pid", expr(s"(doc_id - ${mn}L) div ${width}L"))
+      .cache()
     // phase 2: local running (exclusive) sums — windows keyed by pid run
     // in parallel, one per partition
     val localW = Window.partitionBy($"pid").orderBy($"doc_id")
@@ -81,7 +86,7 @@ object Packing {
     local.join(broadcast(offsets), "pid")
       .withColumn("start_offset", $"part_offset" + $"local_cum")
       .select($"doc_id", $"n_tokens", $"start_offset",
-        ($"start_offset" / capacity).cast("long").as("pack_id"),
+        expr(s"start_offset div ${capacity}L").as("pack_id"),
         ($"start_offset" % capacity).as("offset_in_pack"))
       .orderBy($"doc_id")
   }

@@ -25,16 +25,14 @@ class PackingSpec extends SparkSpec {
     assert(packs.head == 0L && packs.toSeq == (packs.head to packs.last).toSeq)
   }
 
-  test("X26: offsets are exact when range boundaries are sample-dependent") {
-    // Regression for the round-5 driver hash mismatch: RangePartitioner
-    // reservoir-samples its boundaries with an RDD-id-derived seed, so if
-    // the range exchange is instantiated once per consuming branch (window
-    // branch + both partials branches), the branches can disagree on which
-    // partition a boundary doc lands in, and part_offset drifts. A corpus
-    // large enough that the reservoir SUB-samples (3000 docs in one input
-    // partition vs a ~240-row reservoir) makes boundary agreement across
-    // independent samples essentially impossible — so this test fails
-    // almost surely unless the ranged projection is materialized once.
+  test("X26: offsets are exact and repeatable on a single-split corpus") {
+    // Regression for the round-5/6 driver hash mismatches: when `pid` came
+    // from RangePartitioner (reservoir-sampled boundaries) via
+    // spark_partition_id, independent instantiations of the range exchange
+    // could disagree on boundary docs and drift part_offset. `pid` is now a
+    // row-local function of doc_id, so repeated executions over a corpus
+    // big enough to have forced boundary sub-sampling (3000 docs in one
+    // input split) must produce the identical exact fold every time.
     import spark.implicits._
     val docs = (0 until 3000)
       .map(i => (i.toLong, Seq.fill(1 + (i * 2654435761L % 97).toInt % 13)("w").mkString(" ")))
@@ -52,19 +50,19 @@ class PackingSpec extends SparkSpec {
     }
   }
 
-  test("X26: the ranged projection is materialized once (single range shuffle)") {
-    // Post-fix plan shape: the repartitionByRange runs at checkpoint time,
-    // so the RESULT plan must contain exactly one RangePartitioning — the
-    // oracle-determinism ORDER BY on the final output — and scan the
-    // checkpointed RDD, not three independently-sampled range exchanges.
-    val plan = Packing.sequencePacking(spark, sfDir)
-      .queryExecution.executedPlan.toString
+  test("X26: bucketing is row-local (only the final ORDER BY range-shuffles)") {
+    // Post-round-6 shape: `pid` is a deterministic row-local function of
+    // doc_id — no RangePartitioner anywhere except the oracle-determinism
+    // ORDER BY on the final output, and no physical-partition artifact
+    // (spark_partition_id) whose value could depend on execution.
+    val df = Packing.sequencePacking(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
     val rangeExchanges = plan.linesIterator
       .count(l => l.contains("Exchange rangepartitioning"))
     assert(rangeExchanges == 1,
       s"expected only the final ORDER BY range exchange, got $rangeExchanges:\n$plan")
-    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
-      s"expected the checkpointed ranged projection in the plan:\n$plan")
+    assert(!plan.contains("SPARK_PARTITION_ID") && !plan.contains("spark_partition_id"),
+      s"pid must not derive from physical execution:\n$plan")
   }
 
   test("X26: no un-partitioned global window in the plan") {
