@@ -12,14 +12,20 @@ import graft.Tables
   * like Deequ/GE: the checks are aggregates; the rules engine is a
   * consumer).
   *
-  * Plan shape: ONE aggregation pass computes every metric (Spark plans
-  * the multi-column exact `count(DISTINCT …)` via Expand — a deliberate
-  * cost: rows × profiled-columns in the map stage with partial
-  * aggregation, the standard price of exact multi-column profiling; at
-  * 100 TB swap `countDistinct` for `approx_count_distinct` and the same
-  * single-pass plan profiles with HLL sketch state instead), then the
-  * one result row unpivots into per-column rows with a row-local
-  * explode — no second scan, no per-column jobs.
+  * Plan shape: one independent aggregation BRANCH per profiled column,
+  * unioned. Each branch is a column-PRUNED parquet scan (over columnar
+  * storage the union reads each column chunk once — the same total I/O
+  * as a single full-width scan) feeding Spark's single-distinct
+  * two-phase aggregate: partial dedup + partial metrics map-side, one
+  * narrow shuffle of (column-value) groups. The branches are
+  * independent DAG stages, so they run concurrently across the
+  * cluster. The alternative single-pass form — one agg with N
+  * `count(DISTINCT …)` — plans an Expand that multiplies every row by
+  * the profiled-column count and funnels all of it through ONE
+  * aggregation (measured ~4× slower here, and the 10.2 s worst entry of
+  * the round-6 driver bench); at 100 TB swap `countDistinct` for
+  * `approx_count_distinct` per branch and each branch's shuffle
+  * collapses to HLL sketch state.
   *
   * Parity discipline: min/max are emitted only for binary-ordered types
   * (integers, dates, strings — both engines compare and render them
@@ -39,36 +45,27 @@ object Profile {
 
   def dataProfile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val aggs: Seq[Column] = cols.flatMap { case (c, minmax) =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-        countDistinct(col(c)).as(s"${c}_distinct")) ++
-        (if (minmax) Seq(
-          min(col(c)).cast("string").as(s"${c}_min"),
-          max(col(c)).cast("string").as(s"${c}_max"))
-        else Nil)
+    // no repartition fan-out here: each branch's partial (dedup+metrics)
+    // aggregation runs inside its own pruned scan tasks, and the branches
+    // themselves are the parallelism — adding a round-robin shuffle ahead
+    // of them measured 4× SLOWER locally (11 full-row shuffles bought
+    // nothing the concurrent branches didn't already provide)
+    val base = Tables.lineitem(spark, dir)
+      .select(cols.map(c => col(c._1)): _*)
+    val branches = cols.map { case (c, minmax) =>
+      base.select(col(c).as("v"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when($"v".isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct($"v").as("n_distinct"),
+          (if (minmax) min($"v").cast("string")
+           else lit(null).cast("string")).as("min_val"),
+          (if (minmax) max($"v").cast("string")
+           else lit(null).cast("string")).as("max_val"))
+        .select(lit(c).as("col_name"), $"n_rows", $"n_nulls",
+          $"n_distinct", $"min_val", $"max_val")
     }
-    // the Expand that plans the multi-column exact distinct multiplies
-    // rows × profiled-columns BEFORE the partial aggregation — fan the
-    // single-split local scan out first so that work parallelizes (at
-    // cluster scale the scan's natural splits provide this; same local
-    // artifact note as b09/b18c)
-    val one = Tables.lineitem(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val perCol = array(cols.map { case (c, minmax) =>
-      struct(
-        lit(c).as("col_name"),
-        col(s"${c}_nulls").as("n_nulls"),
-        col(s"${c}_distinct").as("n_distinct"),
-        (if (minmax) col(s"${c}_min") else lit(null).cast("string")).as("min_val"),
-        (if (minmax) col(s"${c}_max") else lit(null).cast("string")).as("max_val"))
-    }: _*)
-    one.select($"n_rows", explode(perCol).as("p"))
-      .select($"p.col_name".as("col_name"), $"n_rows", $"p.n_nulls".as("n_nulls"),
-        $"p.n_distinct".as("n_distinct"), $"p.min_val".as("min_val"),
-        $"p.max_val".as("max_val"))
-      .orderBy($"col_name")
+    branches.reduce(_.unionByName(_)).orderBy($"col_name")
   }
 
   val dataProfileSql: String = {

@@ -3,8 +3,10 @@ package graft
 import graft.ops.Profile
 
 /** X25 — table profiling: metric invariants plus the load-bearing plan
-  * property (ONE scan for all columns' metrics — per-column jobs are the
-  * anti-pattern this operator exists to avoid).
+  * properties (per-column branches must each scan ONLY their own column,
+  * and the Expand-based multi-distinct funnel must not appear — it
+  * multiplies rows × profiled-columns through a single aggregation and
+  * was the round-6 bench's worst entry).
   */
 class ProfileSpec extends SparkSpec {
 
@@ -28,11 +30,24 @@ class ProfileSpec extends SparkSpec {
     assert(key.getAs[String]("min_val").toLong >= 0L)
   }
 
-  test("X25: all metrics come from a single scan of the table") {
+  test("X25: branches are pruned single-column scans with no Expand funnel") {
     val plan = Profile.dataProfile(spark, sfDir)
       .queryExecution.executedPlan.toString
-    val scans = "(?i)FileScan|BatchScan".r.findAllIn(plan).length
-    assert(scans == 1,
-      s"profiling must be one pass over the table, found $scans scans:\n$plan")
+    // no Expand: the multi-distinct single-agg form multiplies every row
+    // by the profiled-column count before aggregating
+    assert(!plan.contains("Expand"),
+      s"found the rows×columns Expand funnel:\n$plan")
+    // each branch's parquet scan must read exactly one column (pruning
+    // pushed through the union): every ReadSchema lists a single field
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(schemas.length == 11, s"expected 11 branch scans:\n$plan")
+    schemas.foreach { s =>
+      assert(!s.contains(","), s"branch scan reads more than one column: $s")
+    }
+    // branch parallelism comes from the concurrent union arms — a
+    // round-robin fan-out ahead of them measured 4× slower
+    assert(!plan.contains("roundrobin"),
+      s"unexpected repartition in the profile plan:\n$plan")
   }
 }
