@@ -83,9 +83,53 @@ object Profile {
     branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** X34 — percentile profile: exact order-statistic percentiles of the
+    * event value distribution per event_type (the latency/size
+    * distribution check a pipeline runs per data drop). PERCENTILE_DISC
+    * picks an EXISTING value — an order statistic, never interpolated —
+    * so double outputs are bit-identical in both engines (the same
+    * reason min/max of doubles are parity-safe while avg is not).
+    *
+    * Scale note: exact percentiles aggregate per-group value
+    * multiplicity maps — fine for bounded per-group cardinality; at
+    * open scale swap `percentile_disc` for `approx_percentile` (KLL
+    * sketch, mergeable partial state) in the same plan shape. The
+    * group-by is one narrow shuffle of (event_type, value) partials.
+    */
+  private val pcts = Seq("p10" -> 0.10, "p50" -> 0.50, "p90" -> 0.90,
+    "p99" -> 0.99)
+
+  def percentileProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (min($"value").as("min_val") +:
+          pcts.map { case (name, q) =>
+            expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY value)").as(name)
+          }) :+ max($"value").as("max_val"): _*)
+      .orderBy($"event_type")
+  }
+
+  val percentileProfileSql: String = {
+    val ps = pcts.map { case (name, q) =>
+      s"percentile_disc($q) WITHIN GROUP (ORDER BY value) AS $name"
+    }.mkString(",\n       ")
+    s"""SELECT event_type, count(*) AS n_events,
+       |       min(value) AS min_val,
+       |       $ps,
+       |       max(value) AS max_val
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x25_data_profile" -> dataProfile _)
+    "x25_data_profile" -> dataProfile _,
+    "x34_percentile_profile" -> percentileProfile _)
 
   val oracles: Map[String, String] = Map(
-    "x25_data_profile" -> dataProfileSql)
+    "x25_data_profile" -> dataProfileSql,
+    "x34_percentile_profile" -> percentileProfileSql)
 }

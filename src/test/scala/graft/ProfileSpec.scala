@@ -30,6 +30,28 @@ class ProfileSpec extends SparkSpec {
     assert(key.getAs[String]("min_val").toLong >= 0L)
   }
 
+  test("X34: percentiles are order statistics of the real value set") {
+    import org.apache.spark.sql.functions.col
+    val rows = Profile.percentileProfile(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byType = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.map(_.getAs[Double]("value")).sorted).toMap
+    rows.foreach { r =>
+      val vals = byType(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_events") == vals.length.toLong)
+      val seq = Seq("min_val", "p10", "p50", "p90", "p99", "max_val")
+        .map(c => r.getAs[Double](c))
+      assert(seq == seq.sorted, s"percentiles out of order: $seq")
+      // PERCENTILE_DISC picks existing values — bit-exact membership
+      seq.foreach(v => assert(vals.contains(v), s"$v not an actual value"))
+      // p50 is the standard smallest-value-with-cume_dist>=0.5 statistic
+      assert(r.getAs[Double]("p50") ==
+        vals((math.ceil(vals.length * 0.5) - 1).toInt))
+    }
+  }
+
   test("X25: branches are pruned single-column scans with no Expand funnel") {
     val plan = Profile.dataProfile(spark, sfDir)
       .queryExecution.executedPlan.toString
