@@ -27,7 +27,9 @@ class SparkEntrySpec extends SparkSpec {
       "Curation" -> Curation.queries, "Decontam" -> Decontam.queries,
       "Profile" -> Profile.queries, "Packing" -> Packing.queries,
       "Repetition" -> Repetition.queries, "Mixing" -> Mixing.queries,
-      "Scrub" -> Scrub.queries)
+      "Scrub" -> Scrub.queries, "SimHashDedup" -> SimHashDedup.queries,
+      "Chunking" -> Chunking.queries, "Layout" -> Layout.queries,
+      "Centroids" -> Centroids.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
