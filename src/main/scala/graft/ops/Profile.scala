@@ -125,11 +125,64 @@ object Profile {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** X37 — heavy hitters: the top-[[TopK]] most frequent values of each
+    * profiled key column, with counts and frequency share — the skew
+    * diagnosis that decides whether a join needs salting (b28) or AQE
+    * skew handling, run per data drop alongside x25/x34.
+    *
+    * Plan shape: per column, a two-phase count aggregate (map-side
+    * partials shrink the shuffle to distinct values) followed by
+    * TakeOrderedAndProject — a per-partition top-k merge on the driver
+    * of K rows per partition, never a global sort and never a window
+    * over the un-partitioned value set. Branches union like x25's.
+    * Ties break deterministically by value string, so the result is
+    * total-order stable across engines and partition counts.
+    */
+  val TopK = 5
+
+  private val hitterCols = Seq("l_partkey", "l_suppkey", "l_returnflag",
+    "l_shipdate")
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    // total row count as an in-plan one-row broadcast (never a driver
+    // action): each branch cross-joins the same tiny aggregate
+    val totals = li.agg(count(lit(1)).as("total"))
+    val branches = hitterCols.map { c =>
+      li.select(col(c).cast("string").as("val"))
+        .groupBy($"val").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"val".asc)
+        .limit(TopK)
+        .crossJoin(broadcast(totals))
+        .select(lit(c).as("col_name"), $"val", $"cnt",
+          ($"cnt".cast("double") / $"total").as("share"))
+    }
+    branches.reduce(_.unionByName(_))
+      .orderBy($"col_name", $"cnt".desc, $"val".asc)
+  }
+
+  val heavyHittersSql: String = {
+    val branches = hitterCols.map { c =>
+      s"""(SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS val,
+         |       count(*) AS cnt,
+         |       CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM lineitem) AS share
+         |FROM lineitem
+         |GROUP BY 2
+         |ORDER BY cnt DESC, val ASC
+         |LIMIT $TopK)""".stripMargin
+    }
+    branches.mkString("", "\nUNION ALL\n",
+      "\nORDER BY col_name, cnt DESC, val ASC")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x25_data_profile" -> dataProfile _,
-    "x34_percentile_profile" -> percentileProfile _)
+    "x34_percentile_profile" -> percentileProfile _,
+    "x37_heavy_hitters" -> heavyHitters _)
 
   val oracles: Map[String, String] = Map(
     "x25_data_profile" -> dataProfileSql,
-    "x34_percentile_profile" -> percentileProfileSql)
+    "x34_percentile_profile" -> percentileProfileSql,
+    "x37_heavy_hitters" -> heavyHittersSql)
 }

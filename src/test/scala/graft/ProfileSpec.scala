@@ -52,6 +52,36 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("X37: heavy hitters are the true top-k with exact shares") {
+    val rows = Profile.heavyHitters(spark, sfDir).collect()
+    val li = Tables.lineitem(spark, sfDir).collect()
+    val total = li.length.toDouble
+    Seq("l_returnflag", "l_partkey").foreach { c =>
+      val counts = li.groupBy(_.getAs[Any](c).toString)
+        .view.mapValues(_.length.toLong).toMap
+      val want = counts.toSeq.sortBy { case (v, n) => (-n, v) }
+        .take(Profile.TopK)
+      val got = rows.filter(_.getAs[String]("col_name") == c)
+        .map(r => (r.getAs[String]("val"), r.getAs[Long]("cnt")))
+      assert(got.toSeq == want, s"$c top-k mismatch")
+      rows.filter(_.getAs[String]("col_name") == c).foreach(r =>
+        assert(r.getAs[Double]("share") == r.getAs[Long]("cnt") / total))
+    }
+  }
+
+  test("X37: per-branch top-k plans as TakeOrdered, never a global sort") {
+    val plan = Profile.heavyHitters(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"branch top-k must be TakeOrderedAndProject:\n$plan")
+    // only the final presentation ORDER BY may sort globally (the AQE
+    // pre-final plan elides its exchange, so count global Sort nodes)
+    val globalSorts = plan.linesIterator
+      .count(l => l.contains("Sort [") && l.contains("], true"))
+    assert(globalSorts == 1,
+      s"unexpected global sorts in branch top-k:\n$plan")
+  }
+
   test("X25: branches are pruned single-column scans with no Expand funnel") {
     val plan = Profile.dataProfile(spark, sfDir)
       .queryExecution.executedPlan.toString
