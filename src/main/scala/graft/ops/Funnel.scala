@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** X38 — funnel analysis: how many users complete the ordered sequence
+  * view → click → purchase, each step within [[StepHours]] hours of the
+  * previous step's completion — the classic event-sequence query of
+  * product analytics, and an operator family (ordered sequence matching
+  * per entity) the relational core doesn't otherwise exercise.
+  *
+  * Semantics per user (event time order, ties broken by event_id):
+  * t1 = first view; t2 = first click after the first-view-so-far and
+  * within the step window of it; t3 = first purchase likewise after t2.
+  * Output: one row per stage with user counts and conversion rates.
+  *
+  * Scale shape — ONE shuffle: the three stage timestamps are running
+  * conditional mins over the SAME window spec (user_id, ordered by
+  * event time, unbounded-preceding frame), so Catalyst stacks three
+  * Window operators on a single exchange+sort; the per-user rollup
+  * reuses that partitioning (no second shuffle of the event stream),
+  * and everything after is scalar-sized. Contrast the textbook
+  * three-way self-join funnel: three shuffles of the full event table
+  * and a quadratic blowup on hot users. Running conditional mins
+  * reference the PRECEDING stage's running value row-locally — the
+  * dependency chains through stacked windows, never through a join.
+  *
+  * Conversion rates divide identical i64 counts in IEEE double on both
+  * engines — parity-safe, same rule as x36's mean.
+  */
+object Funnel {
+
+  val StepHours = 24
+  private val stages = Seq("view", "click", "purchase")
+
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(Tables.events(spark, dir), StepHours)
+
+  /** Core of X38 over any (user_id, ts, event_type, event_id) frame. */
+  def funnelOf(events: DataFrame, stepHours: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val step = expr(s"INTERVAL $stepHours HOURS")
+    val staged = events
+      .select($"user_id", $"ts", $"event_type", $"event_id")
+      .withColumn("t1",
+        min(when($"event_type" === stages(0), $"ts")).over(w))
+      .withColumn("t2",
+        min(when($"event_type" === stages(1) && $"t1".isNotNull &&
+          $"ts" > $"t1" && $"ts" <= $"t1" + step, $"ts")).over(w))
+      .withColumn("t3",
+        min(when($"event_type" === stages(2) && $"t2".isNotNull &&
+          $"ts" > $"t2" && $"ts" <= $"t2" + step, $"ts")).over(w))
+    val perUser = staged.groupBy($"user_id")
+      .agg(min($"t1").as("t1"), min($"t2").as("t2"), min($"t3").as("t3"))
+    val counts = perUser.agg(
+      count(lit(1)).as("n_total"),
+      count($"t1").as("n1"), count($"t2").as("n2"), count($"t3").as("n3"))
+    counts.select(explode(array(
+        struct(lit("1_view").as("stage"), $"n1".as("n_users"),
+          $"n_total".as("prev"), $"n1".as("first0")),
+        struct(lit("2_click").as("stage"), $"n2".as("n_users"),
+          $"n1".as("prev"), $"n1".as("first0")),
+        struct(lit("3_purchase").as("stage"), $"n3".as("n_users"),
+          $"n2".as("prev"), $"n1".as("first0")))).as("s"))
+      .select($"s.stage".as("stage"), $"s.n_users".as("n_users"),
+        ($"s.n_users".cast("double") /
+          nullif($"s.prev", lit(0L))).as("conv_from_prev"),
+        ($"s.n_users".cast("double") /
+          nullif($"s.first0", lit(0L))).as("conv_from_first"))
+      .orderBy($"stage")
+  }
+
+  val funnelSql: String =
+    s"""WITH w1 AS (
+       |  SELECT user_id, ts, event_type, event_id,
+       |         min(CASE WHEN event_type = 'view' THEN ts END)
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                 ROWS UNBOUNDED PRECEDING) AS t1
+       |  FROM events),
+       |w2 AS (
+       |  SELECT user_id, ts, event_type, event_id, t1,
+       |         min(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
+       |                   AND ts > t1 AND ts <= t1 + INTERVAL $StepHours HOUR
+       |                  THEN ts END)
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                 ROWS UNBOUNDED PRECEDING) AS t2
+       |  FROM w1),
+       |w3 AS (
+       |  SELECT user_id, ts, event_type, t1, t2,
+       |         min(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
+       |                   AND ts > t2 AND ts <= t2 + INTERVAL $StepHours HOUR
+       |                  THEN ts END)
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                 ROWS UNBOUNDED PRECEDING) AS t3
+       |  FROM w2),
+       |per_user AS (
+       |  SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+       |  FROM w3 GROUP BY user_id),
+       |c AS (
+       |  SELECT count(*) AS n_total,
+       |         count(t1) AS n1, count(t2) AS n2, count(t3) AS n3
+       |  FROM per_user)
+       |SELECT s.stage, s.n_users,
+       |       CAST(s.n_users AS DOUBLE) / nullif(s.prev, 0) AS conv_from_prev,
+       |       CAST(s.n_users AS DOUBLE) / nullif(s.first0, 0) AS conv_from_first
+       |FROM c, LATERAL (VALUES
+       |  ('1_view', n1, n_total, n1),
+       |  ('2_click', n2, n1, n1),
+       |  ('3_purchase', n3, n2, n1)) AS s(stage, n_users, prev, first0)
+       |ORDER BY stage""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x38_funnel" -> funnel _)
+
+  val oracles: Map[String, String] = Map(
+    "x38_funnel" -> funnelSql)
+}
