@@ -115,9 +115,63 @@ object Funnel {
        |  ('3_purchase', n3, n2, n1)) AS s(stage, n_users, prev, first0)
        |ORDER BY stage""".stripMargin
 
+  /** X39 — cohort retention: group users by first-activity day (their
+    * cohort) and report, for every day offset, how many of the cohort
+    * were active again — the standard retention triangle.
+    *
+    * Scale shape: cohort assignment is one partial-aggregated groupBy
+    * on user_id (map-side min); activity joins the cohort frame on the
+    * SAME user_id partitioning (no broadcast assumed — user count
+    * scales with the data); the triangle aggregation runs over
+    * (cohort, offset, user) distinct rows, which the two-phase distinct
+    * rewrite dedups map-side. The cohort-size denominator comes from a
+    * window over the aggregated triangle (cohorts × offsets rows — tiny
+    * at any input scale), not a second pass over the events.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame =
+    cohortsOf(Tables.events(spark, dir))
+
+  def cohortsOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val act = events.select($"user_id", to_date($"ts").as("day"))
+    val cohorts = act.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    val triangle = act.join(cohorts, "user_id")
+      .groupBy($"cohort_day",
+        datediff($"day", $"cohort_day").cast("long").as("offset_days"))
+      .agg(countDistinct($"user_id").as("n_active"))
+    val byCohort = Window.partitionBy($"cohort_day")
+    triangle
+      .withColumn("cohort_size",
+        max(when($"offset_days" === 0, $"n_active")).over(byCohort))
+      .select($"cohort_day", $"offset_days", $"n_active",
+        ($"n_active".cast("double") / $"cohort_size").as("retention"))
+      .orderBy($"cohort_day", $"offset_days")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH act AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cohorts AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id),
+      |triangle AS (
+      |  SELECT c.cohort_day,
+      |         CAST(a.day - c.cohort_day AS BIGINT) AS offset_days,
+      |         count(DISTINCT a.user_id) AS n_active
+      |  FROM act a JOIN cohorts c ON a.user_id = c.user_id
+      |  GROUP BY 1, 2)
+      |SELECT cohort_day, offset_days, n_active,
+      |       CAST(n_active AS DOUBLE) /
+      |         max(CASE WHEN offset_days = 0 THEN n_active END)
+      |           OVER (PARTITION BY cohort_day) AS retention
+      |FROM triangle
+      |ORDER BY cohort_day, offset_days""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x38_funnel" -> funnel _)
+    "x38_funnel" -> funnel _,
+    "x39_cohort_retention" -> cohortRetention _)
 
   val oracles: Map[String, String] = Map(
-    "x38_funnel" -> funnelSql)
+    "x38_funnel" -> funnelSql,
+    "x39_cohort_retention" -> cohortRetentionSql)
 }

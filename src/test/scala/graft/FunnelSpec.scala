@@ -43,6 +43,31 @@ class FunnelSpec extends SparkSpec {
     assert(conv("3_purchase") == n("3_purchase").toDouble / n("2_click"))
   }
 
+  test("X39: retention triangle invariants hold on the corpus") {
+    val rows = graft.ops.Funnel.cohortRetention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[java.sql.Date]("cohort_day")).foreach { case (c, rs) =>
+      val byOffset = rs.map(r =>
+        r.getAs[Long]("offset_days") -> r.getAs[Long]("n_active")).toMap
+      assert(byOffset.contains(0L), s"cohort $c missing day-0 row")
+      val size = byOffset(0L)
+      rs.foreach { r =>
+        assert(r.getAs[Long]("offset_days") >= 0L, "activity before cohort day")
+        assert(r.getAs[Long]("n_active") <= size,
+          s"cohort $c retains more users than it has")
+        assert(r.getAs[Double]("retention") ==
+          r.getAs[Long]("n_active").toDouble / size)
+      }
+    }
+    // cohort sizes sum to the distinct user count (every user in exactly
+    // one cohort)
+    val users = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    val sizes = rows.filter(_.getAs[Long]("offset_days") == 0L)
+      .map(_.getAs[Long]("n_active")).sum
+    assert(sizes == users)
+  }
+
   test("X38: one event shuffle feeding three stacked windows, no joins") {
     val plan = Funnel.funnel(spark, sfDir)
       .queryExecution.executedPlan.toString
