@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Chunking, Dedup, SimHashDedup}
+
+/** Local 10×-corpus scaling experiment (SCALE.md "Measured scaling
+  * evidence"): the `documents` table is fixed at 5k rows across SFs, so
+  * corpus-shaped operators are scaled by replicating sf0.1 documents
+  * into `Blocks` blocks with DISJOINT per-block vocabulary — each
+  * block keeps the original's local near-dup structure (df
+  * distributions, pair density) while the corpus grows 10×, so no
+  * cross-block pair can fire and the workload scales honestly.
+  *
+  * Usage: `sbt "runMain graft.ScaleBench"` (env `SPARK_GRAFT_SF_DIR`
+  * overrides the base corpus). Prints median-of-3 wall seconds at 1×
+  * and 10× per audited query.
+  */
+object ScaleBench {
+
+  val Blocks = 10
+
+  def replicate(docs: DataFrame, blocks: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.crossJoin(spark.range(blocks).toDF("block"))
+      .select(
+        ($"doc_id" + $"block" * 10000000L).as("doc_id"),
+        array_join(transform(split(trim(lower($"text")), "\\s+"),
+          w => concat(w, lit("_"), $"block")), " ").as("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val base = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+    // materialize both corpora to parquet so every timed query reads the
+    // same physical shape (multi-split, off-heap) instead of an in-memory
+    // lineage that would hide the scan
+    val dir1 = "target/scale_corpus_1x"
+    val dir10 = "target/scale_corpus_10x"
+    base.repartition(8).write.mode("overwrite").parquet(dir1)
+    replicate(base, Blocks).repartition(8 * Blocks)
+      .write.mode("overwrite").parquet(dir10)
+    def timed(f: => Unit): Double = {
+      val reps = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        f
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      reps.sorted.apply(1)
+    }
+    val queries: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "x32_simhash_near_dup" ->
+        (d => SimHashDedup.nearDupOf(Dedup.shinglesOf(d))),
+      "x33_doc_chunking" -> (d => Chunking.chunksOf(d, 64, 48)))
+    queries.foreach { case (name, q) =>
+      val t1 = timed(q(spark.read.parquet(dir1))
+        .write.format("noop").mode("overwrite").save())
+      val t10 = timed(q(spark.read.parquet(dir10))
+        .write.format("noop").mode("overwrite").save())
+      println(f"SCALE $name 1x=$t1%.2f s 10x=$t10%.2f s growth=${t10 / t1}%.1fx")
+    }
+    spark.stop()
+  }
+}
