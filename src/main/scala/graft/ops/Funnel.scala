@@ -167,11 +167,61 @@ object Funnel {
       |FROM triangle
       |ORDER BY cohort_day, offset_days""".stripMargin
 
+  /** X40 — event transition matrix: for every ordered pair of event
+    * types, how often one immediately follows the other within a user's
+    * event stream, with per-source transition probabilities — the
+    * Markov-chain view of user paths (the aggregate form of path
+    * analysis, feeding funnel design and anomaly detection).
+    *
+    * Scale shape: `lead` over the same user-keyed window spec as X38
+    * (one exchange+sort of the events), then a partial-aggregated
+    * groupBy on the (from, to) pair — |event_types|² rows out of the
+    * map side regardless of input size; the probability normalization
+    * windows over THAT tiny aggregate, never the event stream.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame =
+    transitionsOf(Tables.events(spark, dir))
+
+  def transitionsOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val byFrom = Window.partitionBy($"from_type")
+    events
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        $"n".cast("double") / sum($"n").over(byFrom))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |agg AS (
+      |  SELECT event_type AS from_type, next_type AS to_type,
+      |         count(*) AS n
+      |  FROM t WHERE next_type IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |       CAST(n AS DOUBLE) /
+      |         sum(n) OVER (PARTITION BY from_type) AS p
+      |FROM agg
+      |ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x38_funnel" -> funnel _,
-    "x39_cohort_retention" -> cohortRetention _)
+    "x39_cohort_retention" -> cohortRetention _,
+    "x40_event_transitions" -> eventTransitions _)
 
   val oracles: Map[String, String] = Map(
     "x38_funnel" -> funnelSql,
-    "x39_cohort_retention" -> cohortRetentionSql)
+    "x39_cohort_retention" -> cohortRetentionSql,
+    "x40_event_transitions" -> eventTransitionsSql)
 }

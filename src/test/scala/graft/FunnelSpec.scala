@@ -68,6 +68,34 @@ class FunnelSpec extends SparkSpec {
     assert(sizes == users)
   }
 
+  test("X40: transition rows are a proper Markov matrix") {
+    import graft.ops.Funnel
+    val rows = Funnel.eventTransitions(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // per-source probabilities sum to exactly 1 (i64 numerators over the
+    // shared i64 denominator — no float accumulation involved)
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (f, rs) =>
+      val n = rs.map(_.getAs[Long]("n")).sum
+      rs.foreach(r => assert(r.getAs[Double]("p") == r.getAs[Long]("n").toDouble / n))
+      assert(math.abs(rs.map(_.getAs[Double]("p")).sum - 1.0) < 1e-12, s"$f")
+    }
+    // total transitions = events minus one per active user
+    val events = Tables.events(spark, sfDir)
+    val expected = events.count() - events.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expected)
+  }
+
+  test("X40: normalization windows over the aggregate, not the events") {
+    val plan = graft.ops.Funnel.eventTransitions(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    // exactly two Window nodes total: the lead() over users and the
+    // per-source sum over the tiny (from,to) aggregate — and the
+    // aggregate must sit between them
+    val windows = plan.linesIterator.count(_.contains("windowspecdefinition"))
+    assert(windows == 2, s"expected lead + normalization windows:\n$plan")
+    assert(plan.contains("Aggregate"), s"missing the (from,to) aggregate:\n$plan")
+  }
+
   test("X38: one event shuffle feeding three stacked windows, no joins") {
     val plan = Funnel.funnel(spark, sfDir)
       .queryExecution.executedPlan.toString
