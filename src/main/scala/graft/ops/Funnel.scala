@@ -39,8 +39,11 @@ object Funnel {
   def funnel(spark: SparkSession, dir: String): DataFrame =
     funnelOf(Tables.events(spark, dir), StepHours)
 
-  /** Core of X38 over any (user_id, ts, event_type, event_id) frame. */
-  def funnelOf(events: DataFrame, stepHours: Int): DataFrame = {
+  /** Per-user stage completion times (t1/t2/t3, null where the funnel
+    * stalled) — the batch reference for X38 and the parity oracle for
+    * the streaming funnel (stream/StreamFunnel.scala).
+    */
+  private[graft] def stageTimes(events: DataFrame, stepHours: Int): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -56,8 +59,15 @@ object Funnel {
       .withColumn("t3",
         min(when($"event_type" === stages(2) && $"t2".isNotNull &&
           $"ts" > $"t2" && $"ts" <= $"t2" + step, $"ts")).over(w))
-    val perUser = staged.groupBy($"user_id")
+    staged.groupBy($"user_id")
       .agg(min($"t1").as("t1"), min($"t2").as("t2"), min($"t3").as("t3"))
+  }
+
+  /** Core of X38 over any (user_id, ts, event_type, event_id) frame. */
+  def funnelOf(events: DataFrame, stepHours: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val perUser = stageTimes(events, stepHours)
     val counts = perUser.agg(
       count(lit(1)).as("n_total"),
       count($"t1").as("n1"), count($"t2").as("n2"), count($"t3").as("n3"))
