@@ -867,6 +867,53 @@ object Relational {
       |             WHERE c2.c_nationkey = c1.c_nationkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** B32 — time-RANGE window frame: per event, the count and exact sum
+    * of event values over the SAME USER's trailing 7 days — the
+    * value-based frame (`RANGE BETWEEN`), where the window edge is a
+    * timestamp bound, not a row offset; peers with equal timestamps
+    * share one frame in both engines by definition. The ordering key is
+    * `unix_micros(ts)` so the frame arithmetic is exact i64 µs (7 d =
+    * 604_800_000_000 µs) — DuckDB's `RANGE INTERVAL 7 DAY PRECEDING`
+    * over its µs timestamps computes the identical bound.
+    *
+    * Scale shape: one hash exchange on user_id + per-user sort, same as
+    * any window; the frame sum goes through decimal(27,6) (OracleSafe)
+    * so it is order-independent. Spark's WindowExec evaluates sliding
+    * frames by re-accumulating from the frame start when the lower
+    * bound moves (no retract path) — O(n·w) worst-case per hot user; at
+    * open scale a skewed user stream would pre-aggregate to day buckets
+    * first (the b21-style shrink) before windowing, trading frame
+    * precision for a bounded w.
+    */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame =
+    rangeFrameOf(Tables.events(spark, dir))
+
+  /** Core of B32 over any (event_id, user_id, ts, value) frame; test
+    * seam for the frame-boundary semantics. */
+  private[graft] def rangeFrameOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val SevenDaysMicros = 7L * 24 * 3600 * 1000000
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-SevenDaysMicros, Window.currentRow)
+    events
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("sum_7d",
+        sum($"value".cast("decimal(27,6)")).over(w).cast("double"))
+      .select($"event_id", $"user_id",
+        $"ts".cast("timestamp_ntz").as("ts"), $"value", $"n_7d", $"sum_7d")
+      .orderBy($"user_id", $"ts", $"event_id")
+  }
+
+  val windowRangeFrameSql: String =
+    """SELECT event_id, user_id, ts, value,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_7d,
+      |       CAST(sum(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sum_7d
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
   /** All relational queries + oracles, keyed by their SparkEntry names. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b01_scan_pushdown" -> scanPushdown _,
@@ -897,7 +944,8 @@ object Relational {
     "b28_salted_skew_join" -> saltedSkewJoin _,
     "b29_deterministic_sample" -> deterministicSample _,
     "b30_merge_upsert" -> mergeUpsert _,
-    "b31_correlated_subquery" -> correlatedSubquery _)
+    "b31_correlated_subquery" -> correlatedSubquery _,
+    "b32_window_range_frame" -> windowRangeFrame _)
 
   val oracles: Map[String, String] = Map(
     "b01_scan_pushdown" -> scanPushdownSql,
@@ -928,5 +976,6 @@ object Relational {
     "b28_salted_skew_join" -> saltedSkewJoinSql,
     "b29_deterministic_sample" -> deterministicSampleSql,
     "b30_merge_upsert" -> mergeUpsertSql,
-    "b31_correlated_subquery" -> correlatedSubquerySql)
+    "b31_correlated_subquery" -> correlatedSubquerySql,
+    "b32_window_range_frame" -> windowRangeFrameSql)
 }

@@ -85,6 +85,31 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("Join"), s"expected the decorrelated join:\n$plan")
   }
 
+  test("b32: RANGE frame includes the exact 7-day boundary and ts peers") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // u1: e2 is EXACTLY 7 days after e1 (boundary inclusive);
+      // e3 is 7 days + 1 second after e1 (e1 falls out of its frame)
+      (1L, 1L, ts("2024-01-01 00:00:00"), 1.0),
+      (2L, 1L, ts("2024-01-08 00:00:00"), 2.0),
+      (3L, 1L, ts("2024-01-08 00:00:01"), 4.0),
+      // u2: two events at the SAME timestamp are frame peers — both
+      // rows see both values
+      (4L, 2L, ts("2024-02-01 12:00:00"), 10.0),
+      (5L, 2L, ts("2024-02-01 12:00:00"), 20.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = Relational.rangeFrameOf(events).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("n_7d"), r.getAs[Double]("sum_7d"))).toMap
+    assert(got(1L) == (1L, 1.0))
+    assert(got(2L) == (2L, 3.0), "the 7-day-old event is inside the frame")
+    assert(got(3L) == (2L, 6.0), "e1 just aged out; e2 remains")
+    assert(got(4L) == (2L, 30.0), "equal-ts peers share the frame")
+    assert(got(5L) == (2L, 30.0))
+  }
+
   test("percentile_approx stays within rank tolerance of exact percentile") {
     // the approx variant of X7's median (no bit-exact oracle possible)
     val df = Tables.documents(spark, sfDir)

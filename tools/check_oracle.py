@@ -3,7 +3,7 @@
 engine itself is pure Scala/Spark; this script just lets us run the same
 DuckDB-oracle comparison the driver runs, between rounds).
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [name1,name2,…]
 
 For each query dumped by graft.Verify into <verifyOutDir>/<name>/ (parquet)
 with SQL in <verifyOutDir>/oracle_sql.json, runs the SQL in DuckDB over the
@@ -38,7 +38,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only=None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -46,6 +46,8 @@ def main(sf_dir: str, out_dir: str) -> int:
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     for name, sql in sorted(oracle.items()):
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
@@ -95,4 +97,5 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    names = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], names))
