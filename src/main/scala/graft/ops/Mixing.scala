@@ -167,11 +167,69 @@ object Mixing {
        |WHERE rk <= $QuotaN
        |ORDER BY lang, rk""".stripMargin
 
+  /** X46 — temperature-scaled mixture weights: the per-stratum sampling
+    * weights `w_i = n_i^α / Σ n_j^α` (α = [[TempAlpha]] < 1 flattens the
+    * head, upweights the tail — the standard multilingual/multi-source
+    * rebalance), plus the exact raw share and the expected draw count
+    * from a [[DrawBudget]]-sample epoch.
+    *
+    * Scale shape: one partial-aggregated groupBy to |strata| rows, then
+    * everything downstream (totals, ratios) is arithmetic over that
+    * tiny aggregate riding an in-plan one-row broadcast — the corpus is
+    * scanned exactly once regardless of size.
+    *
+    * Parity: n^α goes through libm pow, so it is immediately quantized
+    * to decimal(27,6) in BOTH engines (the transcendental-absorption
+    * rule); the weight then divides two bit-identical doubles, and
+    * expected draws floor another identical product — no further
+    * rounding anywhere.
+    */
+  val TempAlpha = 0.7
+  val DrawBudget = 1000000L
+
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // |strata| rows; cached because it feeds both the totals and the
+    // final ratios — without it the corpus would scan twice
+    val counts = Tables.documents(spark, dir)
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("p6", pow($"n_docs", lit(TempAlpha)).cast("decimal(27,6)"))
+      .cache()
+    val totals = counts.agg(sum($"n_docs").as("n_total"),
+      sum($"p6").as("p_total"))
+    counts.crossJoin(broadcast(totals))
+      .select($"lang", $"n_docs",
+        ($"n_docs".cast("double") / $"n_total".cast("double")).as("share"),
+        ($"p6".cast("double") / $"p_total".cast("double")).as("alpha_weight"),
+        floor($"p6".cast("double") / $"p_total".cast("double")
+          * DrawBudget).cast("long").as("expected_draws"))
+      .orderBy($"lang")
+  }
+
+  val mixtureWeightsSql: String =
+    s"""WITH c AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |         CAST(pow(count(*), $TempAlpha) AS DECIMAL(27,6)) AS p6
+       |  FROM documents GROUP BY 1),
+       |t AS (
+       |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+       |         sum(p6) AS p_total
+       |  FROM c)
+       |SELECT lang, n_docs,
+       |       CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+       |       CAST(p6 AS DOUBLE) / CAST(p_total AS DOUBLE) AS alpha_weight,
+       |       CAST(floor(CAST(p6 AS DOUBLE) / CAST(p_total AS DOUBLE)
+       |         * $DrawBudget) AS BIGINT) AS expected_draws
+       |FROM c, t
+       |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x28_stratified_sample" -> stratifiedSample _,
-    "x29_quality_quota" -> qualityQuota _)
+    "x29_quality_quota" -> qualityQuota _,
+    "x46_mixture_weights" -> mixtureWeights _)
 
   val oracles: Map[String, String] = Map(
     "x28_stratified_sample" -> stratifiedSampleSql,
-    "x29_quality_quota" -> qualityQuotaSql)
+    "x29_quality_quota" -> qualityQuotaSql,
+    "x46_mixture_weights" -> mixtureWeightsSql)
 }

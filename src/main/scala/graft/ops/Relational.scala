@@ -914,6 +914,37 @@ object Relational {
       |             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, ts, event_id""".stripMargin
 
+  /** B34 — multiset (ALL) set operations: `INTERSECT ALL` / `EXCEPT ALL`
+    * keep duplicate MULTIPLICITY (min / truncated difference of per-key
+    * counts), unlike B16's distinct forms. Spark plans them as
+    * aggregate-rewrites (count both sides, replicate min/diff times) —
+    * no row-by-row matching; the output is compressed to (op, key, n)
+    * so the gate proves the multiplicities themselves.
+    */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val a = li.filter($"l_quantity" > 30).select($"l_orderkey")
+    val b = li.filter($"l_returnflag" === "R").select($"l_orderkey")
+    val inter = a.intersectAll(b).withColumn("op", lit("intersect_all"))
+    val exc = a.exceptAll(b).withColumn("op", lit("except_all"))
+    inter.union(exc)
+      .groupBy($"op", $"l_orderkey").agg(count(lit(1)).as("n"))
+      .orderBy($"op", $"l_orderkey")
+  }
+
+  val setOpsAllSql: String =
+    """WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_quantity > 30),
+      |b AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+      |i AS (SELECT 'intersect_all' AS op, l_orderkey
+      |      FROM (SELECT l_orderkey FROM a INTERSECT ALL SELECT l_orderkey FROM b)),
+      |e AS (SELECT 'except_all' AS op, l_orderkey
+      |      FROM (SELECT l_orderkey FROM a EXCEPT ALL SELECT l_orderkey FROM b))
+      |SELECT op, l_orderkey, count(*) AS n
+      |FROM (SELECT * FROM i UNION ALL SELECT * FROM e)
+      |GROUP BY op, l_orderkey
+      |ORDER BY op, l_orderkey""".stripMargin
+
   /** All relational queries + oracles, keyed by their SparkEntry names. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b01_scan_pushdown" -> scanPushdown _,
@@ -945,7 +976,8 @@ object Relational {
     "b29_deterministic_sample" -> deterministicSample _,
     "b30_merge_upsert" -> mergeUpsert _,
     "b31_correlated_subquery" -> correlatedSubquery _,
-    "b32_window_range_frame" -> windowRangeFrame _)
+    "b32_window_range_frame" -> windowRangeFrame _,
+    "b34_set_ops_all" -> setOpsAll _)
 
   val oracles: Map[String, String] = Map(
     "b01_scan_pushdown" -> scanPushdownSql,
@@ -977,5 +1009,6 @@ object Relational {
     "b29_deterministic_sample" -> deterministicSampleSql,
     "b30_merge_upsert" -> mergeUpsertSql,
     "b31_correlated_subquery" -> correlatedSubquerySql,
-    "b32_window_range_frame" -> windowRangeFrameSql)
+    "b32_window_range_frame" -> windowRangeFrameSql,
+    "b34_set_ops_all" -> setOpsAllSql)
 }

@@ -104,4 +104,27 @@ class MixingSpec extends SparkSpec {
       assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rows.length).toSeq)
     }
   }
+
+  test("X46: temperature weights flatten the mixture toward the tail") {
+    val rows = Mixing.mixtureWeights(spark, sfDir).collect()
+    assert(rows.length >= 2)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getAs[Double]("alpha_weight")).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      val (share, w) = (r.getAs[Double]("share"), r.getAs[Double]("alpha_weight"))
+      val mean = 1.0 / rows.length
+      // α<1 pulls every stratum toward the uniform mixture
+      if (share > mean) assert(w < share, s"${r.getAs[String]("lang")}: head must shrink")
+      if (share < mean) assert(w > share, s"${r.getAs[String]("lang")}: tail must grow")
+      assert(r.getAs[Long]("expected_draws") ==
+        math.floor(w * Mixing.DrawBudget).toLong)
+    }
+    // one corpus scan: the cached |strata|-row aggregate feeds both the
+    // totals and the final ratios
+    val df = Mixing.mixtureWeights(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"the per-stratum aggregate must be shared, not recomputed:\n$plan")
+  }
 }

@@ -110,6 +110,28 @@ class RelationalSpec extends SparkSpec {
     assert(got(5L) == (2L, 30.0))
   }
 
+  test("b34: ALL set ops keep multiset multiplicity") {
+    import spark.implicits._
+    val got = Relational.setOpsAll(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("op"), r.getAs[Long]("l_orderkey")) ->
+        r.getAs[Long]("n")).toMap
+    // recompute one key's multiplicities driver-side
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag").collect()
+    val aCnt = li.filter(_.getAs[Double]("l_quantity") > 30)
+      .groupBy(_.getAs[Long]("l_orderkey")).view.mapValues(_.length).toMap
+    val bCnt = li.filter(_.getAs[String]("l_returnflag") == "R")
+      .groupBy(_.getAs[Long]("l_orderkey")).view.mapValues(_.length).toMap
+    aCnt.keys.take(200).foreach { k =>
+      val inter = math.min(aCnt(k), bCnt.getOrElse(k, 0))
+      val exc = math.max(aCnt(k) - bCnt.getOrElse(k, 0), 0)
+      assert(got.getOrElse(("intersect_all", k), 0L) == inter.toLong,
+        s"intersect_all multiplicity for key $k")
+      assert(got.getOrElse(("except_all", k), 0L) == exc.toLong,
+        s"except_all multiplicity for key $k")
+    }
+  }
+
   test("percentile_approx stays within rank tolerance of exact percentile") {
     // the approx variant of X7's median (no bit-exact oracle possible)
     val df = Tables.documents(spark, sfDir)
