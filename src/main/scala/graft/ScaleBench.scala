@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Chunking, Dedup, SimHashDedup}
+import graft.ops.{Chunking, Cooccur, Dedup, EpochShuffle, InvertedIndex, SimHashDedup}
 
 /** Local 10×-corpus scaling experiment (SCALE.md "Measured scaling
   * evidence"): the `documents` table is fixed at 5k rows across SFs, so
@@ -62,7 +62,10 @@ object ScaleBench {
     val queries: Seq[(String, DataFrame => DataFrame)] = Seq(
       "x32_simhash_near_dup" ->
         (d => SimHashDedup.nearDupOf(Dedup.shinglesOf(d))),
-      "x33_doc_chunking" -> (d => Chunking.chunksOf(d, 64, 48)))
+      "x33_doc_chunking" -> (d => Chunking.chunksOf(d, 64, 48)),
+      "x42_epoch_shuffle" -> (d => EpochShuffle.shuffleOf(d, 1, 64)),
+      "x43_inverted_index" -> (d => InvertedIndex.indexOf(d, 5, 8)),
+      "x44_cooccur_pmi" -> (d => Cooccur.cooccurOf(d, 2, 5)))
     queries.foreach { case (name, q) =>
       val t1 = timed(q(spark.read.parquet(dir1))
         .write.format("noop").mode("overwrite").save())

@@ -945,6 +945,49 @@ object Relational {
       |GROUP BY op, l_orderkey
       |ORDER BY op, l_orderkey""".stripMargin
 
+  /** B35 — null semantics end to end: a derived nullable key (the
+    * testdata ships null-free, so `nullif` plants them) flows through
+    * a null-grouping aggregate (null IS a group), a NULL-SAFE
+    * equi-join (`<=>` / IS NOT DISTINCT FROM — the null group must
+    * match itself, where `=` would drop it), `count(*)` vs `count(k)`
+    * (null-skipping), and an explicit NULLS FIRST sort (Spark defaults
+    * nulls-first ASC, DuckDB nulls-LAST — relying on either default
+    * breaks parity). Invariant the gate proves: n_matched == n_rows for
+    * EVERY group including the null one.
+    *
+    * Scale note: `<=>` hashes all null keys to one partition — a
+    * null-heavy key column makes that the hot partition; the idiom at
+    * scale is filter-nulls + plain join + union the null slice.
+    */
+  def nullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+      .select($"c_custkey",
+        when($"c_nationkey" % 5 === 0, lit(null))
+          .otherwise($"c_nationkey" % 5).as("k"))
+    val grp = c.groupBy($"k")
+      .agg(count(lit(1)).as("n_rows"), count($"k").as("n_nonnull"))
+    val matched = c.as("l").join(grp.as("r"), col("l.k") <=> col("r.k"))
+      .groupBy(col("r.k")).agg(count(lit(1)).as("n_matched"))
+      .withColumnRenamed("k", "mk")
+    grp.join(matched, grp("k") <=> matched("mk"))
+      .select($"k", $"n_rows", $"n_nonnull", $"n_matched")
+      .orderBy($"k".asc_nulls_first)
+  }
+
+  val nullSemanticsSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, nullif(c_nationkey % 5, 0) AS k FROM customer),
+      |g AS (
+      |  SELECT k, count(*) AS n_rows, count(k) AS n_nonnull
+      |  FROM c GROUP BY k),
+      |m AS (
+      |  SELECT g.k AS mk, count(*) AS n_matched
+      |  FROM c JOIN g ON c.k IS NOT DISTINCT FROM g.k GROUP BY g.k)
+      |SELECT g.k, g.n_rows, g.n_nonnull, m.n_matched
+      |FROM g JOIN m ON g.k IS NOT DISTINCT FROM m.mk
+      |ORDER BY g.k ASC NULLS FIRST""".stripMargin
+
   /** All relational queries + oracles, keyed by their SparkEntry names. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b01_scan_pushdown" -> scanPushdown _,
@@ -977,7 +1020,8 @@ object Relational {
     "b30_merge_upsert" -> mergeUpsert _,
     "b31_correlated_subquery" -> correlatedSubquery _,
     "b32_window_range_frame" -> windowRangeFrame _,
-    "b34_set_ops_all" -> setOpsAll _)
+    "b34_set_ops_all" -> setOpsAll _,
+    "b35_null_semantics" -> nullSemantics _)
 
   val oracles: Map[String, String] = Map(
     "b01_scan_pushdown" -> scanPushdownSql,
@@ -1010,5 +1054,6 @@ object Relational {
     "b30_merge_upsert" -> mergeUpsertSql,
     "b31_correlated_subquery" -> correlatedSubquerySql,
     "b32_window_range_frame" -> windowRangeFrameSql,
-    "b34_set_ops_all" -> setOpsAllSql)
+    "b34_set_ops_all" -> setOpsAllSql,
+    "b35_null_semantics" -> nullSemanticsSql)
 }

@@ -132,6 +132,18 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("b35: the null group survives the null-safe join") {
+    val rows = Relational.nullSemantics(spark, sfDir).collect()
+    val nullRow = rows.find(_.isNullAt(0))
+    assert(nullRow.isDefined, "the null key must form its own group")
+    assert(nullRow.get.getAs[Long]("n_nonnull") == 0L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_matched") == r.getAs[Long]("n_rows"),
+        "null-safe join must match every group to itself, incl. null")
+    }
+    assert(rows.head.isNullAt(0), "explicit NULLS FIRST ordering")
+  }
+
   test("percentile_approx stays within rank tolerance of exact percentile") {
     // the approx variant of X7's median (no bit-exact oracle possible)
     val df = Tables.documents(spark, sfDir)

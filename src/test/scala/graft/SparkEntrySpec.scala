@@ -29,7 +29,10 @@ class SparkEntrySpec extends SparkSpec {
       "Repetition" -> Repetition.queries, "Mixing" -> Mixing.queries,
       "Scrub" -> Scrub.queries, "SimHashDedup" -> SimHashDedup.queries,
       "Chunking" -> Chunking.queries, "Layout" -> Layout.queries,
-      "Centroids" -> Centroids.queries, "Funnel" -> Funnel.queries)
+      "Centroids" -> Centroids.queries, "Funnel" -> Funnel.queries,
+      "EpochShuffle" -> EpochShuffle.queries,
+      "InvertedIndex" -> InvertedIndex.queries,
+      "Cooccur" -> Cooccur.queries, "Sketch" -> Sketch.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
