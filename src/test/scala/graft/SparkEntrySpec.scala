@@ -32,7 +32,8 @@ class SparkEntrySpec extends SparkSpec {
       "Centroids" -> Centroids.queries, "Funnel" -> Funnel.queries,
       "EpochShuffle" -> EpochShuffle.queries,
       "InvertedIndex" -> InvertedIndex.queries,
-      "Cooccur" -> Cooccur.queries, "Sketch" -> Sketch.queries)
+      "Cooccur" -> Cooccur.queries, "Sketch" -> Sketch.queries,
+      "Quantize" -> Quantize.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
