@@ -988,6 +988,55 @@ object Relational {
       |FROM g JOIN m ON g.k IS NOT DISTINCT FROM m.mk
       |ORDER BY g.k ASC NULLS FIRST""".stripMargin
 
+  /** B36 — gaps and islands: each user's contiguous runs of active
+    * days (an event on every consecutive day; a gap starts a new
+    * island) — the classic hard analytic pattern behind streaks,
+    * uptime intervals, and SCD validity ranges. The standard
+    * O(n log n) trick: rank active days per user, subtract the rank
+    * from the day — consecutive days share the constant `day − rank`,
+    * so islands fall out of a plain groupBy. All date arithmetic is
+    * exact integer day math in both engines.
+    *
+    * Scale shape: the distinct (user, day) aggregate partial-combines
+    * map-side (events per user-day collapse before the shuffle); the
+    * rank window and the island groupBy both cluster by user, reusing
+    * one exchange.
+    */
+  def gapsIslands(spark: SparkSession, dir: String): DataFrame =
+    islandsOf(Tables.events(spark, dir))
+
+  /** Core of B36 over any (user_id, ts) frame; test seam. */
+  private[graft] def islandsOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val days = events
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    days
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"day".asc)))
+      .withColumn("grp", date_sub($"day", $"rn"))
+      .groupBy($"user_id", $"grp")
+      .agg(min($"day").as("island_start"), max($"day").as("island_end"),
+        count(lit(1)).as("n_days"))
+      .select($"user_id", $"island_start", $"island_end", $"n_days")
+      .orderBy($"user_id", $"island_start")
+  }
+
+  val gapsIslandsSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |r AS (
+      |  SELECT user_id, day,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY day ASC) AS rn
+      |  FROM d)
+      |SELECT user_id,
+      |       min(day) AS island_start,
+      |       max(day) AS island_end,
+      |       CAST(count(*) AS BIGINT) AS n_days
+      |FROM r
+      |GROUP BY user_id, day - CAST(rn AS INTEGER)
+      |ORDER BY user_id, island_start""".stripMargin
+
   /** All relational queries + oracles, keyed by their SparkEntry names. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b01_scan_pushdown" -> scanPushdown _,
@@ -1021,7 +1070,8 @@ object Relational {
     "b31_correlated_subquery" -> correlatedSubquery _,
     "b32_window_range_frame" -> windowRangeFrame _,
     "b34_set_ops_all" -> setOpsAll _,
-    "b35_null_semantics" -> nullSemantics _)
+    "b35_null_semantics" -> nullSemantics _,
+    "b36_gaps_islands" -> gapsIslands _)
 
   val oracles: Map[String, String] = Map(
     "b01_scan_pushdown" -> scanPushdownSql,
@@ -1055,5 +1105,6 @@ object Relational {
     "b31_correlated_subquery" -> correlatedSubquerySql,
     "b32_window_range_frame" -> windowRangeFrameSql,
     "b34_set_ops_all" -> setOpsAllSql,
-    "b35_null_semantics" -> nullSemanticsSql)
+    "b35_null_semantics" -> nullSemanticsSql,
+    "b36_gaps_islands" -> gapsIslandsSql)
 }

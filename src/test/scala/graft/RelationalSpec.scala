@@ -144,6 +144,41 @@ class RelationalSpec extends SparkSpec {
     assert(rows.head.isNullAt(0), "explicit NULLS FIRST ordering")
   }
 
+  test("b36: islands split exactly at day gaps") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: String) = Timestamp.valueOf(s"2024-01-$d 10:00:00")
+    val events = Seq(
+      // u1: 01-02-03 (one island, two events on the 02), gap, 05-06
+      (1L, ts("01")), (1L, ts("02")), (1L, Timestamp.valueOf("2024-01-02 20:00:00")),
+      (1L, ts("03")), (1L, ts("05")), (1L, ts("06")),
+      // u2: a single lone day
+      (2L, ts("10"))
+    ).toDF("user_id", "ts")
+    val islands = Relational.islandsOf(events).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_days"))
+    assert(islands.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(2L, 3L),
+      "u1 must split into a 3-day and a 2-day island")
+    assert(islands.filter(_._1 == 2L).map(_._2).toSeq == Seq(1L))
+    // corpus smoke: islands tile each user's day set without overlap
+    val rows = Relational.gapsIslands(spark, sfDir).collect()
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Date]("island_start").toLocalDate.toEpochDay)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.sql.Date]("island_end").toLocalDate.toEpochDay + 1 <
+            b.getAs[java.sql.Date]("island_start").toLocalDate.toEpochDay,
+            "adjacent islands must be separated by a real gap")
+        case _ =>
+      }
+      sorted.foreach { r =>
+        val len = r.getAs[java.sql.Date]("island_end").toLocalDate.toEpochDay -
+          r.getAs[java.sql.Date]("island_start").toLocalDate.toEpochDay + 1
+        assert(len == r.getAs[Long]("n_days"), "islands must be dense")
+      }
+    }
+  }
+
   test("percentile_approx stays within rank tolerance of exact percentile") {
     // the approx variant of X7's median (no bit-exact oracle possible)
     val df = Tables.documents(spark, sfDir)
