@@ -1037,6 +1037,71 @@ object Relational {
       |GROUP BY user_id, day - CAST(rn AS INTEGER)
       |ORDER BY user_id, island_start""".stripMargin
 
+  /** B37 — SCD2 history build: collapse each customer's order-priority
+    * stream into slowly-changing-dimension VERSION intervals
+    * [valid_from, valid_to) — the warehouse pattern for "what was the
+    * attribute at time t". Change detection is lag-compare (a change
+    * or the first row opens a version), version ids are a running sum
+    * of change flags, and valid_to is the NEXT version's start via
+    * lead (null = current version). Everything chains on ONE
+    * customer-keyed exchange: two stacked windows + the version
+    * groupBy + the closing lead all cluster by o_custkey (the X38
+    * stacked-window shape). Dates and counts are exact.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    val versioned = Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .withColumn("chg",
+        when(lag($"o_orderpriority", 1).over(w).isNull ||
+          lag($"o_orderpriority", 1).over(w) =!= $"o_orderpriority", 1L)
+          .otherwise(0L))
+      .withColumn("version",
+        sum($"chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val intervals = versioned
+      .groupBy($"o_custkey", $"version", $"o_orderpriority")
+      .agg(min($"o_orderdate").as("valid_from"),
+        count(lit(1)).as("n_orders"))
+    intervals
+      .withColumn("valid_to", lead($"valid_from", 1).over(
+        Window.partitionBy($"o_custkey").orderBy($"version".asc)))
+      .select($"o_custkey", $"version", $"o_orderpriority",
+        $"valid_from".cast("timestamp_ntz").as("valid_from"),
+        $"valid_to".cast("timestamp_ntz").as("valid_to"), $"n_orders")
+      .orderBy($"o_custkey", $"version")
+  }
+
+  val scd2HistorySql: String =
+    """WITH v AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+      |         CASE WHEN lag(o_orderpriority, 1) OVER w IS NULL
+      |                OR lag(o_orderpriority, 1) OVER w <> o_orderpriority
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey
+      |               ORDER BY o_orderdate ASC, o_orderkey ASC)),
+      |r AS (
+      |  SELECT o_custkey, o_orderpriority,
+      |         sum(chg) OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate ASC, o_orderkey ASC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version,
+      |         o_orderdate
+      |  FROM v),
+      |g AS (
+      |  SELECT o_custkey, version, o_orderpriority,
+      |         min(o_orderdate) AS valid_from,
+      |         CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM r GROUP BY 1, 2, 3)
+      |SELECT o_custkey, CAST(version AS BIGINT) AS version, o_orderpriority,
+      |       valid_from,
+      |       lead(valid_from, 1) OVER (PARTITION BY o_custkey
+      |         ORDER BY version ASC) AS valid_to,
+      |       n_orders
+      |FROM g
+      |ORDER BY o_custkey, version""".stripMargin
+
   /** All relational queries + oracles, keyed by their SparkEntry names. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b01_scan_pushdown" -> scanPushdown _,
@@ -1071,7 +1136,8 @@ object Relational {
     "b32_window_range_frame" -> windowRangeFrame _,
     "b34_set_ops_all" -> setOpsAll _,
     "b35_null_semantics" -> nullSemantics _,
-    "b36_gaps_islands" -> gapsIslands _)
+    "b36_gaps_islands" -> gapsIslands _,
+    "b37_scd2_history" -> scd2History _)
 
   val oracles: Map[String, String] = Map(
     "b01_scan_pushdown" -> scanPushdownSql,
@@ -1106,5 +1172,6 @@ object Relational {
     "b32_window_range_frame" -> windowRangeFrameSql,
     "b34_set_ops_all" -> setOpsAllSql,
     "b35_null_semantics" -> nullSemanticsSql,
-    "b36_gaps_islands" -> gapsIslandsSql)
+    "b36_gaps_islands" -> gapsIslandsSql,
+    "b37_scd2_history" -> scd2HistorySql)
 }

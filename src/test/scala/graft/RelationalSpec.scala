@@ -179,6 +179,28 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("b37: SCD2 intervals chain without gaps and collapse runs") {
+    val rows = Relational.scd2History(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("o_custkey")).foreach { case (c, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).toSeq ==
+        (1L to sorted.length.toLong), s"cust $c: versions must be dense")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // a version closes exactly where the next one opens
+          assert(a.getAs[java.time.LocalDateTime]("valid_to") ==
+            b.getAs[java.time.LocalDateTime]("valid_from"), s"cust $c: gap in history")
+          // consecutive versions differ in the attribute (runs collapsed)
+          assert(a.getAs[String]("o_orderpriority") !=
+            b.getAs[String]("o_orderpriority"), s"cust $c: uncollapsed run")
+        case _ =>
+      }
+      assert(sorted.last.isNullAt(sorted.last.fieldIndex("valid_to")),
+        s"cust $c: current version must be open-ended")
+    }
+  }
+
   test("percentile_approx stays within rank tolerance of exact percentile") {
     // the approx variant of X7's median (no bit-exact oracle possible)
     val df = Tables.documents(spark, sfDir)

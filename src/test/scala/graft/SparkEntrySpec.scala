@@ -33,7 +33,8 @@ class SparkEntrySpec extends SparkSpec {
       "EpochShuffle" -> EpochShuffle.queries,
       "InvertedIndex" -> InvertedIndex.queries,
       "Cooccur" -> Cooccur.queries, "Sketch" -> Sketch.queries,
-      "Quantize" -> Quantize.queries, "LmScore" -> LmScore.queries)
+      "Quantize" -> Quantize.queries, "LmScore" -> LmScore.queries,
+      "Vocab" -> Vocab.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
