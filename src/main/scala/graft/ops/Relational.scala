@@ -1102,6 +1102,43 @@ object Relational {
       |FROM g
       |ORDER BY o_custkey, version""".stripMargin
 
+  /** B38 — ntile bucketing: each customer's orders split into
+    * [[NtileBuckets]] equal-ish spend quartiles (ntile assigns floor/
+    * ceil bucket sizes deterministically given a TOTAL order — ties
+    * broken by o_orderkey), rolled up to per-(customer, quartile)
+    * count + decimal-exact spend. The partitioned form of quantile
+    * bucketing: ntile over a per-KEY window scales (each customer
+    * sorts its own orders on one exchange); a GLOBAL ntile would be
+    * the SinglePartition funnel the plan lint rejects — the global
+    * analogue is b12b's percent_rank or x34's percentiles.
+    */
+  val NtileBuckets = 4
+
+  def ntileBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(spark, dir)
+      .withColumn("quartile", ntile(NtileBuckets).over(w))
+      .groupBy($"o_custkey", $"quartile")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("spend"))
+      .orderBy($"o_custkey", $"quartile")
+  }
+
+  val ntileBucketsSql: String =
+    s"""WITH t AS (
+       |  SELECT o_custkey,
+       |         ntile($NtileBuckets) OVER (PARTITION BY o_custkey
+       |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS quartile,
+       |         o_totalprice
+       |  FROM orders)
+       |SELECT o_custkey, quartile,
+       |       CAST(count(*) AS BIGINT) AS n_orders,
+       |       ${sqlSum("o_totalprice")} AS spend
+       |FROM t
+       |GROUP BY o_custkey, quartile
+       |ORDER BY o_custkey, quartile""".stripMargin
+
   /** All relational queries + oracles, keyed by their SparkEntry names. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b01_scan_pushdown" -> scanPushdown _,
@@ -1137,7 +1174,8 @@ object Relational {
     "b34_set_ops_all" -> setOpsAll _,
     "b35_null_semantics" -> nullSemantics _,
     "b36_gaps_islands" -> gapsIslands _,
-    "b37_scd2_history" -> scd2History _)
+    "b37_scd2_history" -> scd2History _,
+    "b38_ntile_buckets" -> ntileBuckets _)
 
   val oracles: Map[String, String] = Map(
     "b01_scan_pushdown" -> scanPushdownSql,
@@ -1173,5 +1211,6 @@ object Relational {
     "b34_set_ops_all" -> setOpsAllSql,
     "b35_null_semantics" -> nullSemanticsSql,
     "b36_gaps_islands" -> gapsIslandsSql,
-    "b37_scd2_history" -> scd2HistorySql)
+    "b37_scd2_history" -> scd2HistorySql,
+    "b38_ntile_buckets" -> ntileBucketsSql)
 }

@@ -532,6 +532,65 @@ object Vector {
   def annPqTopK(spark: SparkSession, dir: String): DataFrame =
     pqProbe(pqIndex(spark, dir))
 
+  /** X51 — hard-negative mining: for each query vector, the [[NegK]]
+    * most-similar vectors with a DIFFERENT label — the contrastive-
+    * training data build (hard negatives are what make the loss
+    * informative; random negatives are trivially separable). Queries
+    * are the vec_id < [[NegQueries]] slice; candidates are the whole
+    * corpus minus the query's own label.
+    *
+    * Scale shape: the query slice broadcasts (a non-equi label-filter
+    * join — BroadcastNestedLoopJoin of a bounded side, the allowed
+    * form); per-query top-K is a window over q_id with the map-side
+    * WindowGroupLimit cap. Brute force is the exact baseline at this
+    * corpus size — at open scale the candidate stream comes from the
+    * X19/X21 ANN prefilter instead, same downstream shape. Cosines are
+    * the quantized-dot form — bit-identical cross-engine.
+    */
+  val NegK = 3
+  val NegQueries = 50
+
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", $"embedding",
+        dotQ($"embedding", $"embedding").as("nrm"))
+    val q = e.filter($"vec_id" < NegQueries)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+        $"embedding".as("qe"), $"nrm".as("qn"))
+    val ranked = e.join(broadcast(q), $"label" =!= $"q_label")
+      .select($"q_id", $"vec_id".as("neg_id"),
+        cosQ(dotQ($"embedding", $"qe"), $"nrm", $"qn").as("cos_sim"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"q_id").orderBy($"cos_sim".desc, $"neg_id".asc)))
+      .filter($"rk" <= NegK)
+    ranked.select($"q_id", $"rk".cast("long").as("rk"), $"neg_id", $"cos_sim")
+      .orderBy($"q_id", $"rk")
+  }
+
+  val hardNegativesSql: String = {
+    val dq = sqlDotQ("e.embedding", "q.qe")
+    val ne = sqlDotQ("e.embedding", "e.embedding")
+    val nq = sqlDotQ("q.qe", "q.qe")
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+       |  FROM embeddings WHERE vec_id < $NegQueries),
+       |c AS (
+       |  SELECT q.q_id, e.vec_id AS neg_id,
+       |         ${sqlCosQ(dq, ne, nq)} AS cos_sim
+       |  FROM embeddings e, q
+       |  WHERE e.label <> q.q_label),
+       |r AS (
+       |  SELECT q_id, neg_id, cos_sim,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY cos_sim DESC, neg_id ASC) AS rk
+       |  FROM c)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, neg_id, cos_sim
+       |FROM r WHERE rk <= $NegK
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x03_cosine_topk" -> cosineTopK _,
     "x04_pairwise_similarity" -> pairwiseSimilarity _,
@@ -539,12 +598,14 @@ object Vector {
     "x19_ann_ivf_topk" -> annIvfTopK _,
     "x20_embedding_near_dup" -> embeddingNearDupClusters _,
     "x21_ann_multiprobe" -> annMultiProbe _,
-    "x31_ann_pq_topk" -> annPqTopK _)
+    "x31_ann_pq_topk" -> annPqTopK _,
+    "x51_hard_negatives" -> hardNegatives _)
 
   val oracles: Map[String, String] = Map(
     "x03_cosine_topk" -> cosineTopKSql,
     "x04_pairwise_similarity" -> pairwiseSimilaritySql,
     "x14_ann_lsh_topk" -> annLshTopKSql,
     "x20_embedding_near_dup" -> embeddingNearDupClustersSql,
-    "x21_ann_multiprobe" -> annMultiProbeSql)
+    "x21_ann_multiprobe" -> annMultiProbeSql,
+    "x51_hard_negatives" -> hardNegativesSql)
 }

@@ -201,6 +201,17 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("b38: ntile buckets are balanced with extras in earlier buckets") {
+    val rows = Relational.ntileBuckets(spark, sfDir).collect()
+    rows.groupBy(_.getAs[Long]("o_custkey")).foreach { case (c, rs) =>
+      val sizes = rs.sortBy(_.getAs[Int]("quartile"))
+        .map(_.getAs[Long]("n_orders"))
+      assert(sizes.max - sizes.min <= 1, s"cust $c: unbalanced $sizes")
+      assert(sizes.sameElements(sizes.sortBy(-_)),
+        s"cust $c: ntile puts the extra rows in the EARLIER buckets")
+    }
+  }
+
   test("percentile_approx stays within rank tolerance of exact percentile") {
     // the approx variant of X7's median (no bit-exact oracle possible)
     val df = Tables.documents(spark, sfDir)

@@ -201,4 +201,40 @@ class TextVectorSpec extends SparkSpec {
       assert(labels(p.getAs[Long]("vec_a")) == labels(p.getAs[Long]("vec_b")))
     }
   }
+
+  test("X51: hard negatives are cross-label and truly the hardest") {
+    val rows = VecOps.hardNegatives(spark, sfDir).collect()
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      assert(labels(r.getAs[Long]("q_id")) != labels(r.getAs[Long]("neg_id")),
+        "a negative must carry a different label")
+      assert(r.getAs[Double]("cos_sim") <= 1.0 + 1e-9)
+    }
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq ==
+        (1L to rs.length.toLong), s"query $q: ranks must be dense")
+      val sims = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.sameElements(sims.sortBy(-_)), s"query $q: rank order")
+    }
+    // spot-check query 0: its top negative beats every same-rank-excluded
+    // cross-label candidate (recompute driver-side from raw vectors)
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray.map(_.toDouble)))
+    val (qid, qlab, qv) = vecs.find(_._1 == 0L).get
+    def dotQd(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => math.floor(x * y * 1e15).toLong }.sum.toDouble
+    val best = vecs.filter(_._2 != qlab)
+      .map { case (id, _, v) =>
+        id -> dotQd(qv, v) / (math.sqrt(dotQd(v, v)) * math.sqrt(dotQd(qv, qv)))
+      }.maxBy { case (id, c) => (c, -id) }
+    val got = rows.filter(r => r.getAs[Long]("q_id") == 0L &&
+      r.getAs[Long]("rk") == 1L).head
+    assert(got.getAs[Long]("neg_id") == best._1,
+      s"query 0 top negative ${got.getAs[Long]("neg_id")} != brute ${best._1}")
+  }
 }
