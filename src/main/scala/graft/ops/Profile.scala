@@ -125,6 +125,38 @@ object Profile {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** B39 — interpolated percentiles: PERCENTILE_CONT over the same
+    * per-type distributions as X34's PERCENTILE_DISC. CONT interpolates
+    * `v_lo + frac·(v_hi − v_lo)` at rank (n−1)·q — both engines apply
+    * the standard formula to the SAME two order statistics with the
+    * same exact frac ((n−1)·q on i64-derived doubles), so the
+    * interpolated doubles are bit-identical; the gate proves the
+    * formula-level agreement the way x34 proves the order-statistic
+    * one. Same scale shape and approx_percentile swap as X34.
+    */
+  def percentileCont(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        pcts.map { case (name, q) =>
+          expr(s"percentile_cont($q) WITHIN GROUP (ORDER BY value)").as(name)
+        }: _*)
+      .orderBy($"event_type")
+  }
+
+  val percentileContSql: String = {
+    val ps = pcts.map { case (name, q) =>
+      s"percentile_cont($q) WITHIN GROUP (ORDER BY value) AS $name"
+    }.mkString(",\n       ")
+    s"""SELECT event_type, count(*) AS n_events,
+       |       $ps
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+  }
+
   /** X37 — heavy hitters: the top-[[TopK]] most frequent values of each
     * profiled key column, with counts and frequency share — the skew
     * diagnosis that decides whether a join needs salting (b28) or AQE
@@ -179,10 +211,12 @@ object Profile {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x25_data_profile" -> dataProfile _,
     "x34_percentile_profile" -> percentileProfile _,
+    "b39_percentile_cont" -> percentileCont _,
     "x37_heavy_hitters" -> heavyHitters _)
 
   val oracles: Map[String, String] = Map(
     "x25_data_profile" -> dataProfileSql,
     "x34_percentile_profile" -> percentileProfileSql,
+    "b39_percentile_cont" -> percentileContSql,
     "x37_heavy_hitters" -> heavyHittersSql)
 }
