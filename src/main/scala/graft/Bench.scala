@@ -55,11 +55,18 @@ object Bench {
     // Compact rendering: the driver captures only the LAST 2000 chars of
     // output and JSON-parses the bench line from that tail — a full-
     // precision 58-query line overflowed it (BENCH_r05 parsed:null while
-    // the shorter r04 line parsed). 2 decimals ≈ the measurement floor
-    // here anyway (±20-30% run-to-run noise, BASELINE.md).
+    // the shorter r04 line parsed), and at 91 queries even 2-decimal
+    // FULL names overflow (2373 chars measured). The queries dict
+    // therefore keys by the unique id PREFIX of each query name (the
+    // token before the first underscore: b05b, x44, q, r — PLANS.md maps
+    // ids to full names). 2 decimals ≈ the measurement floor here anyway
+    // (±20-30% run-to-run noise, BASELINE.md).
     def sec(v: Double): String = // Locale.ROOT: "." decimal point always
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec(v) }
+    def shortId(name: String): String = name.split("_")(0)
+    require(results.keysIterator.map(shortId).toSet.size == results.size,
+      "query id prefixes must stay unique — bench keys would collide")
+    val qs = results.map { case (k, v) => s"\"" + shortId(k) + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"stat":"median_per_query","queries":$qs,"sf":"$sfDir"}""")
