@@ -182,6 +182,28 @@ object Hashing {
       graft.functions.expr.RepetitionCounts(ColumnBridge.expression(c)))
   }
 
+  /** Skip-gram pair strings of an array<string> column in one fused
+    * pass: token i × positions i+1…i+window as `"a b"`, canonically
+    * ordered when `canonical` (X44) or stream-ordered (X49 bigrams at
+    * window=1). Native codegen
+    * ([[graft.functions.expr.SkipGramPairs]]); [[skipGramPairsHof]] is
+    * the nested-lambda reference form the specs pin it equal against.
+    */
+  def skipGramPairs(c: Column, window: Int, canonical: Boolean): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.expr.SkipGramPairs(
+      ColumnBridge.expression(c), window, canonical))
+  }
+
+  /** Reference HOF form of [[skipGramPairs]] (interpreted lambdas; for
+    * the parity pins).
+    */
+  def skipGramPairsHof(c: Column, window: Int, canonical: Boolean): Column =
+    flatten(transform(c, (x, i) =>
+      transform(slice(c, i + lit(2), lit(window)), y =>
+        if (canonical) concat(least(x, y), lit(" "), greatest(x, y))
+        else concat(x, lit(" "), y))))
+
   /** Quantized cosine similarity given two dotQ'd norms; both engines
     * evaluate `dq / (sqrt(na)*sqrt(nb))` on identical doubles.
     */

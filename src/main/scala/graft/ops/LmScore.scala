@@ -43,9 +43,10 @@ object LmScore {
   def coverageOf(docs: DataFrame, refLang: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // ordered bigrams via the fused native pass (window=1, stream
+    // order); the nested-lambda form is kept in Hashing for the pin
     def bigrams(col: org.apache.spark.sql.Column) =
-      transform(slice(col, lit(1), size(col) - 1),
-        (w, i) => concat(w, lit(" "), element_at(col, i + 2)))
+      graft.functions.Hashing.skipGramPairs(col, 1, canonical = false)
     val tokenized = docs.select($"doc_id", $"lang",
       split(trim(lower($"text")), "\\s+").as("w"))
     val docBigrams = tokenized

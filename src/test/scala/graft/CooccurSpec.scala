@@ -39,6 +39,34 @@ class CooccurSpec extends SparkSpec {
     }
   }
 
+  test("X44/X49: native skip-gram pairs equal the lambda reference form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{split, trim, lower}
+    import graft.functions.Hashing
+    val words = Tables.documents(spark, sfDir)
+      .select(split(trim(lower($"text")), "\\s+").as("w"))
+    for (canonical <- Seq(true, false); window <- Seq(1, 2, 3)) {
+      val native = words.select(
+        Hashing.skipGramPairs($"w", window, canonical).as("p")).collect()
+      val hof = words.select(
+        Hashing.skipGramPairsHof($"w", window, canonical).as("p")).collect()
+      native.zip(hof).foreach { case (n, h) =>
+        assert(n.getSeq[String](0) == h.getSeq[String](0),
+          s"mismatch at canonical=$canonical window=$window")
+      }
+    }
+    // edge cases the corpus may not cover: empty, 1-token, dup tokens
+    val edge = Seq(Seq.empty[String], Seq("a"), Seq("b", "a", "b"))
+      .toDF("w")
+    for (canonical <- Seq(true, false)) {
+      val n = edge.select(Hashing.skipGramPairs($"w", 2, canonical).as("p"))
+        .collect().map(_.getSeq[String](0))
+      val h = edge.select(Hashing.skipGramPairsHof($"w", 2, canonical).as("p"))
+        .collect().map(_.getSeq[String](0))
+      assert(n.toSeq == h.toSeq, s"edge mismatch at canonical=$canonical")
+    }
+  }
+
   test("X44: pair generation is row-local — no token self-join") {
     val df = Cooccur.cooccurPmi(spark, sfDir)
     df.collect()
