@@ -34,7 +34,9 @@ class SparkEntrySpec extends SparkSpec {
       "InvertedIndex" -> InvertedIndex.queries,
       "Cooccur" -> Cooccur.queries, "Sketch" -> Sketch.queries,
       "Quantize" -> Quantize.queries, "LmScore" -> LmScore.queries,
-      "Vocab" -> Vocab.queries)
+      "Vocab" -> Vocab.queries,
+      "Intervals" -> Intervals.queries, "Fuzzy" -> Fuzzy.queries,
+      "Normalize" -> Normalize.queries, "Divergence" -> Divergence.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
