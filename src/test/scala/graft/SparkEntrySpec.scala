@@ -36,7 +36,8 @@ class SparkEntrySpec extends SparkSpec {
       "Quantize" -> Quantize.queries, "LmScore" -> LmScore.queries,
       "Vocab" -> Vocab.queries,
       "Intervals" -> Intervals.queries, "Fuzzy" -> Fuzzy.queries,
-      "Normalize" -> Normalize.queries, "Divergence" -> Divergence.queries)
+      "Normalize" -> Normalize.queries, "Divergence" -> Divergence.queries,
+      "SpanDedup" -> SpanDedup.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
