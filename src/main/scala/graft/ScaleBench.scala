@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Chunking, Cooccur, Dedup, EpochShuffle, InvertedIndex, SimHashDedup}
+import graft.ops.{Chunking, Cooccur, Dedup, Divergence, EpochShuffle, InvertedIndex, Normalize, SimHashDedup, SpanDedup}
 
 /** Local 10×-corpus scaling experiment (SCALE.md "Measured scaling
   * evidence"): the `documents` table is fixed at 5k rows across SFs, so
@@ -27,6 +27,9 @@ object ScaleBench {
     docs.crossJoin(spark.range(blocks).toDF("block"))
       .select(
         ($"doc_id" + $"block" * 10000000L).as("doc_id"),
+        // source carries over unchanged: the corpus grows, the source
+        // set does not (matches real ingestion)
+        $"source",
         array_join(transform(split(trim(lower($"text")), "\\s+"),
           w => concat(w, lit("_"), $"block")), " ").as("text"))
   }
@@ -41,7 +44,7 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val base = Tables.documents(spark, sfDir)
-      .select($"doc_id", $"text")
+      .select($"doc_id", $"source", $"text")
     // materialize both corpora to parquet so every timed query reads the
     // same physical shape (multi-split, off-heap) instead of an in-memory
     // lineage that would hide the scan
@@ -65,7 +68,10 @@ object ScaleBench {
       "x33_doc_chunking" -> (d => Chunking.chunksOf(d, 64, 48)),
       "x42_epoch_shuffle" -> (d => EpochShuffle.shuffleOf(d, 1, 64)),
       "x43_inverted_index" -> (d => InvertedIndex.indexOf(d, 5, 8)),
-      "x44_cooccur_pmi" -> (d => Cooccur.cooccurOf(d, 2, 5)))
+      "x44_cooccur_pmi" -> (d => Cooccur.cooccurOf(d, 2, 5)),
+      "x52_normalize_text" -> (d => Normalize.normalizeOf(d)),
+      "x53_source_divergence" -> (d => Divergence.divergenceOf(d)),
+      "x54_span_dedup" -> (d => SpanDedup.spanDedupOf(d)))
     queries.foreach { case (name, q) =>
       val t1 = timed(q(spark.read.parquet(dir1))
         .write.format("noop").mode("overwrite").save())

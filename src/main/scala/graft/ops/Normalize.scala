@@ -49,9 +49,14 @@ object Normalize {
       graft.functions.expr.NfcNormalize(ColumnBridge.expression(c)))
   }
 
-  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+  def normalizeText(spark: SparkSession, dir: String): DataFrame =
+    normalizeOf(Tables.documents(spark, dir))
+
+  /** Core of X52 over any (source, text) frame; test/scale seam. */
+  def normalizeOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.documents(spark, dir)
+    docs
       .select($"source",
         concat($"text", lit(DecomposedSuffix)).as("raw"))
       .withColumn("norm", nfc($"raw"))
