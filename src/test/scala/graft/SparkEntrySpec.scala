@@ -37,7 +37,7 @@ class SparkEntrySpec extends SparkSpec {
       "Vocab" -> Vocab.queries,
       "Intervals" -> Intervals.queries, "Fuzzy" -> Fuzzy.queries,
       "Normalize" -> Normalize.queries, "Divergence" -> Divergence.queries,
-      "SpanDedup" -> SpanDedup.queries)
+      "SpanDedup" -> SpanDedup.queries, "Winsorize" -> Winsorize.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
