@@ -132,14 +132,24 @@ object Dedup {
   /** LSH band-bucket candidate pairs from a signature table — the
     * only pair producer in X2 (never all-pairs).
     */
-  private[graft] def minhashCandidates(sig: DataFrame): DataFrame = {
+  /** (doc_id, band_idx, band_key) LSH band rows from a signature table —
+    * the bucket keys every candidate join (symmetric X2, asymmetric X56
+    * ingest) equi-joins on.
+    */
+  private[graft] def bandsOf(sig: DataFrame): DataFrame = {
     val spark = sig.sparkSession
     import spark.implicits._
     val bandArr = array((0 until nBands).map(b =>
       struct(lit(b).as("band_idx"),
         concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("band_key"))): _*)
-    val bands = sig.select($"doc_id", explode(bandArr).as("bs"))
+    sig.select($"doc_id", explode(bandArr).as("bs"))
       .select($"doc_id", $"bs.band_idx".as("band_idx"), $"bs.band_key".as("band_key"))
+  }
+
+  private[graft] def minhashCandidates(sig: DataFrame): DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    val bands = bandsOf(sig)
     bands.as("ba")
       .join(bands.as("bb"),
         col("ba.band_idx") === col("bb.band_idx") &&

@@ -38,7 +38,8 @@ class SparkEntrySpec extends SparkSpec {
       "Intervals" -> Intervals.queries, "Fuzzy" -> Fuzzy.queries,
       "Normalize" -> Normalize.queries, "Divergence" -> Divergence.queries,
       "SpanDedup" -> SpanDedup.queries, "Winsorize" -> Winsorize.queries,
-      "Resample" -> Resample.queries)
+      "Resample" -> Resample.queries, "Rolling" -> Rolling.queries,
+      "IncrementalDedup" -> IncrementalDedup.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
