@@ -39,7 +39,8 @@ class SparkEntrySpec extends SparkSpec {
       "Normalize" -> Normalize.queries, "Divergence" -> Divergence.queries,
       "SpanDedup" -> SpanDedup.queries, "Winsorize" -> Winsorize.queries,
       "Resample" -> Resample.queries, "Rolling" -> Rolling.queries,
-      "IncrementalDedup" -> IncrementalDedup.queries)
+      "IncrementalDedup" -> IncrementalDedup.queries,
+      "CdcChunking" -> CdcChunking.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
