@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Chunking, Cooccur, Dedup, Divergence, EpochShuffle, IncrementalDedup, InvertedIndex, Normalize, SimHashDedup, SpanDedup}
+import graft.ops.{CdcChunking, Chunking, Cooccur, Dedup, Divergence, EpochShuffle, IncrementalDedup, InvertedIndex, Normalize, SimHashDedup, SpanDedup}
 
 /** Local 10×-corpus scaling experiment (SCALE.md "Measured scaling
   * evidence"): the `documents` table is fixed at 5k rows across SFs, so
@@ -72,7 +72,8 @@ object ScaleBench {
       "x52_normalize_text" -> (d => Normalize.normalizeOf(d)),
       "x53_source_divergence" -> (d => Divergence.divergenceOf(d)),
       "x54_span_dedup" -> (d => SpanDedup.spanDedupOf(d)),
-      "x56_incremental_dedup" -> (d => IncrementalDedup.incrementalOf(d)))
+      "x56_incremental_dedup" -> (d => IncrementalDedup.incrementalOf(d)),
+      "x58_cdc_chunking" -> (d => CdcChunking.cdcChunkingOf(d)))
     queries.foreach { case (name, q) =>
       val t1 = timed(q(spark.read.parquet(dir1))
         .write.format("noop").mode("overwrite").save())

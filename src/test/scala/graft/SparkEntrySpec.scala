@@ -40,7 +40,8 @@ class SparkEntrySpec extends SparkSpec {
       "SpanDedup" -> SpanDedup.queries, "Winsorize" -> Winsorize.queries,
       "Resample" -> Resample.queries, "Rolling" -> Rolling.queries,
       "IncrementalDedup" -> IncrementalDedup.queries,
-      "CdcChunking" -> CdcChunking.queries)
+      "CdcChunking" -> CdcChunking.queries, "Tokenizer" -> Tokenizer.queries,
+      "RepeatSuppress" -> RepeatSuppress.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
