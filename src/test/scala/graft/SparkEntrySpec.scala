@@ -41,7 +41,8 @@ class SparkEntrySpec extends SparkSpec {
       "Resample" -> Resample.queries, "Rolling" -> Rolling.queries,
       "IncrementalDedup" -> IncrementalDedup.queries,
       "CdcChunking" -> CdcChunking.queries, "Tokenizer" -> Tokenizer.queries,
-      "RepeatSuppress" -> RepeatSuppress.queries, "Integrity" -> Integrity.queries)
+      "RepeatSuppress" -> RepeatSuppress.queries, "Integrity" -> Integrity.queries,
+      "CrossSource" -> CrossSource.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
