@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** X62 — prefix-filtered exact set-similarity self-join (the
+  * AllPairs/PPJoin candidate rule): every document pair with shingle
+  * Jaccard ≥ τ = 1/2, found WITHOUT all-pairs comparison and WITHOUT
+  * loss. Completes the near-dup join family: X2 is probabilistic
+  * (MinHash banding can miss), x17 bounds recall by a declared
+  * rare-shingle boundary (df ≤ 5), x32 is lossless but for Hamming
+  * distance on fixed-width fingerprints — this one is lossless at an
+  * exact Jaccard threshold on the raw sets.
+  *
+  * The filter: order the universe by a fixed global total order —
+  * (corpus df ascending, shingle) = rarest first — and keep each
+  * document's first `p = n − ⌈τ·n⌉ + 1` shingles. For any pair with
+  * J ≥ τ, the intersection has `i ≥ ⌈τ·max(n_a,n_b)⌉` elements
+  * (J = i/u and u ≥ max), so the SMALLEST common shingle sits within
+  * position `n − i + 1 ≤ p` of BOTH sets — some prefix shingle is
+  * shared, and the prefix equi-join finds every qualifying pair
+  * (pigeonhole; no loss). Rarest-first is what makes the candidate
+  * join sparse: prefix df² drives its size, and hot shingles fall out
+  * of every prefix. τ = 1/2 keeps all bounds exact-integer:
+  * ⌈n/2⌉ = (n+1) div 2, the size filter is n_a ≤ 2·n_b ∧ n_b ≤ 2·n_a,
+  * and the verify is 2·i ≥ n_a + n_b − i. No float ever decides.
+  *
+  * Scale shape: df is a groupBy + token-keyed join (never a PARTITION
+  * BY sh window — the x17 hot-key lesson); position/size windows are
+  * doc-partitioned; candidates and the two verify joins move candidate
+  * cardinality, not the corpus. The DuckDB oracle is the pure
+  * quadratic brute force — the driver's hash gate literally proves
+  * the pruned plan equals all-pairs.
+  */
+object PrefixJoin {
+
+  def prefixSimJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Dedup.shinglesOf(Tables.documents(spark, dir)).cache()
+
+    val df = tok.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy($"doc_id")
+    val ranked = tok.join(df, Seq("sh"))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("pos",
+        row_number().over(wDoc.orderBy($"df", $"sh")))
+    val prefix = ranked
+      .where($"pos" <= expr("n - ((n + 1) div 2) + 1"))
+
+    val cand = prefix.select($"doc_id".as("doc_a"), $"sh",
+        $"n".as("n_sh_a"))
+      .join(prefix.select($"doc_id".as("doc_b"), $"sh",
+        $"n".as("n_sh_b")), Seq("sh"))
+      .where($"doc_a" < $"doc_b" &&
+        $"n_sh_a" <= $"n_sh_b" * 2 && $"n_sh_b" <= $"n_sh_a" * 2)
+      .select($"doc_a", $"doc_b", $"n_sh_a", $"n_sh_b").distinct()
+
+    cand
+      .join(tok.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
+      .join(tok.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(max($"n_sh_a").as("n_sh_a"), max($"n_sh_b").as("n_sh_b"),
+        count(lit(1)).as("n_common"))
+      .where(lit(2) * $"n_common" >= $"n_sh_a" + $"n_sh_b" - $"n_common")
+      .select($"doc_a", $"doc_b", $"n_sh_a", $"n_sh_b", $"n_common",
+        ($"n_common".cast("double") /
+          ($"n_sh_a" + $"n_sh_b" - $"n_common").cast("double"))
+          .as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Pure all-pairs brute force — proving the prefix filter lossless. */
+  val prefixSimJoinSql: String =
+    s"""WITH ${Dedup.shinglesSqlFrom("documents")},
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, sa.n AS n_sh_a, sb.n AS n_sh_b, n_common,
+       |       CAST(n_common AS DOUBLE)
+       |         / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+       |FROM cand
+       |JOIN sz sa ON doc_a = sa.doc_id
+       |JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE 2 * n_common >= sa.n + sb.n - n_common
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x62_setsim_prefix_join" -> prefixSimJoin _)
+
+  val oracles: Map[String, String] = Map(
+    "x62_setsim_prefix_join" -> prefixSimJoinSql)
+}

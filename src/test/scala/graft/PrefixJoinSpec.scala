@@ -1,0 +1,59 @@
+package graft
+
+import graft.ops.{Dedup, PrefixJoin}
+
+/** X62 — prefix-filtered set-similarity join: the pruned plan must
+  * equal an in-test all-pairs brute force (losslessness), contain every
+  * X2-verified pair (LSH can only miss, never the exact join), and keep
+  * its windows doc-partitioned (the df side is groupBy + join, never a
+  * PARTITION BY sh window).
+  */
+class PrefixJoinSpec extends SparkSpec {
+
+  private def shingleSets(): Map[Long, Set[String]] =
+    Dedup.shinglesOf(Tables.documents(spark, sfDir)).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("X62: equals the all-pairs brute force at tau = 1/2") {
+    val sets = shingleSets()
+    val ids = sets.keys.toSeq.sorted
+    val expected = (for {
+      (a, ia) <- ids.zipWithIndex; b <- ids.drop(ia + 1)
+      i = (sets(a) & sets(b)).size
+      u = sets(a).size + sets(b).size - i
+      if 2 * i >= u
+    } yield (a, b, sets(a).size.toLong, sets(b).size.toLong, i.toLong))
+      .toSet
+
+    val got = PrefixJoin.prefixSimJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected, s"got ${got.size}, expected ${expected.size}")
+    assert(expected.nonEmpty, "fixture has at least one qualifying pair")
+  }
+
+  test("X62: contains every X2 LSH-verified pair") {
+    val lsh = Dedup.minhashLsh(spark, sfDir).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = PrefixJoin.prefixSimJoin(spark, sfDir)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH pairs missing from exact join: " +
+      s"${(lsh -- exact).take(5)}")
+  }
+
+  test("X62: plan — doc-partitioned windows only, no cartesian") {
+    val df = PrefixJoin.prefixSimJoin(spark, sfDir)
+    df.queryExecution.executedPlan.execute().foreach(_ => ())
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+    assert(!plan.contains("CartesianProduct"))
+    val windows = "(?m)^.*Window .*$".r.findAllIn(plan).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("doc_id")),
+      windows.mkString("\n"))
+  }
+}
