@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** X63 — directed containment join: document pairs where ≥ τ = 3/4 of
+  * the INNER document's shingles appear in the OUTER document —
+  * quote/excerpt/superset detection, the asymmetric relation Jaccard
+  * misses (a paragraph quoted inside a long article has tiny Jaccard
+  * but full containment). The fourth member of the near-dup join
+  * family: X2 probabilistic symmetric, x17 recall-bounded symmetric,
+  * x62 lossless symmetric, this one lossless DIRECTED.
+  *
+  * The prefix rule turns asymmetric: containment bounds the
+  * intersection only against the inner set (`i ≥ ⌈τ·n_inner⌉`), so
+  * only the INNER side prunes to its first `n − ⌈τ·n⌉ + 1` shingles
+  * in the global rarest-first order — the outer side must stay fully
+  * indexed (an excerpt can sit anywhere in a superset; there is no
+  * outer-side bound to exploit). The candidate join is inner-prefix ⋈
+  * outer-full on the shingle — Σ_sh df·df_prefix candidates, sparse
+  * for the same rarest-first reason as x62. Verification is the same
+  * candidate-bounded count join; `4·i ≥ 3·n_inner` decides — integer,
+  * no float. Inner docs need ≥ 5 shingles (a 1-shingle doc is
+  * "contained" everywhere; the floor is part of the operator's
+  * contract, mirrored in the oracle).
+  *
+  * Scale shape: identical discipline to x62 — df via groupBy + join,
+  * doc-partitioned windows, joins move candidate cardinality. Both
+  * directions of a mutual containment emit (directed result by
+  * design). The DuckDB oracle is the pure all-pairs brute force: the
+  * hash gate proves the asymmetric pruning lossless.
+  */
+object Containment {
+
+  /** Minimum inner-shingle count for a containment claim. */
+  private[graft] val minInnerShingles = 5L
+
+  def containmentJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Dedup.shinglesOf(Tables.documents(spark, dir)).cache()
+
+    val df = tok.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy($"doc_id")
+    val ranked = tok.join(df, Seq("sh"))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("pos", row_number().over(wDoc.orderBy($"df", $"sh")))
+
+    // inner side: prefix-pruned, ≥5 shingles; outer side: full index
+    val innerPrefix = ranked
+      .where($"n" >= minInnerShingles &&
+        $"pos" <= expr("n - ((3 * n + 3) div 4) + 1"))
+      .select($"doc_id".as("doc_inner"), $"sh", $"n".as("n_sh_inner"))
+    val outerFull = ranked
+      .select($"doc_id".as("doc_outer"), $"sh", $"n".as("n_sh_outer"))
+
+    val cand = innerPrefix.join(outerFull, Seq("sh"))
+      .where($"doc_inner" =!= $"doc_outer")
+      .select($"doc_inner", $"doc_outer", $"n_sh_inner", $"n_sh_outer")
+      .distinct()
+
+    cand
+      .join(tok.select($"doc_id".as("doc_inner"), $"sh"), Seq("doc_inner"))
+      .join(tok.select($"doc_id".as("doc_outer"), $"sh"),
+        Seq("doc_outer", "sh"))
+      .groupBy($"doc_inner", $"doc_outer")
+      .agg(max($"n_sh_inner").as("n_sh_inner"),
+        max($"n_sh_outer").as("n_sh_outer"),
+        count(lit(1)).as("n_common"))
+      .where(lit(4) * $"n_common" >= lit(3) * $"n_sh_inner")
+      .select($"doc_inner", $"doc_outer", $"n_sh_inner", $"n_sh_outer",
+        $"n_common",
+        ($"n_common".cast("double") / $"n_sh_inner".cast("double"))
+          .as("containment"))
+      .orderBy($"doc_inner", $"doc_outer")
+  }
+
+  /** Pure all-pairs brute force — proving the asymmetric pruning
+    * lossless. */
+  val containmentJoinSql: String =
+    s"""WITH ${Dedup.shinglesSqlFrom("documents")},
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
+       |         count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_inner, doc_outer, sa.n AS n_sh_inner,
+       |       sb.n AS n_sh_outer, n_common,
+       |       CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE)
+       |         AS containment
+       |FROM cand
+       |JOIN sz sa ON doc_inner = sa.doc_id
+       |JOIN sz sb ON doc_outer = sb.doc_id
+       |WHERE 4 * n_common >= 3 * sa.n AND sa.n >= $minInnerShingles
+       |ORDER BY doc_inner, doc_outer""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x63_containment_join" -> containmentJoin _)
+
+  val oracles: Map[String, String] = Map(
+    "x63_containment_join" -> containmentJoinSql)
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.{Containment, Dedup}
+
+/** X63 — containment join: the asymmetrically-pruned plan must equal
+  * an in-test all-pairs brute force, emit DIRECTED pairs (mutual
+  * containment appears twice), and respect the min-inner-shingle
+  * floor. Windows stay doc-partitioned.
+  */
+class ContainmentSpec extends SparkSpec {
+
+  private def sets(): Map[Long, Set[String]] =
+    Dedup.shinglesOf(Tables.documents(spark, sfDir)).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("X63: equals the all-pairs brute force at tau = 3/4") {
+    val s = sets()
+    val expected = (for {
+      a <- s.keys.toSeq; b <- s.keys.toSeq if a != b
+      na = s(a).size if na >= Containment.minInnerShingles
+      i = (s(a) & s(b)).size if 4 * i >= 3 * na
+    } yield (a, b, na.toLong, s(b).size.toLong, i.toLong)).toSet
+
+    val got = Containment.containmentJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected, s"got ${got.size}, expected ${expected.size}")
+    assert(expected.nonEmpty, "fixture has at least one containment")
+  }
+
+  test("X63: directed — identical shingle sets emit both orientations") {
+    val s = sets()
+    val got = Containment.containmentJoin(spark, sfDir)
+      .select("doc_inner", "doc_outer").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutual = for {
+      (a, b) <- got
+      if s(a) == s(b) && s(a).size >= Containment.minInnerShingles
+    } yield (b, a)
+    mutual.foreach(p => assert(got(p), s"missing reverse of $p"))
+  }
+
+  test("X63: plan — doc-partitioned windows, no cartesian") {
+    val df = Containment.containmentJoin(spark, sfDir)
+    df.queryExecution.executedPlan.execute().foreach(_ => ())
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+    assert(!plan.contains("CartesianProduct"))
+    val windows = "(?m)^.*Window .*$".r.findAllIn(plan).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("doc_id")),
+      windows.mkString("\n"))
+  }
+}
