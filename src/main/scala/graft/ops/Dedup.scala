@@ -198,7 +198,11 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  val minhashLshSql: String = {
+  /** Shared CTE chain shingles → signatures → bands → candidates →
+    * intersection counts; suffixed by X2's verify-select and X65's
+    * calibration rollup (single source, no SQL drift between them).
+    */
+  private[graft] val lshCandidateCtes: String = {
     val hashExpr = sqlMd5Long40("sh")
     val minCols = (0 until nHashes)
       .map(j => s"min((h * ${A(j)} + ${B(j)}) % $P) AS m$j").mkString(",\n         ")
@@ -223,7 +227,11 @@ object Dedup {
        |  FROM cand
        |  JOIN sh sa ON sa.doc_id = doc_a
        |  JOIN sh sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
-       |  GROUP BY doc_a, doc_b)
+       |  GROUP BY doc_a, doc_b)""".stripMargin
+  }
+
+  val minhashLshSql: String = {
+    s"""$lshCandidateCtes
        |SELECT doc_a, doc_b, za.n_sh AS n_sh_a, zb.n_sh AS n_sh_b, n_common,
        |       CAST(n_common AS DOUBLE)
        |         / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) AS jaccard
