@@ -38,9 +38,14 @@ object Containment {
   /** Minimum inner-shingle count for a containment claim. */
   private[graft] val minInnerShingles = 5L
 
-  def containmentJoin(spark: SparkSession, dir: String): DataFrame = {
+  def containmentJoin(spark: SparkSession, dir: String): DataFrame =
+    containmentJoinOf(Tables.documents(spark, dir))
+
+  /** Core of X63 over any (doc_id, text, …) frame; test/scale seam. */
+  def containmentJoinOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val tok = Dedup.shinglesOf(Tables.documents(spark, dir)).cache()
+    val tok = Dedup.shinglesOf(docs).cache()
 
     val df = tok.groupBy($"sh").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy($"doc_id")
@@ -52,12 +57,21 @@ object Containment {
     val innerPrefix = ranked
       .where($"n" >= minInnerShingles &&
         $"pos" <= expr("n - ((3 * n + 3) div 4) + 1"))
-      .select($"doc_id".as("doc_inner"), $"sh", $"n".as("n_sh_inner"))
+      .select($"doc_id".as("doc_inner"), $"sh", $"n".as("n_sh_inner"),
+        $"pos".as("pos_in"))
     val outerFull = ranked
-      .select($"doc_id".as("doc_outer"), $"sh", $"n".as("n_sh_outer"))
+      .select($"doc_id".as("doc_outer"), $"sh", $"n".as("n_sh_outer"),
+        $"pos".as("pos_out"))
 
+    // positional upper bound: common shingles sit at/after the matched
+    // positions in BOTH orders, so overlap ≤ min(n_in−pos_in,
+    // n_out−pos_out)+1; a true containment (i ≥ ⌈3n_in/4⌉) always
+    // passes through its smallest common shingle — lossless pruning
     val cand = innerPrefix.join(outerFull, Seq("sh"))
-      .where($"doc_inner" =!= $"doc_outer")
+      .where($"doc_inner" =!= $"doc_outer" &&
+        $"n_sh_outer" * 4 >= $"n_sh_inner" * 3 &&
+        (least($"n_sh_inner" - $"pos_in", $"n_sh_outer" - $"pos_out") + 1)
+          * 4 >= $"n_sh_inner" * 3)
       .select($"doc_inner", $"doc_outer", $"n_sh_inner", $"n_sh_outer")
       .distinct()
 

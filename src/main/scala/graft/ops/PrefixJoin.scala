@@ -37,9 +37,14 @@ import graft.Tables
   */
 object PrefixJoin {
 
-  def prefixSimJoin(spark: SparkSession, dir: String): DataFrame = {
+  def prefixSimJoin(spark: SparkSession, dir: String): DataFrame =
+    prefixSimJoinOf(Tables.documents(spark, dir))
+
+  /** Core of X62 over any (doc_id, text, …) frame; test/scale seam. */
+  def prefixSimJoinOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val tok = Dedup.shinglesOf(Tables.documents(spark, dir)).cache()
+    val tok = Dedup.shinglesOf(docs).cache()
 
     val df = tok.groupBy($"sh").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy($"doc_id")
@@ -50,12 +55,19 @@ object PrefixJoin {
     val prefix = ranked
       .where($"pos" <= expr("n - ((n + 1) div 2) + 1"))
 
+    // positional upper bound (PPJoin): a pair with J ≥ τ needs overlap
+    // α = ⌈(n_a+n_b)/3⌉ (τ = 1/2); common shingles all sit at/after the
+    // matched positions, so overlap ≤ min(n_a−pos_a, n_b−pos_b)+1 — the
+    // smallest common shingle always passes when J ≥ τ (lossless), and
+    // most spurious prefix collisions die before the verify joins
     val cand = prefix.select($"doc_id".as("doc_a"), $"sh",
-        $"n".as("n_sh_a"))
+        $"n".as("n_sh_a"), $"pos".as("pos_a"))
       .join(prefix.select($"doc_id".as("doc_b"), $"sh",
-        $"n".as("n_sh_b")), Seq("sh"))
+        $"n".as("n_sh_b"), $"pos".as("pos_b")), Seq("sh"))
       .where($"doc_a" < $"doc_b" &&
-        $"n_sh_a" <= $"n_sh_b" * 2 && $"n_sh_b" <= $"n_sh_a" * 2)
+        $"n_sh_a" <= $"n_sh_b" * 2 && $"n_sh_b" <= $"n_sh_a" * 2 &&
+        (least($"n_sh_a" - $"pos_a", $"n_sh_b" - $"pos_b") + 1) * 3 >=
+          $"n_sh_a" + $"n_sh_b")
       .select($"doc_a", $"doc_b", $"n_sh_a", $"n_sh_b").distinct()
 
     cand

@@ -42,7 +42,12 @@ class SparkEntrySpec extends SparkSpec {
       "IncrementalDedup" -> IncrementalDedup.queries,
       "CdcChunking" -> CdcChunking.queries, "Tokenizer" -> Tokenizer.queries,
       "RepeatSuppress" -> RepeatSuppress.queries, "Integrity" -> Integrity.queries,
-      "CrossSource" -> CrossSource.queries)
+      "CrossSource" -> CrossSource.queries, "Basket" -> Basket.queries,
+      "SplitLeakage" -> SplitLeakage.queries,
+      "Compaction" -> Compaction.queries, "PrefixJoin" -> PrefixJoin.queries,
+      "Containment" -> Containment.queries,
+      "EmbedProfile" -> EmbedProfile.queries,
+      "Calibration" -> Calibration.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
