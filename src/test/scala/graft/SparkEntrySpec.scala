@@ -47,7 +47,9 @@ class SparkEntrySpec extends SparkSpec {
       "Compaction" -> Compaction.queries, "PrefixJoin" -> PrefixJoin.queries,
       "Containment" -> Containment.queries,
       "EmbedProfile" -> EmbedProfile.queries,
-      "Calibration" -> Calibration.queries)
+      "Calibration" -> Calibration.queries,
+      "Attribution" -> Attribution.queries, "SkewAudit" -> SkewAudit.queries,
+      "SplitRepair" -> SplitRepair.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
