@@ -506,8 +506,12 @@ object Dedup {
     labels
   }
 
-  val dupClustersSql: String =
-    s"""WITH RECURSIVE $ngramPairCtes,
+  /** CC label CTE chain (x17 pairs → edges → transitive closure →
+    * `comp(doc, cluster_id)`); prefixed by WITH RECURSIVE at the call
+    * site. Shared by the x18 and x67 oracles.
+    */
+  private[graft] val ccLabelCtes: String =
+    s"""$ngramPairCtes,
        |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
        |edges AS (
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -519,7 +523,10 @@ object Dedup {
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
        |comp AS (
        |  SELECT a AS doc, least(a, min(b)) AS cluster_id
-       |  FROM reach GROUP BY a)
+       |  FROM reach GROUP BY a)""".stripMargin
+
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE $ccLabelCtes
        |SELECT doc_id,
        |       coalesce(c.cluster_id, doc_id) AS cluster_id,
        |       count(*) OVER (PARTITION BY coalesce(c.cluster_id, doc_id)) AS cluster_size,

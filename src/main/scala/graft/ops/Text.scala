@@ -213,8 +213,12 @@ object Text {
       .drop("words")
   }
 
-  val textQualitySql: String =
-    """WITH t AS (
+  /** Quality sufficient-statistics + score CTE chain ending in
+    * `q_score(doc_id, n_tokens, n_stop, sum_word_chars,
+    * quality_score)`; shared by the x10 and x67 oracles.
+    */
+  private[graft] val qualityScoreCtes: String =
+    """q_t AS (
       |  SELECT doc_id, text,
       |         string_split_regex(trim(lower(text)), '\s+') AS words
       |  FROM documents),
@@ -223,16 +227,23 @@ object Text {
       |         CAST(len(words) AS BIGINT) AS n_tokens,
       |         CAST(len(list_filter(words, w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop,
       |         CAST(length(regexp_replace(lower(text), '\s+', '', 'g')) AS BIGINT) AS sum_word_chars
-      |  FROM t)
+      |  FROM q_t),
+      |q_score AS (
+      |  SELECT doc_id, n_tokens, n_stop, sum_word_chars,
+      |         least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5
+      |           + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
+      |           + least(1.0, (CAST(sum_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 8.0) * 0.2 AS quality_score
+      |  FROM m)""".stripMargin
+
+  val textQualitySql: String =
+    s"""WITH $qualityScoreCtes
       |SELECT doc_id, n_tokens, n_stop,
       |       CAST(sum_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_word_len,
       |       CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
       |       CASE WHEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.12
       |            THEN 'en_like' ELSE 'other' END AS lang_guess,
-      |       least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5
-      |         + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
-      |         + least(1.0, (CAST(sum_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 8.0) * 0.2 AS quality_score
-      |FROM m
+      |       quality_score
+      |FROM q_score
       |ORDER BY doc_id""".stripMargin
 
   /** X-tokenize — BPE-style pre-tokenization: the GPT-2-ish regex splits

@@ -49,7 +49,8 @@ class SparkEntrySpec extends SparkSpec {
       "EmbedProfile" -> EmbedProfile.queries,
       "Calibration" -> Calibration.queries,
       "Attribution" -> Attribution.queries, "SkewAudit" -> SkewAudit.queries,
-      "SplitRepair" -> SplitRepair.queries)
+      "SplitRepair" -> SplitRepair.queries,
+      "QualityDedup" -> QualityDedup.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
