@@ -41,6 +41,34 @@ class ContainmentSpec extends SparkSpec {
     mutual.foreach(p => assert(got(p), s"missing reverse of $p"))
   }
 
+  test("X63: boundary fixtures — full quote, exact 3/4, below, and floor") {
+    import spark.implicits._
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val docs = Seq(
+      // full containment: doc1's 5 shingles all appear in doc2
+      (1L, (words("a", 7)).mkString(" ")),
+      (2L, ("z" +: "y" +: words("a", 7) :+ "w").mkString(" ")),
+      // exact 3/4: doc3 has 8 shingles, 6 shared with doc4
+      (3L, words("m", 10).mkString(" ")),
+      (4L, (words("m", 8) ++ words("t", 4)).mkString(" ")),
+      // below threshold: doc5 has 8 shingles, 5 shared with doc6
+      (5L, words("n", 10).mkString(" ")),
+      (6L, (words("n", 7) ++ words("u", 5)).mkString(" ")),
+      // floor: doc7 has 4 shingles (< 5), fully inside doc8
+      (7L, words("f", 6).mkString(" ")),
+      (8L, (words("f", 6) ++ words("g", 4)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Containment.containmentJoinOf(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(got.contains((1L, 2L)), "full quote found")
+    assert(java.lang.Double.compare(got((1L, 2L)), 1.0) == 0)
+    assert(got.contains((3L, 4L)), "exact 3/4 boundary is IN")
+    assert(java.lang.Double.compare(got((3L, 4L)), 0.75) == 0)
+    assert(!got.contains((4L, 3L)), "reverse direction below threshold")
+    assert(!got.contains((5L, 6L)), "5/8 containment is OUT")
+    assert(!got.contains((7L, 8L)), "inner below 5-shingle floor excluded")
+  }
+
   test("X63: plan — doc-partitioned windows, no cartesian") {
     val df = Containment.containmentJoin(spark, sfDir)
     df.queryExecution.executedPlan.execute().foreach(_ => ())

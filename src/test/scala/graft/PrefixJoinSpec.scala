@@ -43,6 +43,37 @@ class PrefixJoinSpec extends SparkSpec {
       s"${(lsh -- exact).take(5)}")
   }
 
+  test("X62: threshold boundary — J = 1/2 exactly is IN, just below is OUT") {
+    import spark.implicits._
+    // doc 1/2: 4 shared + 2 unique each → J = 4/8 = 1/2 (boundary, in)
+    // doc 3/4: 3 shared + 2/3 unique → J = 3/8 < 1/2 (out)
+    // doc 5: two words → 0 shingles (absent entirely)
+    def text(shingleWords: Seq[String]) = shingleWords.mkString(" ")
+    val docs = Seq(
+      (1L, text(Seq("a", "b", "c", "d", "e", "f", "p", "q"))),
+      (2L, text(Seq("a", "b", "c", "d", "e", "f", "x", "y"))),
+      (3L, text(Seq("k", "l", "m", "n", "o", "u", "v"))),
+      (4L, text(Seq("k", "l", "m", "n", "o", "w", "x", "z"))),
+      (5L, "too short")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.PrefixJoin.prefixSimJoinOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    // recompute the truth from the same shingling
+    val sets = graft.ops.Dedup.shinglesOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = (for {
+      a <- sets.keys.toSeq; b <- sets.keys.toSeq if a < b
+      i = (sets(a) & sets(b)).size
+      u = sets(a).size + sets(b).size - i if 2 * i >= u
+    } yield (a, b)).toSet
+    assert(got.map(x => (x._1, x._2)).toSet == expected)
+    assert(expected.contains((1L, 2L)), "boundary pair included")
+    assert(!expected.contains((3L, 4L)), "sub-threshold pair excluded")
+    assert(!sets.contains(5L), "two-word doc has no shingles")
+    got.foreach(x => assert(x._3 >= 0.5))
+  }
+
   test("X62: plan — doc-partitioned windows only, no cartesian") {
     val df = PrefixJoin.prefixSimJoin(spark, sfDir)
     df.queryExecution.executedPlan.execute().foreach(_ => ())
