@@ -50,7 +50,8 @@ class SparkEntrySpec extends SparkSpec {
       "Calibration" -> Calibration.queries,
       "Attribution" -> Attribution.queries, "SkewAudit" -> SkewAudit.queries,
       "SplitRepair" -> SplitRepair.queries,
-      "QualityDedup" -> QualityDedup.queries, "Bm25" -> Bm25.queries)
+      "QualityDedup" -> QualityDedup.queries, "Bm25" -> Bm25.queries,
+      "Hybrid" -> Hybrid.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
