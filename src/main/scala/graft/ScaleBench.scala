@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{CdcChunking, Chunking, Containment, Cooccur, Dedup, Divergence, EpochShuffle, IncrementalDedup, InvertedIndex, Normalize, PrefixJoin, SimHashDedup, SpanDedup}
+import graft.ops.{Bm25, CdcChunking, Chunking, Containment, Cooccur, Dedup, Divergence, EpochShuffle, IncrementalDedup, InvertedIndex, Normalize, PrefixJoin, SimHashDedup, SpanDedup}
 
 /** Local 10×-corpus scaling experiment (SCALE.md "Measured scaling
   * evidence"): the `documents` table is fixed at 5k rows across SFs, so
@@ -75,7 +75,8 @@ object ScaleBench {
       "x56_incremental_dedup" -> (d => IncrementalDedup.incrementalOf(d)),
       "x58_cdc_chunking" -> (d => CdcChunking.cdcChunkingOf(d)),
       "x62_setsim_prefix_join" -> (d => PrefixJoin.prefixSimJoinOf(d)),
-      "x63_containment_join" -> (d => Containment.containmentJoinOf(d)))
+      "x63_containment_join" -> (d => Containment.containmentJoinOf(d)),
+      "x68_bm25_topk" -> (d => Bm25.bm25TopKOf(d)))
     queries.foreach { case (name, q) =>
       val t1 = timed(q(spark.read.parquet(dir1))
         .write.format("noop").mode("overwrite").save())

@@ -34,9 +34,14 @@ object Bm25 {
 
   private val topK = 10
 
-  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25TopKOf(Tables.documents(spark, dir))
+
+  /** Core of X68 over any (doc_id, text, …) frame; test/scale seam. */
+  def bm25TopKOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val tf = Tables.documents(spark, dir)
+    val tf = docs
       .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
       .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("word"))
       .filter($"word" =!= "")
