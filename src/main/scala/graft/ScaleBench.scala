@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Bm25, CdcChunking, Chunking, Containment, Cooccur, Dedup, Divergence, EpochShuffle, IncrementalDedup, InvertedIndex, Normalize, PrefixJoin, SimHashDedup, SpanDedup}
+import graft.ops.{Attribution, Bm25, CdcChunking, Chunking, Containment, Cooccur, Dedup, Divergence, EpochShuffle, Hybrid, IncrementalDedup, InvertedIndex, Normalize, PrefixJoin, QualityDedup, SimHashDedup, SkewAudit, SpanDedup}
 
 /** Local 10×-corpus scaling experiment (SCALE.md "Measured scaling
   * evidence"): the `documents` table is fixed at 5k rows across SFs, so
@@ -32,6 +32,22 @@ object ScaleBench {
         $"source",
         array_join(transform(split(trim(lower($"text")), "\\s+"),
           w => concat(w, lit("_"), $"block")), " ").as("text"))
+  }
+
+  /** Events replica for the event-shaped rows (b48/b49): each block
+    * carries a DISJOINT user population with the original per-user
+    * timelines — user-keyed windows and bucket-hash audits then scale
+    * across users exactly as a 10×-user production table would.
+    */
+  def replicateEvents(ev: DataFrame, blocks: Int): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.crossJoin(spark.range(blocks).toDF("block"))
+      .select(
+        ($"event_id" + $"block" * 100000000L).as("event_id"),
+        $"ts",
+        ($"user_id" + $"block" * 10000000L).as("user_id"),
+        $"event_type", $"value", $"props")
   }
 
   def main(args: Array[String]): Unit = {
@@ -76,11 +92,33 @@ object ScaleBench {
       "x58_cdc_chunking" -> (d => CdcChunking.cdcChunkingOf(d)),
       "x62_setsim_prefix_join" -> (d => PrefixJoin.prefixSimJoinOf(d)),
       "x63_containment_join" -> (d => Containment.containmentJoinOf(d)),
-      "x68_bm25_topk" -> (d => Bm25.bm25TopKOf(d)))
+      "x67_quality_canonical" -> (d => QualityDedup.qualityCanonicalOf(d)),
+      "x68_bm25_topk" -> (d => Bm25.bm25TopKOf(d)),
+      // lexical retriever scales with the corpus; the dense side reads
+      // the fixed embedding table both times (documented in SCALE.md)
+      "x69_hybrid_rrf" ->
+        (d => Hybrid.hybridRrfOf(d, Tables.embeddings(spark, sfDir))))
     queries.foreach { case (name, q) =>
       val t1 = timed(q(spark.read.parquet(dir1))
         .write.format("noop").mode("overwrite").save())
       val t10 = timed(q(spark.read.parquet(dir10))
+        .write.format("noop").mode("overwrite").save())
+      println(f"SCALE $name 1x=$t1%.2f s 10x=$t10%.2f s growth=${t10 / t1}%.1fx")
+    }
+    // event-shaped rows scale on the user dimension instead
+    val ev1 = "target/scale_events_1x"
+    val ev10 = "target/scale_events_10x"
+    val evBase = Tables.events(spark, sfDir)
+    evBase.repartition(8).write.mode("overwrite").parquet(ev1)
+    replicateEvents(evBase, Blocks).repartition(8 * Blocks)
+      .write.mode("overwrite").parquet(ev10)
+    val evQueries: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "b48_last_touch_attribution" -> (d => Attribution.lastTouchOf(d)),
+      "b49_partition_skew" -> (d => SkewAudit.partitionSkewOf(d)))
+    evQueries.foreach { case (name, q) =>
+      val t1 = timed(q(spark.read.parquet(ev1))
+        .write.format("noop").mode("overwrite").save())
+      val t10 = timed(q(spark.read.parquet(ev10))
         .write.format("noop").mode("overwrite").save())
       println(f"SCALE $name 1x=$t1%.2f s 10x=$t10%.2f s growth=${t10 / t1}%.1fx")
     }

@@ -29,6 +29,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Several ops cache intermediates (shingles, signatures, tf) for
+      // their own multi-consumer plans; across a full 118-query run those
+      // blocks would otherwise accumulate in the one shared session.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

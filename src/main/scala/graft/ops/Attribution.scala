@@ -34,9 +34,14 @@ object Attribution {
 
   private val lookbackUs = 7L * 24 * 3600 * 1000000L
 
-  def lastTouch(spark: SparkSession, dir: String): DataFrame = {
+  def lastTouch(spark: SparkSession, dir: String): DataFrame =
+    lastTouchOf(Tables.events(spark, dir))
+
+  /** Core of B48 over any events-shaped frame (ScaleBench seam). */
+  private[graft] def lastTouchOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
-    val ev = Tables.events(spark, dir)
+    val ev = events
       .select($"user_id", $"event_type", $"value", $"event_id",
         unix_micros($"ts").as("us"))
 

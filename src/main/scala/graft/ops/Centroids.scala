@@ -58,7 +58,7 @@ object Centroids {
        |       LATERAL unnest(generate_series(1, len(embedding))) AS u(i))
        |SELECT label, CAST(dim AS BIGINT) AS dim,
        |       count(*) AS n_vectors,
-       |       sum(q) AS sum_q,
+       |       CAST(sum(q) AS BIGINT) AS sum_q,
        |       CAST(sum(q) AS DOUBLE) / count(*) AS mean_q
        |FROM e
        |GROUP BY label, dim

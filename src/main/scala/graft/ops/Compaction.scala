@@ -72,7 +72,8 @@ object Compaction {
        |           AS cum_bytes
        |  FROM files
        |)
-       |SELECT event_type, (cum_bytes - f_bytes) // $targetBytes AS bin_id,
+       |SELECT event_type,
+       |       CAST((cum_bytes - f_bytes) // $targetBytes AS BIGINT) AS bin_id,
        |       count(*) AS n_files,
        |       CAST(sum(f_bytes) AS BIGINT) AS bin_bytes,
        |       CAST(sum(f_rows) AS BIGINT) AS bin_rows,

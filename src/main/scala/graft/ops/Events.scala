@@ -226,6 +226,42 @@ object Events {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** B20 — map/JSON function family as its own oracle-checked row (it
+    * previously rode on x08, which exercises `from_json`/`element_at`/
+    * `map_keys` but left `json_tuple`/`get_json_object`/`map_values`
+    * spec-only). Path extraction twice — `get_json_object` (one path) and
+    * `json_tuple` (generator form, the multi-path variant) — plus the
+    * map-side family over the parsed map: `map_values`, `element_at` on
+    * the value array, `map_contains_key`. All row-local projections:
+    * map-only plan, no shuffle, scales linearly.
+    */
+  def mapJsonFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("pm", from_json($"props", MapType(StringType, IntegerType)))
+      .select(
+        $"event_id",
+        get_json_object($"props", "$.k").as("k_get"),
+        json_tuple($"props", "k"),
+        array_join(map_values($"pm"), ",").as("values_csv"),
+        element_at(map_values($"pm"), 1).as("first_value"),
+        map_contains_key($"pm", "k").as("has_k"))
+      .withColumnRenamed("c0", "k_tuple")
+      .orderBy($"event_id")
+  }
+
+  private[graft] val mapJsonFunctionsSql: String =
+    """SELECT event_id,
+      |       json_extract_string(props, '$.k') AS k_get,
+      |       json_extract_string(props, '$.k') AS k_tuple,
+      |       array_to_string(list_transform(json_keys(props),
+      |         k -> json_extract_string(props, '$.' || k)), ',') AS values_csv,
+      |       CAST(json_extract(props, '$.' || json_keys(props)[1])
+      |         AS INTEGER) AS first_value,
+      |       list_contains(json_keys(props), 'k') AS has_k
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   /** B19 — array function family over the embedding vectors: size, min,
     * max, the positive-count and quantized-L1 folds, slice. The folds are
     * the native codegen expressions CountPositive/QuantizedAbsL1
@@ -307,6 +343,7 @@ object Events {
     "b19_array_hof" -> arrayHof _,
     "b21_sliding_window" -> slidingWindow _,
     "b22_session_window" -> sessionWindow _,
+    "b20_map_json" -> mapJsonFunctions _,
     "x08_props_decode" -> propsDecode _,
     "x09_sessionization" -> sessionize _)
 
@@ -316,6 +353,7 @@ object Events {
     "b19_array_hof" -> arrayHofSql,
     "b21_sliding_window" -> slidingWindowSql,
     "b22_session_window" -> sessionWindowSql,
+    "b20_map_json" -> mapJsonFunctionsSql,
     "x08_props_decode" -> propsDecodeSql,
     "x09_sessionization" -> sessionizeSql)
 }

@@ -221,7 +221,7 @@ object Funnel {
       |  GROUP BY 1, 2)
       |SELECT from_type, to_type, n,
       |       CAST(n AS DOUBLE) /
-      |         sum(n) OVER (PARTITION BY from_type) AS p
+      |         CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
       |FROM agg
       |ORDER BY from_type, to_type""".stripMargin
 

@@ -38,9 +38,17 @@ object Hybrid {
   private val listK = 20
   private val fusedK = 10
 
-  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame =
+    hybridRrfOf(Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir))
+
+  /** Core of X69 over any (doc_id, text) corpus and aligned embedding
+    * table (ScaleBench seam — the lexical retriever scales with the
+    * corpus; the dense side is bounded by the embedding table).
+    */
+  private[graft] def hybridRrfOf(docs: DataFrame, e: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
     val qv = e.where($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
 
@@ -55,7 +63,7 @@ object Hybrid {
         .orderBy($"cos_sim".desc, $"doc_id".asc)))
       .where($"dense_rank" <= listK)
 
-    val sh = Dedup.shinglesOf(Tables.documents(spark, dir)).cache()
+    val sh = Dedup.shinglesOf(docs).cache()
     val qsh = sh.where($"doc_id" < nQueries)
       .select($"doc_id".as("query_id"), $"sh")
     val lex = sh.join(broadcast(qsh), Seq("sh"))

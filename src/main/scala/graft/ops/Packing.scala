@@ -99,8 +99,9 @@ object Packing {
        |  FROM documents),
        |c AS (
        |  SELECT doc_id, n_tokens,
-       |         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+       |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |           AS start_offset
        |  FROM t)
        |SELECT doc_id, n_tokens, start_offset,
        |       start_offset // $PackCapacity AS pack_id,

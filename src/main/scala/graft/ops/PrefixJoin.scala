@@ -41,7 +41,27 @@ object PrefixJoin {
     prefixSimJoinOf(Tables.documents(spark, dir))
 
   /** Core of X62 over any (doc_id, text, …) frame; test/scale seam. */
-  def prefixSimJoinOf(docs: DataFrame): DataFrame = {
+  def prefixSimJoinOf(docs: DataFrame): DataFrame =
+    prefixSimJoinOf(docs, Long.MaxValue)
+
+  /** X62 with the candidate-budget escape hatch engaged.
+    *
+    * `maxCandDf` bounds CANDIDATE GENERATION (x43's map-side-cap
+    * pattern, applied to the prefix index): shingles whose corpus df
+    * exceeds it are dropped from the prefix index — never from the
+    * verify joins, which stay exact on every surviving candidate. The
+    * candidate join is then ≤ maxCandDf² pairs per distinct shingle,
+    * LINEAR in vocabulary size no matter how df distributions shift at
+    * 100× — the declared-recall degradation mode for open-scale runs.
+    * A qualifying pair is missed only when EVERY prefix shingle it
+    * shares is hotter than the cap; at τ = 1/2 near-dup pairs share
+    * many predominantly-rare shingles, so the loss concentrates on
+    * pairs whose entire overlap is boilerplate. `Long.MaxValue` (the
+    * 1-arg form) keeps the filter out of the plan entirely — bit-equal
+    * to the lossless join, which the driver's brute-force oracle and
+    * PrefixJoinSpec pin.
+    */
+  def prefixSimJoinOf(docs: DataFrame, maxCandDf: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val tok = Dedup.shinglesOf(docs).cache()
@@ -52,8 +72,11 @@ object PrefixJoin {
       .withColumn("n", count(lit(1)).over(wDoc))
       .withColumn("pos",
         row_number().over(wDoc.orderBy($"df", $"sh")))
-    val prefix = ranked
+    val inBudget = ranked
       .where($"pos" <= expr("n - ((n + 1) div 2) + 1"))
+    val prefix =
+      if (maxCandDf == Long.MaxValue) inBudget
+      else inBudget.where($"df" <= maxCandDf)
 
     // positional upper bound (PPJoin): a pair with J ≥ τ needs overlap
     // α = ⌈(n_a+n_b)/3⌉ (τ = 1/2); common shingles all sit at/after the

@@ -28,11 +28,17 @@ import graft.Tables
   */
 object QualityDedup {
 
-  def qualityCanonical(spark: SparkSession, dir: String): DataFrame = {
+  def qualityCanonical(spark: SparkSession, dir: String): DataFrame =
+    qualityCanonicalOf(Tables.documents(spark, dir))
+
+  /** Core of X67 over any (doc_id, text) frame (ScaleBench seam). */
+  private[graft] def qualityCanonicalOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val labels = Dedup.connectedComponents(
-      Dedup.ngramJaccard(spark, dir).select($"doc_a", $"doc_b"))
-    val scored = Text.qualityOf(Tables.documents(spark, dir))
+      Dedup.ngramJaccardOf(Dedup.shinglesOf(docs))
+        .select($"doc_a", $"doc_b"))
+    val scored = Text.qualityOf(docs)
       .select($"doc_id", $"quality_score")
 
     val byCluster = Window.partitionBy($"cluster_id")

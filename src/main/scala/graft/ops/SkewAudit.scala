@@ -30,9 +30,14 @@ object SkewAudit {
 
   private[graft] val nBuckets = 32
 
-  def partitionSkew(spark: SparkSession, dir: String): DataFrame = {
+  def partitionSkew(spark: SparkSession, dir: String): DataFrame =
+    partitionSkewOf(Tables.events(spark, dir))
+
+  /** Core of B49 over any events-shaped frame (ScaleBench seam). */
+  private[graft] def partitionSkewOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
-    val ev = Tables.events(spark, dir)
+    val ev = events
       .select(
         (Hashing.md5Long40(concat(lit("pb|"), $"user_id".cast("string")))
           % nBuckets).as("bucket"))

@@ -69,6 +69,36 @@ class ContainmentSpec extends SparkSpec {
     assert(!got.contains((7L, 8L)), "inner below 5-shingle floor excluded")
   }
 
+  test("X63: candidate-budget cap — above-max-df ≡ lossless; tiny cap " +
+    "drops exactly the hot-only containments") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val lossless = Containment.containmentJoinOf(docs).collect().toSeq
+    val maxDf = Dedup.shinglesOf(docs).groupBy("sh").count()
+      .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
+    val capped = Containment.containmentJoinOf(docs, maxDf).collect().toSeq
+    assert(capped == lossless)
+
+    // crafted: doc 1 (5 rare shingles) quoted inside doc 2 — df ≤ 2 —
+    // while docs 10..13 are identical 7-shingle boilerplate (df = 4);
+    // a cap of 2 keeps the rare quote, drops the boilerplate cluster
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val crafted = (Seq(
+      (1L, words("a", 7).mkString(" ")),
+      (2L, ("z" +: "y" +: words("a", 7) :+ "w").mkString(" "))) ++
+      (10L to 13L).map(i => (i, words("h", 9).mkString(" "))))
+      .toDF("doc_id", "text")
+    val full = Containment.containmentJoinOf(crafted)
+      .select("doc_inner", "doc_outer").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tiny = Containment.containmentJoinOf(crafted, 2L)
+      .select("doc_inner", "doc_outer").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tiny.subsetOf(full), "capped result must be a subset")
+    assert(tiny == Set((1L, 2L)), s"rare quote survives the cap: $tiny")
+    assert(full.contains((10L, 11L)), "hot-only containments exist uncapped")
+  }
+
   test("X63: plan — doc-partitioned windows, no cartesian") {
     val df = Containment.containmentJoin(spark, sfDir)
     df.queryExecution.executedPlan.execute().foreach(_ => ())

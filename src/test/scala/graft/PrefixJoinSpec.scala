@@ -74,6 +74,36 @@ class PrefixJoinSpec extends SparkSpec {
     got.foreach(x => assert(x._3 >= 0.5))
   }
 
+  test("X62: candidate-budget cap — off/above-max-df ≡ lossless; tiny cap " +
+    "drops exactly the hot-only-overlap pairs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val lossless = PrefixJoin.prefixSimJoinOf(docs).collect().toSeq
+    // a finite cap above the corpus max df keeps the filter IN the plan
+    // yet must stay bit-equal to the lossless join
+    val maxDf = Dedup.shinglesOf(docs).groupBy("sh").count()
+      .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
+    val capped = PrefixJoin.prefixSimJoinOf(docs, maxDf).collect().toSeq
+    assert(capped == lossless)
+
+    // crafted corpus: (1,2) share 4 rare shingles (df = 2); docs 10..13
+    // are identical boilerplate, so every pair among them overlaps ONLY
+    // on shingles with df = 4 — a cap of 2 must drop exactly those
+    def text(ws: String*) = ws.mkString(" ")
+    val crafted = (Seq(
+      (1L, text("a", "b", "c", "d", "e", "f", "p", "q")),
+      (2L, text("a", "b", "c", "d", "e", "f", "x", "y"))) ++
+      (10L to 13L).map(i => (i, text("h1", "h2", "h3", "h4", "h5", "h6"))))
+      .toDF("doc_id", "text")
+    val full = PrefixJoin.prefixSimJoinOf(crafted)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tiny = PrefixJoin.prefixSimJoinOf(crafted, 2L)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tiny.subsetOf(full), "capped result must be a subset")
+    assert(tiny == Set((1L, 2L)), s"rare-overlap pair survives the cap: $tiny")
+    assert(full.contains((10L, 11L)), "hot-only pairs exist uncapped")
+  }
+
   test("X62: plan — doc-partitioned windows only, no cartesian") {
     val df = PrefixJoin.prefixSimJoin(spark, sfDir)
     df.queryExecution.executedPlan.execute().foreach(_ => ())

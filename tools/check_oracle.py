@@ -10,6 +10,7 @@ with SQL in <verifyOutDir>/oracle_sql.json, runs the SQL in DuckDB over the
 same testdata tables and compares: column names (sorted), row count, and
 values (exact; floats reported with max-abs-diff when not bit-equal).
 """
+import datetime
 import json
 import sys
 
@@ -29,9 +30,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
                 df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: tuple(v.tolist()) if hasattr(v, "tolist")
-                else (tuple(v) if isinstance(v, list) else v))
+            # Spark DATE columns arrive as object-dtype datetime.date while
+            # DuckDB DATEs arrive as datetime64 — the driver treats these as
+            # the same logical type (date-typed queries are driver-green),
+            # so coerce before the dtype-kind gate below sees them.
+            sample = df[c].dropna()
+            if len(sample) and isinstance(sample.iloc[0], datetime.date) \
+                    and not isinstance(sample.iloc[0], datetime.datetime):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            else:
+                df[c] = df[c].map(
+                    lambda v: tuple(v.tolist()) if hasattr(v, "tolist")
+                    else (tuple(v) if isinstance(v, list) else v))
     if len(df.columns):
         df = df.sort_values(by=list(df.columns), kind="mergesort",
                             na_position="last")
@@ -69,6 +79,23 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows spark={len(got)} duck={len(want)}")
+            n_fail += 1
+            continue
+        # Dtype gate: the driver hashes TYPED values, so a DuckDB HUGEINT
+        # (sum of BIGINT) that pandas materializes as float64 hash-diverges
+        # from Spark's int64 even when every value is numerically equal —
+        # and `==` below cannot see it (1234567 == 1234567.0 is True).
+        # This is exactly what let x26 ship driver-red for three rounds
+        # while staying green here. Fail on dtype-KIND mismatch (int vs
+        # float, numeric vs object) before value comparison.
+        kind_bad = []
+        for c in got.columns:
+            ka, kb = got[c].dtype.kind, want[c].dtype.kind
+            if ka != kb and not ({ka, kb} <= {"i", "u"}):
+                kind_bad.append(f"col {c}: spark={got[c].dtype} duck={want[c].dtype}")
+        if kind_bad:
+            print(f"FAIL {name}: dtype mismatch (driver hash would diverge): "
+                  + "; ".join(kind_bad))
             n_fail += 1
             continue
         diffs = []
