@@ -13,6 +13,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Let AQE coalesce post-shuffle partitions toward the advisory size
+      // instead of preserving parallelism: at bench SF most shuffles carry
+      // KBs, where 32 half-empty reducers are pure scheduling overhead —
+      // and at 100 TB this is the production-recommended setting too (task
+      // count tracks data volume, not a fixed multiplier of cores).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // 1 MiB advisory at bench SF: KB-sized shuffles (candidate joins,
+      // final ORDER BYs) collapse to one reducer while CPU-dense multi-MB
+      // stages keep enough partitions to stay parallel. At cluster scale
+      // the advisory goes back to the 64 MiB default — the setting scales
+      // with data, the principle (task count tracks bytes) does not change.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

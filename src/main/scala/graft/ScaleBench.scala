@@ -105,6 +105,43 @@ object ScaleBench {
         .write.format("noop").mode("overwrite").save())
       println(f"SCALE $name 1x=$t1%.2f s 10x=$t10%.2f s growth=${t10 / t1}%.1fx")
     }
+    // Optional (SPARK_GRAFT_SCALE_CAP30=1): the candidate-budget cap at
+    // 30× for the lossless joins. Corpus = the disjoint-vocab replica at
+    // 30 blocks PLUS a corpus-wide hot phrase appended to every document —
+    // the boilerplate every real corpus carries (df = |corpus|), which is
+    // exactly the term that makes uncapped candidate volume superlinear
+    // (x63's fully-indexed outer side joins through it; x62's prefix
+    // admits it for short documents). With maxCandDf = 1000 those
+    // shingles leave both candidate indexes: candidates stay block-local
+    // and bounded; the declared recall loss is pairs whose ENTIRE overlap
+    // is the hot phrase (the cap specs pin this contract).
+    if (sys.env.contains("SPARK_GRAFT_SCALE_CAP30")) {
+      val cap = 1000L
+      def hotCorpus(blocks: Int, dir: String): String = {
+        replicate(base, blocks)
+          .withColumn("text",
+            concat($"text", lit(" the quick brown fox jumps over it")))
+          .repartition(8 * blocks)
+          .write.mode("overwrite").parquet(dir)
+        dir
+      }
+      val hot10 = hotCorpus(10, "target/scale_corpus_10x_hot")
+      val hot30 = hotCorpus(30, "target/scale_corpus_30x_hot")
+      val capped: Seq[(String, DataFrame => DataFrame)] = Seq(
+        "x62_setsim_prefix_join" ->
+          (d => PrefixJoin.prefixSimJoinOf(d, cap)),
+        "x63_containment_join" ->
+          (d => Containment.containmentJoinOf(d, cap)))
+      capped.foreach { case (name, q) =>
+        val t10 = timed(q(spark.read.parquet(hot10))
+          .write.format("noop").mode("overwrite").save())
+        val t30 = timed(q(spark.read.parquet(hot30))
+          .write.format("noop").mode("overwrite").save())
+        println(f"SCALE $name cap=$cap hot10x=$t10%.2f s hot30x=$t30%.2f s " +
+          f"growth=${t30 / t10}%.1fx")
+      }
+    }
+
     // event-shaped rows scale on the user dimension instead
     val ev1 = "target/scale_events_1x"
     val ev10 = "target/scale_events_10x"

@@ -10,6 +10,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same AQE coalesce profile as Bench (see the rationale there):
+      // KB-sized shuffles collapse, CPU-dense stages keep parallelism
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       // plain µs timestamps in the dumped parquet (not INT96) so the
       // driver's reader sees the same logical type DuckDB produces
