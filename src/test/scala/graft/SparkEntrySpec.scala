@@ -52,7 +52,8 @@ class SparkEntrySpec extends SparkSpec {
       "SplitRepair" -> SplitRepair.queries,
       "QualityDedup" -> QualityDedup.queries, "Bm25" -> Bm25.queries,
       "Hybrid" -> Hybrid.queries,
-      "Assign" -> Assign.queries, "Twa" -> Twa.queries)
+      "Assign" -> Assign.queries, "Twa" -> Twa.queries,
+      "Cascade" -> Cascade.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
