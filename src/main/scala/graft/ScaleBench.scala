@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Attribution, Bm25, CdcChunking, Chunking, Containment, Cooccur, Dedup, Divergence, EpochShuffle, Hybrid, IncrementalDedup, InvertedIndex, Normalize, PrefixJoin, QualityDedup, SimHashDedup, SkewAudit, SpanDedup}
+import graft.ops.{Assign, Attribution, Bm25, Cascade, CdcChunking, Chunking, Containment, Cooccur, Dedup, Divergence, EpochShuffle, Hybrid, IncrementalDedup, InvertedIndex, Normalize, PrefixJoin, QualityDedup, SimHashDedup, SkewAudit, SpanDedup, Twa}
 
 /** Local 10×-corpus scaling experiment (SCALE.md "Measured scaling
   * evidence"): the `documents` table is fixed at 5k rows across SFs, so
@@ -93,6 +93,7 @@ object ScaleBench {
       "x62_setsim_prefix_join" -> (d => PrefixJoin.prefixSimJoinOf(d)),
       "x63_containment_join" -> (d => Containment.containmentJoinOf(d)),
       "x67_quality_canonical" -> (d => QualityDedup.qualityCanonicalOf(d)),
+      "x72_filter_cascade" -> (d => Cascade.filterCascadeOf(d)),
       "x68_bm25_topk" -> (d => Bm25.bm25TopKOf(d)),
       // lexical retriever scales with the corpus; the dense side reads
       // the fixed embedding table both times (documented in SCALE.md)
@@ -151,11 +152,36 @@ object ScaleBench {
       .write.mode("overwrite").parquet(ev10)
     val evQueries: Seq[(String, DataFrame => DataFrame)] = Seq(
       "b48_last_touch_attribution" -> (d => Attribution.lastTouchOf(d)),
-      "b49_partition_skew" -> (d => SkewAudit.partitionSkewOf(d)))
+      "b49_partition_skew" -> (d => SkewAudit.partitionSkewOf(d)),
+      "b50_time_weighted_avg" -> (d => Twa.timeWeightedAvgOf(d)))
     evQueries.foreach { case (name, q) =>
       val t1 = timed(q(spark.read.parquet(ev1))
         .write.format("noop").mode("overwrite").save())
       val t10 = timed(q(spark.read.parquet(ev10))
+        .write.format("noop").mode("overwrite").save())
+      println(f"SCALE $name 1x=$t1%.2f s 10x=$t10%.2f s growth=${t10 / t1}%.1fx")
+    }
+
+    // vector-shaped rows scale on the corpus dimension with the label
+    // space fixed: each block carries fresh vec_ids with the original
+    // label/embedding distribution, so the centroid aggregate stays
+    // |labels|×dims while the E-step stream grows 10× — exactly how a
+    // production corpus grows under a fixed clustering
+    val em1 = "target/scale_embeddings_1x"
+    val em10 = "target/scale_embeddings_10x"
+    val emBase = Tables.embeddings(spark, sfDir)
+    emBase.repartition(8).write.mode("overwrite").parquet(em1)
+    emBase.crossJoin(spark.range(Blocks).toDF("block"))
+      .select(($"vec_id" + $"block" * 10000000L).as("vec_id"),
+        $"embedding", $"label")
+      .repartition(8 * Blocks).write.mode("overwrite").parquet(em10)
+    val emQueries: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "x70_centroid_assign" -> (d => Assign.centroidAssignOf(d)),
+      "x71_kmeans_step" -> (d => Assign.kmeansStepOf(d)))
+    emQueries.foreach { case (name, q) =>
+      val t1 = timed(q(spark.read.parquet(em1))
+        .write.format("noop").mode("overwrite").save())
+      val t10 = timed(q(spark.read.parquet(em10))
         .write.format("noop").mode("overwrite").save())
       println(f"SCALE $name 1x=$t1%.2f s 10x=$t10%.2f s growth=${t10 / t1}%.1fx")
     }

@@ -63,9 +63,13 @@ object Assign {
           + dotQ($"c", $"c")).as("dist_q"))
   }
 
-  def centroidAssign(spark: SparkSession, dir: String): DataFrame = {
+  def centroidAssign(spark: SparkSession, dir: String): DataFrame =
+    centroidAssignOf(Tables.embeddings(spark, dir))
+
+  /** X70 over any (vec_id, label, embedding) frame — ScaleBench seam. */
+  private[graft] def centroidAssignOf(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
     scoredAgainst(e, centroidArrays(e))
       .drop("embedding")
       // partial-aggregable argmin: struct min is lexicographic on
@@ -93,9 +97,13 @@ object Assign {
     * i64 centroid fingerprints `floor(mean_q)` — exact both engines;
     * clusters that lose every member report NULL shift (no centroid).
     */
-  def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame =
+    kmeansStepOf(Tables.embeddings(spark, dir))
+
+  /** X71 over any (vec_id, label, embedding) frame — ScaleBench seam. */
+  private[graft] def kmeansStepOf(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
 
     val best = scoredAgainst(e, centroidArrays(e))
       .groupBy($"vec_id")

@@ -30,10 +30,15 @@ import graft.functions.Hashing.countInSet
   */
 object Cascade {
 
-  def filterCascade(spark: SparkSession, dir: String): DataFrame = {
+  def filterCascade(spark: SparkSession, dir: String): DataFrame =
+    filterCascadeOf(Tables.documents(spark, dir))
+
+  /** X72 over any (doc_id, text) frame — ScaleBench seam. */
+  private[graft] def filterCascadeOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val words = split(trim(lower($"text")), "\\s+")
-    val flags = Tables.documents(spark, dir)
+    val flags = docs
       .select($"doc_id", $"text")
       .withColumn("words", words)
       .withColumn("n_tokens", size($"words").cast("long"))

@@ -206,15 +206,21 @@ object Mixing {
       .orderBy($"lang")
   }
 
-  val mixtureWeightsSql: String =
-    s"""WITH c AS (
+  /** Shared oracle CTE chain for the temperature-mixture weight table:
+    * per-lang counts + p^α in DECIMAL(27,6), one-row totals. Used by the
+    * x46 and x73 oracles (no drift between them). */
+  private val mixtureCtes: String =
+    s"""c AS (
        |  SELECT lang, count(*) AS n_docs,
        |         CAST(pow(count(*), $TempAlpha) AS DECIMAL(27,6)) AS p6
        |  FROM documents GROUP BY 1),
        |t AS (
        |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
        |         sum(p6) AS p_total
-       |  FROM c)
+       |  FROM c)""".stripMargin
+
+  val mixtureWeightsSql: String =
+    s"""WITH $mixtureCtes
        |SELECT lang, n_docs,
        |       CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
        |       CAST(p6 AS DOUBLE) / CAST(p_total AS DOUBLE) AS alpha_weight,
@@ -223,13 +229,85 @@ object Mixing {
        |FROM c, t
        |ORDER BY lang""".stripMargin
 
+  /** X73 — largest-remainder (Hamilton) token-budget apportionment: the
+    * step a training job runs right after x46's mixture weights — turn
+    * fractional weights into INTEGER per-stratum budgets that sum to the
+    * global budget exactly. floor(weight·B) under-allocates by
+    * residual < |strata| tokens; each stratum's fractional remainder is
+    * ranked (frac DESC, lang ASC — total, tie-free) and the top
+    * `residual` strata get +1.
+    *
+    * Scale shape: the weight ledger is ≤ |strata| rows, so everything
+    * after the one corpus aggregate is broadcast arithmetic; the
+    * remainder rank is a broadcast nested-loop beat-count over the
+    * ledger (|strata|² comparisons, constant) — NOT a global window,
+    * which would plan the SinglePartition funnel the lint rejects.
+    * Parity: weights are the identical DECIMAL→double divisions as x46;
+    * frac = raw − CAST(floor AS DOUBLE) on identical doubles; the rank
+    * compares identical doubles with the lang tiebreak.
+    */
+  def tokenApportion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("p6", pow($"n_docs", lit(TempAlpha)).cast("decimal(27,6)"))
+      .cache()
+    val totals = counts.agg(sum($"p6").as("p_total"))
+    val w = counts.crossJoin(broadcast(totals))
+      .withColumn("raw",
+        $"p6".cast("double") / $"p_total".cast("double") * DrawBudget)
+      .withColumn("alloc_floor", floor($"raw").cast("long"))
+      .withColumn("frac", $"raw" - $"alloc_floor".cast("double"))
+      .select($"lang", $"n_docs", $"alloc_floor", $"frac")
+    val floorTotal = w.agg(sum($"alloc_floor").as("floor_total"))
+    val beaters = w.select($"lang".as("b_lang"), $"frac".as("b_frac"))
+    w.join(broadcast(beaters),
+        $"b_frac" > $"frac" ||
+          ($"b_frac" === $"frac" && $"b_lang" < $"lang"), "left")
+      .groupBy($"lang", $"n_docs", $"alloc_floor", $"frac")
+      .agg(count($"b_lang").as("n_beat"))
+      .crossJoin(broadcast(floorTotal))
+      .select($"lang", $"n_docs", $"alloc_floor",
+        ($"n_beat" + 1L).as("frac_rank"),
+        ($"alloc_floor" +
+          when($"n_beat" + 1L <= lit(DrawBudget) - $"floor_total", 1L)
+            .otherwise(0L)).as("alloc"))
+      .orderBy($"lang")
+  }
+
+  val tokenApportionSql: String =
+    s"""WITH $mixtureCtes,
+       |w AS (
+       |  SELECT lang, n_docs,
+       |         CAST(floor(CAST(p6 AS DOUBLE) / CAST(p_total AS DOUBLE)
+       |           * $DrawBudget) AS BIGINT) AS alloc_floor,
+       |         CAST(p6 AS DOUBLE) / CAST(p_total AS DOUBLE) * $DrawBudget
+       |           - CAST(CAST(floor(CAST(p6 AS DOUBLE) / CAST(p_total AS DOUBLE)
+       |               * $DrawBudget) AS BIGINT) AS DOUBLE) AS frac
+       |  FROM c, t),
+       |ft AS (SELECT CAST(sum(alloc_floor) AS BIGINT) AS floor_total FROM w),
+       |rk AS (
+       |  SELECT a.lang, a.n_docs, a.alloc_floor, a.frac,
+       |         CAST(count(b.lang) AS BIGINT) AS n_beat
+       |  FROM w a LEFT JOIN w b
+       |    ON b.frac > a.frac OR (b.frac = a.frac AND b.lang < a.lang)
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT lang, n_docs, alloc_floor,
+       |       n_beat + 1 AS frac_rank,
+       |       alloc_floor + (CASE WHEN n_beat + 1 <= $DrawBudget - floor_total
+       |                           THEN 1 ELSE 0 END) AS alloc
+       |FROM rk, ft
+       |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x28_stratified_sample" -> stratifiedSample _,
     "x29_quality_quota" -> qualityQuota _,
-    "x46_mixture_weights" -> mixtureWeights _)
+    "x46_mixture_weights" -> mixtureWeights _,
+    "x73_token_apportion" -> tokenApportion _)
 
   val oracles: Map[String, String] = Map(
     "x28_stratified_sample" -> stratifiedSampleSql,
     "x29_quality_quota" -> qualityQuotaSql,
-    "x46_mixture_weights" -> mixtureWeightsSql)
+    "x46_mixture_weights" -> mixtureWeightsSql,
+    "x73_token_apportion" -> tokenApportionSql)
 }

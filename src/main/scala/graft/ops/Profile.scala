@@ -208,15 +208,65 @@ object Profile {
       "\nORDER BY col_name, cnt DESC, val ASC")
   }
 
+  /** B51 — grouped robust location/scale: per-event-type median and
+    * median absolute deviation (MAD) — the outlier-resistant profile a
+    * telemetry monitor reads where mean/stddev (b39/x25) are poisoned
+    * by the very outliers being hunted.
+    *
+    * Two chained percentile_disc aggregates: group medians first (two-
+    * phase, |types| rows), BROADCAST back onto the stream for the
+    * row-local |value − med| deviation, then the deviation median per
+    * group. Fact rows shuffle once per aggregate on event_type — the
+    * same bounded shape as x34; the approx_percentile swap documented
+    * there applies to both stages. Parity: percentile_disc picks an
+    * actual order statistic (no interpolation) and deviations are
+    * identical IEEE subtractions, so every output is bit-exact; med/n
+    * are group constants carried through min().
+    */
+  def robustMad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"event_type", $"value")
+    val med = ev.groupBy($"event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+        .as("med"), count(lit(1)).as("n"))
+    ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs($"value" - $"med"))
+      .groupBy($"event_type")
+      .agg(min($"n").as("n_events"),
+        min($"med").as("median_value"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").as("mad"))
+      .orderBy($"event_type")
+  }
+
+  val robustMadSql: String =
+    """WITH med AS (
+      |  SELECT event_type,
+      |         percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1),
+      |d AS (
+      |  SELECT e.event_type, m.n, m.med,
+      |         abs(e.value - m.med) AS dev
+      |  FROM events e JOIN med m USING (event_type))
+      |SELECT event_type,
+      |       CAST(min(n) AS BIGINT) AS n_events,
+      |       min(med) AS median_value,
+      |       percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) AS mad
+      |FROM d
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x25_data_profile" -> dataProfile _,
     "x34_percentile_profile" -> percentileProfile _,
     "b39_percentile_cont" -> percentileCont _,
-    "x37_heavy_hitters" -> heavyHitters _)
+    "x37_heavy_hitters" -> heavyHitters _,
+    "b51_robust_mad" -> robustMad _)
 
   val oracles: Map[String, String] = Map(
     "x25_data_profile" -> dataProfileSql,
     "x34_percentile_profile" -> percentileProfileSql,
     "b39_percentile_cont" -> percentileContSql,
-    "x37_heavy_hitters" -> heavyHittersSql)
+    "x37_heavy_hitters" -> heavyHittersSql,
+    "b51_robust_mad" -> robustMadSql)
 }

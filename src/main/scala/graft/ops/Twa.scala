@@ -31,10 +31,15 @@ import graft.Tables
   */
 object Twa {
 
-  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame =
+    timeWeightedAvgOf(Tables.events(spark, dir))
+
+  /** B50 over any events-shaped frame — ScaleBench seam. */
+  private[graft] def timeWeightedAvgOf(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
-    Tables.events(spark, dir)
+    ev
       .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
         round($"value" * 100).cast("long").as("q"))
       .withColumn("next_us", lead($"us", 1).over(w))

@@ -127,4 +127,51 @@ class MixingSpec extends SparkSpec {
     assert(plan.contains("InMemoryTableScan"),
       s"the per-stratum aggregate must be shared, not recomputed:\n$plan")
   }
+
+  test("X73: apportionment conserves the budget exactly") {
+    val rows = Mixing.tokenApportion(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("alloc")).sum == Mixing.DrawBudget,
+      "Hamilton apportionment must hit the global budget exactly")
+    rows.foreach { r =>
+      val bonus = r.getAs[Long]("alloc") - r.getAs[Long]("alloc_floor")
+      assert(bonus == 0L || bonus == 1L,
+        s"${r.getAs[String]("lang")}: bonus must be 0 or 1")
+    }
+  }
+
+  test("X73: equals a driver-side largest-remainder replay") {
+    val rows = Mixing.tokenApportion(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("alloc_floor"), r.getAs[Long]("frac_rank"),
+        r.getAs[Long]("alloc")))
+    val p6 = rows.map { case (l, n, _, _, _) =>
+      l -> BigDecimal(math.pow(n.toDouble, Mixing.TempAlpha))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val pTotal = p6.map(_._2).sum
+    val raw = p6.map { case (l, p) =>
+      l -> (p.toDouble / pTotal.toDouble * Mixing.DrawBudget)
+    }.toMap
+    val floors = raw.view.mapValues(r => math.floor(r).toLong).toMap
+    val residual = Mixing.DrawBudget - floors.values.sum
+    val ranked = raw.toSeq
+      .map { case (l, r) => (l, r - floors(l).toDouble) }
+      .sortBy { case (l, f) => (-f, l) }.map(_._1).zipWithIndex.toMap
+    rows.foreach { case (l, _, fl, rk, alloc) =>
+      assert(fl == floors(l), s"$l floor")
+      assert(rk == ranked(l).toLong + 1, s"$l rank")
+      val wantBonus = if (ranked(l) < residual) 1L else 0L
+      assert(alloc == fl + wantBonus, s"$l alloc")
+    }
+  }
+
+  test("X73: ledger rank is a broadcast beat-count, never a global window") {
+    val plan = Mixing.tokenApportion(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"the remainder rank must not plan a window:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the beat-count must be a broadcast nested-loop over the ledger:\n$plan")
+  }
 }

@@ -102,4 +102,40 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("roundrobin"),
       s"unexpected repartition in the profile plan:\n$plan")
   }
+
+  test("B51: median/MAD equal a driver-side order-statistic replay") {
+    import org.apache.spark.sql.functions.col
+    val raw = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Double]("value")))
+    // percentile_disc(0.5): smallest value with cumulative share >= 0.5,
+    // i.e. the ceil(n/2)-th order statistic (1-indexed)
+    def disc(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      s((math.ceil(s.length * 0.5) - 1).toInt)
+    }
+    val want = raw.toSeq.groupBy(_._1).map { case (t, vs) =>
+      val values = vs.map(_._2)
+      val med = disc(values)
+      t -> (values.length.toLong, med, disc(values.map(v => math.abs(v - med))))
+    }
+    val got = Profile.robustMad(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("median_value"),
+          r.getAs[Double]("mad"))).toMap
+    assert(got.nonEmpty && got.keySet == want.keySet)
+    want.foreach { case (t, (n, med, mad)) =>
+      assert(got(t) == ((n, med, mad)), s"type $t")
+    }
+  }
+
+  test("B51: medians broadcast back onto the stream, no window") {
+    val plan = Profile.robustMad(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"group medians must broadcast onto the fact stream:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no window in the MAD plan:\n$plan")
+  }
 }
