@@ -299,15 +299,62 @@ object Mixing {
        |FROM rk, ft
        |ORDER BY lang""".stripMargin
 
+  /** X74 — exact-k per-stratum sample: the FIXED-SIZE counterpart to
+    * x28's rate sampler — exactly [[EvalK]] documents per language
+    * (fewer only when the stratum is smaller), selected by ranking a
+    * deterministic salted hash of the document id. The contract an eval
+    * split needs: same k every run, reproducible across engines and
+    * retries, and adding corpus documents only rotates selections that
+    * hash-collide (no rate drift).
+    *
+    * Scale shape: identical to x29's quota — `row_number() OVER
+    * (PARTITION BY lang ORDER BY hash, doc_id) <= k` gets Spark's
+    * WindowGroupLimit pushdown (each map partition pre-keeps its own
+    * top k per stratum below the exchange), so the shuffle carries
+    * ≤ k rows per stratum per map partition, never the stratum
+    * (MixingSpec pins that plan for the quota; the same rule fires
+    * here). The hash order is a total order ((h, doc_id) — md5Long40
+    * collisions broken by id), so ranks are engine-deterministic.
+    */
+  val EvalK = 20
+
+  def exactKSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        Hashing.md5Long40(
+          concat($"doc_id".cast("string"), lit(":evalk"))).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= EvalK)
+      .select($"lang", $"rk", $"doc_id", $"h")
+      .orderBy($"lang", $"rk")
+  }
+
+  val exactKSampleSql: String = {
+    val h = Hashing.sqlMd5Long40("CAST(doc_id AS VARCHAR) || ':evalk'")
+    s"""WITH h AS (
+       |  SELECT doc_id, lang, $h AS h FROM documents),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY lang
+       |                               ORDER BY h, doc_id) AS rk
+       |  FROM h)
+       |SELECT lang, rk, doc_id, h
+       |FROM r WHERE rk <= $EvalK
+       |ORDER BY lang, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x28_stratified_sample" -> stratifiedSample _,
     "x29_quality_quota" -> qualityQuota _,
     "x46_mixture_weights" -> mixtureWeights _,
-    "x73_token_apportion" -> tokenApportion _)
+    "x73_token_apportion" -> tokenApportion _,
+    "x74_exact_k_sample" -> exactKSample _)
 
   val oracles: Map[String, String] = Map(
     "x28_stratified_sample" -> stratifiedSampleSql,
     "x29_quality_quota" -> qualityQuotaSql,
     "x46_mixture_weights" -> mixtureWeightsSql,
-    "x73_token_apportion" -> tokenApportionSql)
+    "x73_token_apportion" -> tokenApportionSql,
+    "x74_exact_k_sample" -> exactKSampleSql)
 }

@@ -174,4 +174,44 @@ class MixingSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"the beat-count must be a broadcast nested-loop over the ledger:\n$plan")
   }
+
+  test("X74: exactly min(k, |stratum|) docs per language, hash-ranked") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val rows = Mixing.exactKSample(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("rk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("h")))
+    val sizes = Tables.documents(spark, sfDir)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val byLang = rows.toSeq.groupBy(_._1)
+    assert(byLang.keySet == sizes.keySet)
+    byLang.foreach { case (l, rs) =>
+      assert(rs.length.toLong == math.min(Mixing.EvalK.toLong, sizes(l)),
+        s"lang $l sample size")
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq,
+        s"lang $l gap-free ranks")
+    }
+    // the selection is the k SMALLEST (h, doc_id) of the stratum —
+    // recompute hashes independently with the builtin reference form
+    val allH = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        graft.functions.Hashing.md5Long40Builtin(
+          concat(col("doc_id").cast("string"), lit(":evalk"))).as("h"))
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("h")))
+    allH.toSeq.groupBy(_._1).foreach { case (l, ds) =>
+      val want = ds.map(d => (d._3, d._2))
+        .sorted.take(Mixing.EvalK).map(_._2).toSet
+      val got = byLang(l).map(_._3).toSet
+      assert(got == want, s"lang $l selected set")
+    }
+  }
+
+  test("X74: the stratum never shuffles whole — WindowGroupLimit pushdown") {
+    val plan = Mixing.exactKSample(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit must push a partial group limit below the exchange:\n$plan")
+  }
 }
