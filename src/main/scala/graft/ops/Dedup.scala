@@ -534,17 +534,73 @@ object Dedup {
        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
        |ORDER BY doc_id""".stripMargin
 
+  /** X75 — duplication degree histogram: per near-dup-graph degree, how
+    * many documents carry it (degree 0 = clean docs) — the concentration
+    * diagnosis read before choosing a dedup strategy: a fat degree-0 bar
+    * with a short tail says canonical-select (x67) suffices; a heavy
+    * tail says boilerplate/template explosion and argues for span-level
+    * (x54) or cascade (x72) treatment first. Complements x18 (who is in
+    * which cluster) with the distributional view.
+    *
+    * Shape: X2's verified pair stream (bucketed LSH + exact verify, the
+    * measured family producer), both endpoints unioned → per-doc degree
+    * (two-phase count), left join back onto the corpus for the zeros
+    * (doc-keyed equi-join), then a ≤ max-degree-row histogram aggregate.
+    * Every stage partial-aggregates; nothing exceeds pair volume, which
+    * the family already bounds.
+    */
+  def dupDegreeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val sh = shinglesOf(docs).cache()
+    val sig = minhashSignatures(sh).cache()
+    val pairs = exactJaccard(
+        minhashCandidates(sig), sh, sig.select($"doc_id", $"n_sh"))
+      .filter($"jaccard" >= 0.5)
+    val deg = pairs.select($"doc_a".as("doc_id"))
+      .unionAll(pairs.select($"doc_b".as("doc_id")))
+      .groupBy($"doc_id").agg(count(lit(1)).as("degree"))
+    docs.select($"doc_id")
+      .join(deg, Seq("doc_id"), "left")
+      .select(coalesce($"degree", lit(0L)).as("degree"))
+      .groupBy($"degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"degree")
+  }
+
+  val dupDegreeHistogramSql: String =
+    s"""$lshCandidateCtes,
+       |pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM inter
+       |  JOIN sig za ON za.doc_id = doc_a
+       |  JOIN sig zb ON zb.doc_id = doc_b
+       |  WHERE CAST(n_common AS DOUBLE)
+       |          / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) >= 0.5),
+       |deg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+       |  FROM (SELECT doc_a AS doc_id FROM pairs
+       |        UNION ALL SELECT doc_b FROM pairs)
+       |  GROUP BY 1),
+       |alldeg AS (
+       |  SELECT d.doc_id, coalesce(g.degree, 0) AS degree
+       |  FROM documents d LEFT JOIN deg g USING (doc_id))
+       |SELECT degree, count(*) AS n_docs
+       |FROM alldeg GROUP BY degree
+       |ORDER BY degree""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x02_minhash_lsh" -> minhashLsh _,
     "x11_doc_fingerprint" -> docFingerprint _,
     "x12_simhash" -> simhash _,
     "x17_ngram_jaccard" -> ngramJaccard _,
-    "x18_dup_clusters" -> dupClusters _)
+    "x18_dup_clusters" -> dupClusters _,
+    "x75_dup_degree_histogram" -> dupDegreeHistogram _)
 
   val oracles: Map[String, String] = Map(
     "x02_minhash_lsh" -> minhashLshSql,
     "x11_doc_fingerprint" -> docFingerprintSql,
     "x12_simhash" -> simhashSql,
     "x17_ngram_jaccard" -> ngramJaccardSql,
-    "x18_dup_clusters" -> dupClustersSql)
+    "x18_dup_clusters" -> dupClustersSql,
+    "x75_dup_degree_histogram" -> dupDegreeHistogramSql)
 }

@@ -117,4 +117,29 @@ class DedupSpec extends SparkSpec {
     assert(sk(0)._2.length == 4)
     assert(sk(0)._2 == sk(0)._2.sorted)
   }
+
+  test("X75: degree histogram equals a replay from the x02 pair stream") {
+    val pairs = Dedup.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val histo = (deg.values.toSeq ++
+      Seq.fill((nDocs - deg.size).toInt)(0L))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Dedup.dupDegreeHistogram(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("degree") -> r.getAs[Long]("n_docs")).toMap
+    assert(got == histo, s"histogram mismatch: got $got want $histo")
+    // conservation: bars cover the corpus; edge endpoints are counted twice
+    assert(got.values.sum == nDocs)
+    assert(got.map { case (d, n) => d * n }.sum == 2L * pairs.length)
+  }
+
+  test("X75: histogram plan partial-aggregates, no window") {
+    val plan = Dedup.dupDegreeHistogram(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no window in the histogram plan:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"degree and histogram counts must merge map-side:\n$plan")
+  }
 }
