@@ -34,6 +34,9 @@ class PlanLintSpec extends SparkSpec {
     val lines = plan.linesIterator.toVector
     lines.zipWithIndex
       .filter(_._1.contains("Exchange SinglePartition"))
+      // a ReusedExchange line only REFERENCES an exchange checked at its
+      // original site — reuse is plan-sharing, not a second funnel
+      .filterNot(_._1.contains("ReusedExchange"))
       .collect { case (line, i)
         if !(i + 1 < lines.length &&
           lines(i + 1).contains("Aggregate") && // Hash/Sort/ObjectHash

@@ -53,7 +53,8 @@ class SparkEntrySpec extends SparkSpec {
       "QualityDedup" -> QualityDedup.queries, "Bm25" -> Bm25.queries,
       "Hybrid" -> Hybrid.queries,
       "Assign" -> Assign.queries, "Twa" -> Twa.queries,
-      "Cascade" -> Cascade.queries, "Mode" -> Mode.queries)
+      "Cascade" -> Cascade.queries, "Mode" -> Mode.queries,
+      "Correlate" -> Correlate.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
