@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Assign, Attribution, Bm25, Cascade, CdcChunking, Chunking, Containment, Cooccur, Dedup, Divergence, EpochShuffle, Hybrid, IncrementalDedup, InvertedIndex, Normalize, PrefixJoin, QualityDedup, SimHashDedup, SkewAudit, SpanDedup, Twa}
+import graft.ops.{Assign, Attribution, Bm25, Cascade, CdcChunking, Chunking, Containment, Cooccur, Correlate, Dedup, Divergence, EpochShuffle, Hybrid, IncrementalDedup, InvertedIndex, Normalize, PrefixJoin, QualityDedup, SimHashDedup, SkewAudit, SpanDedup, Twa}
 
 /** Local 10×-corpus scaling experiment (SCALE.md "Measured scaling
   * evidence"): the `documents` table is fixed at 5k rows across SFs, so
@@ -153,7 +153,11 @@ object ScaleBench {
     val evQueries: Seq[(String, DataFrame => DataFrame)] = Seq(
       "b48_last_touch_attribution" -> (d => Attribution.lastTouchOf(d)),
       "b49_partition_skew" -> (d => SkewAudit.partitionSkewOf(d)),
-      "b50_time_weighted_avg" -> (d => Twa.timeWeightedAvgOf(d)))
+      "b50_time_weighted_avg" -> (d => Twa.timeWeightedAvgOf(d)),
+      // the user replica multiplies events per hour, not the timeline:
+      // the grid stays fixed while hourly counts grow 10× — exactly how
+      // a production deployment's traffic grows
+      "x76_type_correlation" -> (d => Correlate.typeCorrelationOf(d)))
     evQueries.foreach { case (name, q) =>
       val t1 = timed(q(spark.read.parquet(ev1))
         .write.format("noop").mode("overwrite").save())

@@ -35,12 +35,17 @@ import graft.Tables
   */
 object Correlate {
 
-  def typeCorrelation(spark: SparkSession, dir: String): DataFrame = {
+  def typeCorrelation(spark: SparkSession, dir: String): DataFrame =
+    typeCorrelationOf(Tables.events(spark, dir))
+
+  /** X76 over any events-shaped frame — ScaleBench seam. */
+  private[graft] def typeCorrelationOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
     // `div`, not `/`: Column `/` is DOUBLE division, whose rounded
     // quotient can truncate into the wrong hour bucket at 1e15-µs
     // magnitudes; `div` is exact i64 division like DuckDB's `//`
-    val ev = Tables.events(spark, dir)
+    val ev = events
       .select(expr("unix_micros(ts) div 3600000000").as("hr"),
         $"event_type")
     val counts = ev.groupBy($"hr", $"event_type").agg(count(lit(1)).as("cnt"))
