@@ -54,7 +54,8 @@ class SparkEntrySpec extends SparkSpec {
       "Hybrid" -> Hybrid.queries,
       "Assign" -> Assign.queries, "Twa" -> Twa.queries,
       "Cascade" -> Cascade.queries, "Mode" -> Mode.queries,
-      "Correlate" -> Correlate.queries)
+      "Correlate" -> Correlate.queries,
+      "SnapshotDiff" -> SnapshotDiff.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
