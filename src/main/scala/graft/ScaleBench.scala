@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Assign, Attribution, Bm25, Cascade, CdcChunking, Chunking, Containment, Cooccur, Correlate, Dedup, Divergence, EpochShuffle, Hybrid, IncrementalDedup, InvertedIndex, Normalize, PrefixJoin, QualityDedup, SimHashDedup, SkewAudit, SpanDedup, Twa}
+import graft.ops.{Assign, Attribution, Bm25, Cascade, CdcChunking, Chunking, Containment, Cooccur, Correlate, Dedup, Divergence, EpochShuffle, Hybrid, IncrementalDedup, InvertedIndex, Normalize, PrefixJoin, QualityDedup, SimHashDedup, SkewAudit, SnapshotDiff, SpanDedup, Twa}
 
 /** Local 10×-corpus scaling experiment (SCALE.md "Measured scaling
   * evidence"): the `documents` table is fixed at 5k rows across SFs, so
@@ -94,6 +94,7 @@ object ScaleBench {
       "x63_containment_join" -> (d => Containment.containmentJoinOf(d)),
       "x67_quality_canonical" -> (d => QualityDedup.qualityCanonicalOf(d)),
       "x72_filter_cascade" -> (d => Cascade.filterCascadeOf(d)),
+      "x77_snapshot_diff" -> (d => SnapshotDiff.snapshotDiffOf(d)),
       "x68_bm25_topk" -> (d => Bm25.bm25TopKOf(d)),
       // lexical retriever scales with the corpus; the dense side reads
       // the fixed embedding table both times (documented in SCALE.md)

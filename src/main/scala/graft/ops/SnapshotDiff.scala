@@ -31,10 +31,14 @@ import graft.functions.Hashing.{md5Long40, sqlMd5Long40}
   */
 object SnapshotDiff {
 
-  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame =
+    snapshotDiffOf(Tables.documents(spark, dir))
+
+  /** X77 over any (doc_id, source, text) frame — ScaleBench seam. */
+  private[graft] def snapshotDiffOf(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-      .select($"doc_id", $"source", $"text")
+    val docs = documents.select($"doc_id", $"source", $"text")
 
     // snapshot B: drop ~5%, revise ~10% of the survivors, append ~4%
     // under fresh ids — all decided by salted doc_id hashes
