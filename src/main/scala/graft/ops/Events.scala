@@ -234,11 +234,20 @@ object Events {
     * map-side family over the parsed map: `map_values`, `element_at` on
     * the value array, `map_contains_key`. All row-local projections:
     * map-only plan, no shuffle, scales linearly.
+    *
+    * The map parses as `map<string,string>` — the typed twin of the
+    * oracle's `json_extract_string` — so a non-integer props value
+    * (string, float, nested) renders identically in both engines
+    * instead of silently nulling out of a `map<string,int>` parse and
+    * being dropped by `array_join` while the oracle still prints it.
+    * (x08 keeps the int-map parse deliberately: its outputs are the
+    * int-typed path lookups, and its all-int precondition is pinned in
+    * EventsSpec.)
     */
   def mapJsonFunctions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
-      .withColumn("pm", from_json($"props", MapType(StringType, IntegerType)))
+      .withColumn("pm", from_json($"props", MapType(StringType, StringType)))
       .select(
         $"event_id",
         get_json_object($"props", "$.k").as("k_get"),
@@ -256,8 +265,8 @@ object Events {
       |       json_extract_string(props, '$.k') AS k_tuple,
       |       array_to_string(list_transform(json_keys(props),
       |         k -> json_extract_string(props, '$.' || k)), ',') AS values_csv,
-      |       CAST(json_extract(props, '$.' || json_keys(props)[1])
-      |         AS INTEGER) AS first_value,
+      |       json_extract_string(props, '$.' || json_keys(props)[1])
+      |         AS first_value,
       |       list_contains(json_keys(props), 'k') AS has_k
       |FROM events
       |ORDER BY event_id""".stripMargin

@@ -85,96 +85,75 @@ object Resample {
        |ORDER BY user_id""".stripMargin
 
   /** B53 — time-series resampling with LINEAR interpolation: the same
-    * densified per-user calendar as b42, but gap days take
+    * densified per-user daily series as b42, but gap days take
     * `v_prev + (v_next − v_prev)·(day − d_prev)/(d_next − d_prev)`
     * instead of a copy of the last value — the resample a smooth
     * consumer (rate estimation, charting, gradient features) wants
     * where b42's step function distorts. Both span endpoints are
-    * observed by construction, so every gap day has both neighbors.
+    * observed by construction, so every gap has both neighbors.
     *
-    * Scale shape: identical to b42 — everything keyed by user; the two
-    * neighbor lookups are IGNORE-NULLS first/last over the SAME
-    * user-partitioned day order (one exchange feeds both frames).
+    * The per-day interpolated values are never materialized: by the
+    * trapezoid identity, a gap of g days between observed cent values
+    * qp and qn contributes Σₖ (qp + (qn−qp)·k/g) = (g−1)·(qp+qn)/2, so
+    * the whole rollup reduces to one lag() over the OBSERVED days —
+    * no calendar explode, no left join, one exchange on user_id.
     *
-    * Parity: neighbor values are decimal-exact daily sums COPIED into
-    * both engines' window output; day distances are exact DATE-integer
-    * math; the interpolation is the identical fixed-order IEEE
-    * expression on identical operands (int/int division in double,
-    * multiply, add) — bit-exact, no rounding guard.
+    * Parity: `value` is a 2-decimal quantity, so per-day cent totals
+    * q = Σ round(100·value) are exact i64 in both engines (the rounded
+    * doubles sit within 1e-10 of an integer — no .5-boundary risk);
+    * gap contributions (g−1)·(qp+qn) stay in exact half-cent i64 units;
+    * interp_total is ONE double division of identical i64 operands
+    * (H / 200), bit-equal across engines at any magnitude — the b50
+    * integer-space discipline, replacing the earlier DECIMAL(27,6) sum
+    * of full-binary-precision interpolants whose HALF_UP rounding could
+    * diverge on a ratio like 1/3 straddling the 6th-decimal boundary.
     */
   def resampleInterp(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val daily = Tables.events(spark, dir)
       .groupBy($"user_id", to_date($"ts").as("day"))
-      .agg(dsum($"value").as("spend"))
-
-    val cal = daily.groupBy($"user_id")
-      .agg(min($"day").as("d0"), max($"day").as("d1"))
-      .select($"user_id", explode(expr("sequence(d0, d1)")).as("day"))
+      .agg(sum(round($"value" * 100).cast("long")).as("q"))
 
     val ord = Window.partitionBy($"user_id").orderBy($"day")
-    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    cal.join(daily, Seq("user_id", "day"), "left")
-      .withColumn("v_prev", last($"spend", ignoreNulls = true).over(back))
-      .withColumn("d_prev",
-        last(when($"spend".isNotNull, $"day"), ignoreNulls = true).over(back))
-      .withColumn("v_next", first($"spend", ignoreNulls = true).over(fwd))
-      .withColumn("d_next",
-        first(when($"spend".isNotNull, $"day"), ignoreNulls = true).over(fwd))
-      .withColumn("interp",
-        when($"spend".isNotNull, $"spend")
-          .otherwise($"v_prev" + ($"v_next" - $"v_prev")
-            * (datediff($"day", $"d_prev").cast("double")
-              / datediff($"d_next", $"d_prev").cast("double"))))
+    daily
+      .withColumn("q_prev", lag($"q", 1).over(ord))
+      .withColumn("d_prev", lag($"day", 1).over(ord))
       .groupBy($"user_id")
       .agg(
-        count(lit(1)).as("n_days"),
-        sum(when($"spend".isNull, 1L).otherwise(0L)).as("n_interp_days"),
-        dsum($"interp").as("interp_total"))
+        min($"day").as("d0"),
+        max($"day").as("d1"),
+        count(lit(1)).as("n_obs"),
+        (sum($"q" * 2) + sum(coalesce(
+          (datediff($"day", $"d_prev") - 1) * ($"q_prev" + $"q"),
+          lit(0L)))).as("half_cents"))
+      .select(
+        $"user_id",
+        (datediff($"d1", $"d0") + 1).cast("long").as("n_days"),
+        ((datediff($"d1", $"d0") + 1) - $"n_obs").cast("long")
+          .as("n_interp_days"),
+        ($"half_cents".cast("double") / 200.0).as("interp_total"))
       .orderBy($"user_id")
   }
 
   val resampleInterpSql: String =
     s"""WITH daily AS (
        |  SELECT user_id, CAST(ts AS DATE) AS day,
-       |         ${sqlSum("value")} AS spend
+       |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q
        |  FROM events GROUP BY 1, 2),
-       |cal AS (
-       |  SELECT user_id,
-       |         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
-       |           CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
-       |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
-       |        FROM daily GROUP BY 1)),
-       |f AS (
-       |  SELECT c.user_id, c.day, d.spend,
-       |         last_value(d.spend IGNORE NULLS) OVER wb AS v_prev,
-       |         last_value(CASE WHEN d.spend IS NOT NULL THEN c.day END
-       |           IGNORE NULLS) OVER wb AS d_prev,
-       |         first_value(d.spend IGNORE NULLS) OVER wf AS v_next,
-       |         first_value(CASE WHEN d.spend IS NOT NULL THEN c.day END
-       |           IGNORE NULLS) OVER wf AS d_next
-       |  FROM cal c LEFT JOIN daily d
-       |    ON c.user_id = d.user_id AND c.day = d.day
-       |  WINDOW wb AS (PARTITION BY c.user_id ORDER BY c.day
-       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-       |         wf AS (PARTITION BY c.user_id ORDER BY c.day
-       |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
-       |i AS (
-       |  SELECT user_id, day, spend,
-       |         CASE WHEN spend IS NOT NULL THEN spend
-       |              ELSE v_prev + (v_next - v_prev)
-       |                   * (CAST(day - d_prev AS DOUBLE)
-       |                      / CAST(d_next - d_prev AS DOUBLE))
-       |         END AS interp
-       |  FROM f)
+       |g AS (
+       |  SELECT user_id, day, q,
+       |         lag(q) OVER (PARTITION BY user_id ORDER BY day) AS q_prev,
+       |         lag(day) OVER (PARTITION BY user_id ORDER BY day) AS d_prev
+       |  FROM daily)
        |SELECT user_id,
-       |       count(*) AS n_days,
-       |       CAST(sum(CASE WHEN spend IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |       CAST(max(day) - min(day) + 1 AS BIGINT) AS n_days,
+       |       CAST(max(day) - min(day) + 1 - count(*) AS BIGINT)
        |         AS n_interp_days,
-       |       ${sqlSum("interp")} AS interp_total
-       |FROM i
+       |       CAST(CAST(sum(q * 2) + COALESCE(sum(
+       |              (day - d_prev - 1) * (q_prev + q)), 0) AS BIGINT)
+       |            AS DOUBLE) / 200.0 AS interp_total
+       |FROM g
        |GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 

@@ -60,14 +60,19 @@ class ResampleSpec extends SparkSpec {
       s"the fill window must stay user-partitioned:\n$plan")
   }
 
-  test("B53: interpolated totals match a driver-side linear replay") {
+  test("B53: interpolated totals match a day-level exact-rational replay") {
+    // The op never materializes gap days (it folds each gap with the
+    // trapezoid identity), so this replay deliberately DOES: it walks
+    // every span day, forms the linear value qp + (qn−qp)·k/g as an
+    // exact BigInt rational in cents, and sums the rationals — an
+    // independent derivation that would catch an identity mistake.
     import org.apache.spark.sql.functions._
     val daily = Tables.events(spark, sfDir)
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-      .agg(graft.functions.OracleSafe.dsum(col("value")).as("spend"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("q"))
       .collect()
       .map(r => (r.getAs[Long]("user_id"),
-        r.getAs[java.sql.Date]("day").toLocalDate, r.getAs[Double]("spend")))
+        r.getAs[java.sql.Date]("day").toLocalDate, r.getAs[Long]("q")))
     val rows = Resample.resampleInterp(spark, sfDir).collect()
     assert(rows.nonEmpty)
     val byUser = daily.groupBy(_._1)
@@ -81,41 +86,42 @@ class ResampleSpec extends SparkSpec {
       assert(r.getAs[Long]("n_days") == span.length.toLong, s"user $u span")
       assert(r.getAs[Long]("n_interp_days") ==
         span.count(!obs.contains(_)).toLong, s"user $u interp days")
-      var total = BigDecimal(0)
+      // running rational total in cents: num / den
+      var num = BigInt(0); var den = BigInt(1)
       span.foreach { d =>
-        val v = obs.getOrElse(d, {
-          val dp = days.filter(!_.isAfter(d)).last
-          val dn = days.filter(_.isAfter(d)).head
-          val (vp, vn) = (obs(dp), obs(dn))
-          // the op's exact expression order
-          vp + (vn - vp) * ((d.toEpochDay - dp.toEpochDay).toDouble
-            / (dn.toEpochDay - dp.toEpochDay).toDouble)
-        })
-        total += BigDecimal.decimal(v)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        val (n2, d2) = obs.get(d) match {
+          case Some(q) => (BigInt(q), BigInt(1))
+          case None =>
+            val dp = days.filter(!_.isAfter(d)).last
+            val dn = days.filter(_.isAfter(d)).head
+            val g = BigInt(dn.toEpochDay - dp.toEpochDay)
+            val k = BigInt(d.toEpochDay - dp.toEpochDay)
+            (BigInt(obs(dp)) * g + BigInt(obs(dn) - obs(dp)) * k, g)
+        }
+        num = num * d2 + n2 * den
+        den = den * d2
       }
-      assert(r.getAs[Double]("interp_total") == total.toDouble,
+      // total cents = num/den must be an exact multiple of a half-cent,
+      // and the op's double must be that integer H divided by 200
+      assert((num * 2) % den == 0, s"user $u total is not half-cent exact")
+      val halfCents = (num * 2 / den).toLong
+      assert(r.getAs[Double]("interp_total") == halfCents.toDouble / 200.0,
         s"user $u interp total")
     }
     assert(rows.map(_.getAs[Long]("n_interp_days")).sum > 0,
       "fixture must actually interpolate")
   }
 
-  test("B53: both neighbor windows share one user-partitioned exchange") {
+  test("B53: single user-partitioned lag window, no calendar explode") {
     // the INITIAL physical plan: the AQE-final tree collapses executed
-    // stages, hiding the Window operators this structural check reads
+    // stages, hiding the operators this structural check reads
     val plan = Resample.resampleInterp(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange SinglePartition"),
-      s"interp windows must stay user-partitioned:\n$plan")
-    // the backward and forward frames must not re-shuffle between them:
-    // no Exchange line strictly between the two Window operators
-    val lines = plan.linesIterator.toVector
-    val winIdx = lines.zipWithIndex.filter(_._1.contains("Window ["))
-      .map(_._2)
-    assert(winIdx.length >= 2, s"expected two window frames:\n$plan")
-    val between = lines.slice(winIdx.min + 1, winIdx.max)
-    assert(!between.exists(_.contains("Exchange")),
-      s"frames re-shuffled between windows:\n$plan")
+      s"the lag window must stay user-partitioned:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"b53 must not explode a calendar (gaps fold via the trapezoid " +
+        s"identity):\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
   }
 }
