@@ -46,7 +46,30 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    // Contention sentinel: a fixed cheap query (b15 — TakeOrderedAndProject,
+    // ~0.1 s floor, zero exchanges) executed once immediately BEFORE each
+    // timed query. Its code never changes between rounds, so any drift in
+    // its per-slot time measures the BOX (GC, co-tenant load, thermal) at
+    // that moment, not the engine — the in-bench control that three rounds
+    // of "driver contention" explanations lacked. A regressed query whose
+    // slot sentinel also drifted is contention; one under a quiet sentinel
+    // is a real regression.
+    val sentinelFn = SparkEntry.queries.get("b15_topk")
+    def runSentinel(): Double = sentinelFn.map { fn =>
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] sentinel failed: ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }.getOrElse(0.0)
+    // prime the sentinel's own plan/codegen once so slot 0 isn't charged
+    // for its compilation
+    runSentinel()
+    val sentinelSlots = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val results = selected.map { case (name, fn) =>
+      sentinelSlots += name -> runSentinel()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: fully executes the plan (incl. sorts/projections that
@@ -64,6 +87,7 @@ object Bench {
       }
       name -> median(times)
     }
+    sentinelSlots += "END" -> runSentinel()
     // Compact rendering: the driver captures only the LAST 2000 chars of
     // output and JSON-parses the bench line from that tail — a full-
     // precision 58-query line overflowed it (BENCH_r05 parsed:null while
@@ -81,7 +105,28 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + shortId(k) + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"stat":"median_per_query","queries":$qs,"sf":"$sfDir"}""")
+    // Per-slot sentinel detail goes to a FILE (the driver's end-of-round
+    // commit picks it up) — the driver only captures the LAST 2000 chars
+    // of stdout and the 131-query line is already ~1850 of them, so the
+    // JSON line carries just the 3-number summary: sentinel median, max,
+    // and how many slots ran ≥1.5× the median ("hot" = box was busy).
+    val sentTimes = sentinelSlots.map(_._2).toSeq
+    val sentMed = if (sentTimes.nonEmpty) median(sentTimes) else 0.0
+    val sentMax = if (sentTimes.nonEmpty) sentTimes.max else 0.0
+    val hot = sentinelSlots.filter(_._2 >= sentMed * 1.5)
+    val slotJson = sentinelSlots
+      .map { case (k, v) => "\"" + shortId(k) + "\":" + sec(v) }
+      .mkString("{", ",", "}")
+    val sentFile = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_OUT",
+      "BENCH_SENTINEL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(sentFile),
+      s"""{"sentinel":"b15_topk","med":${sec(sentMed)},"max":${sec(sentMax)},""" +
+        s""""hot_slots":[${hot.map("\"" + _._1 + "\"").mkString(",")}],""" +
+        s""""slots":$slotJson,"sf":"$sfDir","reps":$reps}""" + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] sentinel dump failed: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"stat":"med","sent":{"med":${sec(sentMed)},"max":${sec(sentMax)},"nhot":${hot.size}},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
