@@ -33,8 +33,11 @@ object Calibration {
 
   def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = Dedup.shinglesOf(Tables.documents(spark, dir)).cache()
-    val sig = Dedup.minhashSignatures(sh).cache()
+    // shared memoized corpus frames — shingled/signed once per
+    // (session, dir), not re-derived for the calibration pass
+    val ix = CorpusIndex.index(spark, dir)
+    val sh = ix.shingles
+    val sig = ix.sig
     val cand = Dedup.minhashCandidates(sig)
     val exact = Dedup.exactJaccard(cand, sh, sig.select($"doc_id", $"n_sh"))
 

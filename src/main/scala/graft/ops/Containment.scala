@@ -39,7 +39,7 @@ object Containment {
   private[graft] val minInnerShingles = 5L
 
   def containmentJoin(spark: SparkSession, dir: String): DataFrame =
-    containmentJoinOf(Tables.documents(spark, dir))
+    containmentJoinSh(CorpusIndex.shingles(spark, dir), Long.MaxValue)
 
   /** Core of X63 over any (doc_id, text, …) frame; test/scale seam. */
   def containmentJoinOf(docs: DataFrame): DataFrame =
@@ -58,10 +58,16 @@ object Containment {
     * filter out of the plan: bit-equal to the lossless join (oracle +
     * ContainmentSpec).
     */
-  def containmentJoinOf(docs: DataFrame, maxCandDf: Long): DataFrame = {
-    val spark = docs.sparkSession
+  def containmentJoinOf(docs: DataFrame, maxCandDf: Long): DataFrame =
+    containmentJoinSh(Dedup.shinglesOf(docs).cache(), maxCandDf)
+
+  /** X63 over a pre-materialized (doc_id, sh) shingle frame — the
+    * registered query reads the shared [[CorpusIndex]] checkpoint; the
+    * `Of` seams self-cache for arbitrary inputs.
+    */
+  private[graft] def containmentJoinSh(tok: DataFrame, maxCandDf: Long): DataFrame = {
+    val spark = tok.sparkSession
     import spark.implicits._
-    val tok = Dedup.shinglesOf(docs).cache()
 
     val df = tok.groupBy($"sh").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy($"doc_id")

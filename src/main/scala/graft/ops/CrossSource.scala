@@ -28,8 +28,10 @@ object CrossSource {
 
   def crossSourceDups(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = Dedup.minhashPairs(
-      Dedup.shinglesOf(Tables.documents(spark, dir)))
+    // shared memoized shingles/signatures — the pair producer costs one
+    // candidate+verify pass here, not a fresh corpus tokenization
+    val ix = CorpusIndex.index(spark, dir)
+    val pairs = Dedup.minhashVerified(ix.shingles, ix.sig)
     val src = Tables.documents(spark, dir).select($"doc_id", $"source")
 
     pairs

@@ -59,7 +59,7 @@ object Dedup {
     * larger shingle set.
     */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    shinglesOf(Tables.documents(spark, dir))
+    CorpusIndex.shingles(spark, dir)
 
   /** Shingle-set construction over any (doc_id, text) frame (test seam).
     *
@@ -109,10 +109,14 @@ object Dedup {
   private val shinglesSql: String = shinglesSqlFrom("documents")
 
   /** X2 — MinHash signatures → LSH band buckets → candidate pairs →
-    * exact-Jaccard verification at τ = 0.5.
+    * exact-Jaccard verification at τ = 0.5. Reads the shared
+    * [[CorpusIndex]] frames — the signature aggregation runs once per
+    * (session, dir), not once per family member.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    minhashPairs(shingles(spark, dir))
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val ix = CorpusIndex.index(spark, dir)
+    minhashVerified(ix.shingles, ix.sig)
+  }
 
   /** MinHash signature table (doc_id, n_sh, m0..m15) over a shingle
     * frame — one hash-agg of affine-transformed 40-bit shingle hashes
@@ -187,12 +191,19 @@ object Dedup {
   }
 
   private[graft] def minhashPairs(shingleSet: DataFrame): DataFrame = {
-    val spark = shingleSet.sparkSession
-    import spark.implicits._
     val sh = shingleSet.cache()
     // sig feeds both the band explode and the size lookup — cache so the
     // 16-min aggregation runs once (one row per doc; tiny)
-    val sig = minhashSignatures(sh).cache()
+    minhashVerified(sh, minhashSignatures(sh).cache())
+  }
+
+  /** X2's verify core over pre-materialized shingle + signature frames
+    * (the [[CorpusIndex]] path; [[minhashPairs]] is the self-caching
+    * test/ScaleBench seam over an arbitrary shingle frame).
+    */
+  private[graft] def minhashVerified(sh: DataFrame, sig: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
     exactJaccard(minhashCandidates(sig), sh, sig.select($"doc_id", $"n_sh"))
       .filter($"jaccard" >= 0.5)
       .orderBy($"doc_a", $"doc_b")
@@ -326,15 +337,19 @@ object Dedup {
     * path wins when the corpus fits one index, LSH wins at open scale.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardOf(shingles(spark, dir))
+    ngramJaccardFrom(shingles(spark, dir))
 
   /** Core of X17 over any (doc_id, sh) shingle frame — x22 feeds it only
-    * its curation survivors.
+    * its curation survivors. Caches the input (it feeds five subplans);
+    * [[ngramJaccardFrom]] is the no-cache twin for frames that are
+    * already materialized (the [[CorpusIndex]] checkpoint).
     */
-  private[graft] def ngramJaccardOf(shingleSet: DataFrame): DataFrame = {
-    val spark = shingleSet.sparkSession
+  private[graft] def ngramJaccardOf(shingleSet: DataFrame): DataFrame =
+    ngramJaccardFrom(shingleSet.cache())
+
+  private[graft] def ngramJaccardFrom(sh: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
     import spark.implicits._
-    val sh = shingleSet.cache()
     // document frequency as groupBy+join, NOT count(*) OVER (PARTITION BY
     // sh): the window form funnels every (doc, shingle) row of a hot
     // shingle through one task with no map-side partial aggregation — the
@@ -552,10 +567,9 @@ object Dedup {
   def dupDegreeHistogram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val sh = shinglesOf(docs).cache()
-    val sig = minhashSignatures(sh).cache()
-    val pairs = exactJaccard(
-        minhashCandidates(sig), sh, sig.select($"doc_id", $"n_sh"))
+    val ix = CorpusIndex.index(spark, dir)
+    val pairs = exactJaccard(minhashCandidates(ix.sig), ix.shingles,
+        ix.sig.select($"doc_id", $"n_sh"))
       .filter($"jaccard" >= 0.5)
     val deg = pairs.select($"doc_a".as("doc_id"))
       .unionAll(pairs.select($"doc_b".as("doc_id")))

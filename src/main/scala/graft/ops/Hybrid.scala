@@ -39,15 +39,22 @@ object Hybrid {
   private val fusedK = 10
 
   def hybridRrf(spark: SparkSession, dir: String): DataFrame =
-    hybridRrfOf(Tables.documents(spark, dir),
+    hybridRrfSh(CorpusIndex.shingles(spark, dir),
       Tables.embeddings(spark, dir))
 
   /** Core of X69 over any (doc_id, text) corpus and aligned embedding
     * table (ScaleBench seam — the lexical retriever scales with the
     * corpus; the dense side is bounded by the embedding table).
     */
-  private[graft] def hybridRrfOf(docs: DataFrame, e: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  private[graft] def hybridRrfOf(docs: DataFrame, e: DataFrame): DataFrame =
+    hybridRrfSh(Dedup.shinglesOf(docs).cache(), e)
+
+  /** X69 over a pre-materialized shingle frame — the registered query
+    * reads the shared [[CorpusIndex]] checkpoint (its lexical retriever
+    * needs only shingles, never the raw text).
+    */
+  private[graft] def hybridRrfSh(sh0: DataFrame, e: DataFrame): DataFrame = {
+    val spark = sh0.sparkSession
     import spark.implicits._
     val qv = e.where($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
@@ -63,7 +70,7 @@ object Hybrid {
         .orderBy($"cos_sim".desc, $"doc_id".asc)))
       .where($"dense_rank" <= listK)
 
-    val sh = Dedup.shinglesOf(docs).cache()
+    val sh = sh0
     val qsh = sh.where($"doc_id" < nQueries)
       .select($"doc_id".as("query_id"), $"sh")
     val lex = sh.join(broadcast(qsh), Seq("sh"))

@@ -32,15 +32,23 @@ import graft.functions.Hashing.sqlMd5Long40
   */
 object IncrementalDedup {
 
-  def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
-    incrementalOf(Tables.documents(spark, dir))
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ix = CorpusIndex.index(spark, dir)
+    incrementalFrom(ix.shingles, ix.sig)
+  }
 
   /** Core of X56 over any (doc_id, text) frame; test/scale seam. */
   def incrementalOf(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val sh = Dedup.shinglesOf(docs).cache()
-    val sig = Dedup.minhashSignatures(sh).cache()
+    incrementalFrom(sh, Dedup.minhashSignatures(sh).cache())
+  }
+
+  /** X56 over pre-materialized shingle + signature frames (the shared
+    * [[CorpusIndex]] path for the registered query).
+    */
+  private[graft] def incrementalFrom(sh: DataFrame, sig: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
     val bands = Dedup.bandsOf(sig)
 
     val newBands = bands.filter(col("doc_id") % 2 === 1)

@@ -38,7 +38,7 @@ import graft.Tables
 object PrefixJoin {
 
   def prefixSimJoin(spark: SparkSession, dir: String): DataFrame =
-    prefixSimJoinOf(Tables.documents(spark, dir))
+    prefixSimJoinSh(CorpusIndex.shingles(spark, dir), Long.MaxValue)
 
   /** Core of X62 over any (doc_id, text, …) frame; test/scale seam. */
   def prefixSimJoinOf(docs: DataFrame): DataFrame =
@@ -61,10 +61,17 @@ object PrefixJoin {
     * to the lossless join, which the driver's brute-force oracle and
     * PrefixJoinSpec pin.
     */
-  def prefixSimJoinOf(docs: DataFrame, maxCandDf: Long): DataFrame = {
-    val spark = docs.sparkSession
+  def prefixSimJoinOf(docs: DataFrame, maxCandDf: Long): DataFrame =
+    prefixSimJoinSh(Dedup.shinglesOf(docs).cache(), maxCandDf)
+
+  /** X62 over a pre-materialized (doc_id, sh) shingle frame — the
+    * registered query reads the shared [[CorpusIndex]] checkpoint (the
+    * corpus is shingled once per session/dir, not once per family
+    * member); the `Of` seams above self-cache for arbitrary inputs.
+    */
+  private[graft] def prefixSimJoinSh(tok: DataFrame, maxCandDf: Long): DataFrame = {
+    val spark = tok.sparkSession
     import spark.implicits._
-    val tok = Dedup.shinglesOf(docs).cache()
 
     val df = tok.groupBy($"sh").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy($"doc_id")

@@ -29,15 +29,21 @@ import graft.Tables
 object QualityDedup {
 
   def qualityCanonical(spark: SparkSession, dir: String): DataFrame =
-    qualityCanonicalOf(Tables.documents(spark, dir))
+    qualityCanonicalFrom(Tables.documents(spark, dir),
+      CorpusIndex.shingles(spark, dir))
 
   /** Core of X67 over any (doc_id, text) frame (ScaleBench seam). */
-  private[graft] def qualityCanonicalOf(docs: DataFrame): DataFrame = {
+  private[graft] def qualityCanonicalOf(docs: DataFrame): DataFrame =
+    qualityCanonicalFrom(docs, Dedup.shinglesOf(docs).cache())
+
+  /** X67 with the pair producer fed a pre-materialized shingle frame
+    * (the shared [[CorpusIndex]] path for the registered query).
+    */
+  private[graft] def qualityCanonicalFrom(docs: DataFrame, sh: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val labels = Dedup.connectedComponents(
-      Dedup.ngramJaccardOf(Dedup.shinglesOf(docs))
-        .select($"doc_a", $"doc_b"))
+      Dedup.ngramJaccardFrom(sh).select($"doc_a", $"doc_b"))
     val scored = Text.qualityOf(docs)
       .select($"doc_id", $"quality_score")
 
