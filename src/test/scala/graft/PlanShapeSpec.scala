@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Plan-REGRESSION gate over every registered query (round-8 verdict
+  * item 4): PlanLintSpec bans the categorically-bad shapes (cartesians,
+  * single-task funnels), but nothing failed when a plan merely got
+  * WORSE — a new exchange from a lost co-partitioning, a broadcast that
+  * silently became a shuffle join, a filter that stopped reaching the
+  * parquet scan. This spec pins each query's exact
+  * (hash-exchanges, range-exchanges, broadcasts, pushdown, codegen-span)
+  * summary against the checked-in PLAN_EXPECTATIONS.tsv snapshot; any
+  * drift fails `sbt test` and names the query and the counts.
+  *
+  * Intentional plan changes regenerate the snapshot with
+  *   SPARK_GRAFT_UPDATE_PLANS=1 sbt "testOnly graft.PlanShapeSpec"
+  * and the diff shows up in review like any other code change.
+  *
+  * Shapes are read from the AQE-final executed plan at sf0.001 under
+  * the shared test session (local[4], shuffle=4) — deterministic for
+  * fixed code + data + config, independent of host core count.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val snapshotPath = Paths.get("PLAN_EXPECTATIONS.tsv")
+
+  test("every registered query's plan shape matches PLAN_EXPECTATIONS.tsv") {
+    val shapes: Seq[(String, PlanAudit.Shape)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> PlanAudit.shapeOf(fn(spark, sfDir))
+      }
+
+    if (sys.env.get("SPARK_GRAFT_UPDATE_PLANS").contains("1")) {
+      val body = "# query\thash_exch\trange_exch\tbcasts\tpushdown\tcodegen\n" +
+        shapes.map { case (n, s) => s"$n\t${s.tsv}" }.mkString("", "\n", "\n")
+      Files.writeString(snapshotPath, body)
+      info(s"regenerated $snapshotPath (${shapes.size} queries)")
+    } else {
+      assert(Files.exists(snapshotPath),
+        s"$snapshotPath missing — regenerate with SPARK_GRAFT_UPDATE_PLANS=1")
+      val expected = Files.readAllLines(snapshotPath).asScala
+        .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+        .map { l => val c = l.split("\t"); c(0) -> c.drop(1).mkString("\t") }
+        .toMap
+      val drift = shapes.flatMap { case (name, s) =>
+        expected.get(name) match {
+          case None => Some(s"$name: NEW query — not in snapshot " +
+            s"(got ${s.tsv})")
+          case Some(exp) if exp != s.tsv =>
+            Some(s"$name: expected [$exp] got [${s.tsv}] " +
+              "(columns: hash_exch range_exch bcasts pushdown codegen)")
+          case _ => None
+        }
+      }
+      val removed = (expected.keySet -- shapes.map(_._1).toSet).toSeq.sorted
+        .map(n => s"$n: in snapshot but no longer registered")
+      assert(drift.isEmpty && removed.isEmpty,
+        "plan-shape drift — if intentional, regenerate with " +
+          "SPARK_GRAFT_UPDATE_PLANS=1 sbt \"testOnly graft.PlanShapeSpec\":\n" +
+          (drift ++ removed).mkString("\n"))
+    }
+  }
+}
