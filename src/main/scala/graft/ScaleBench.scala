@@ -90,8 +90,6 @@ object ScaleBench {
       "x54_span_dedup" -> (d => SpanDedup.spanDedupOf(d)),
       "x56_incremental_dedup" -> (d => IncrementalDedup.incrementalOf(d)),
       "x58_cdc_chunking" -> (d => CdcChunking.cdcChunkingOf(d)),
-      "x62_setsim_prefix_join" -> (d => PrefixJoin.prefixSimJoinOf(d)),
-      "x63_containment_join" -> (d => Containment.containmentJoinOf(d)),
       "x67_quality_canonical" -> (d => QualityDedup.qualityCanonicalOf(d)),
       "x72_filter_cascade" -> (d => Cascade.filterCascadeOf(d)),
       "x77_snapshot_diff" -> (d => SnapshotDiff.snapshotDiffOf(d)),
@@ -107,40 +105,89 @@ object ScaleBench {
         .write.format("noop").mode("overwrite").save())
       println(f"SCALE $name 1x=$t1%.2f s 10x=$t10%.2f s growth=${t10 / t1}%.1fx")
     }
-    // Optional (SPARK_GRAFT_SCALE_CAP30=1): the candidate-budget cap at
-    // 30× for the lossless joins. Corpus = the disjoint-vocab replica at
-    // 30 blocks PLUS a corpus-wide hot phrase appended to every document —
-    // the boilerplate every real corpus carries (df = |corpus|), which is
-    // exactly the term that makes uncapped candidate volume superlinear
-    // (x63's fully-indexed outer side joins through it; x62's prefix
-    // admits it for short documents). With maxCandDf = 1000 those
-    // shingles leave both candidate indexes: candidates stay block-local
-    // and bounded; the declared recall loss is pairs whose ENTIRE overlap
-    // is the hot phrase (the cap specs pin this contract).
-    if (sys.env.contains("SPARK_GRAFT_SCALE_CAP30")) {
-      val cap = 1000L
-      def hotCorpus(blocks: Int, dir: String): String = {
-        replicate(base, blocks)
-          .withColumn("text",
-            concat($"text", lit(" the quick brown fox jumps over it")))
-          .repartition(8 * blocks)
-          .write.mode("overwrite").parquet(dir)
-        dir
-      }
-      val hot10 = hotCorpus(10, "target/scale_corpus_10x_hot")
-      val hot30 = hotCorpus(30, "target/scale_corpus_30x_hot")
-      val capped: Seq[(String, DataFrame => DataFrame)] = Seq(
-        "x62_setsim_prefix_join" ->
-          (d => PrefixJoin.prefixSimJoinOf(d, cap)),
-        "x63_containment_join" ->
-          (d => Containment.containmentJoinOf(d, cap)))
-      capped.foreach { case (name, q) =>
-        val t10 = timed(q(spark.read.parquet(hot10))
+    // x62/x63 — the set-similarity joins whose uncapped candidate volume
+    // is inherently superlinear in corpus size. The ≥10× DEFAULT is the
+    // candidate-budget cap (r8 verdict item 3: the bench must exercise
+    // the mode you would actually run at 100×); the lossless cap-off
+    // form is confined to ≤1× SF, where the driver's brute-force oracle
+    // pins it bit-equal anyway.
+    val cap = 1000L
+    val simJoins: Seq[(String, DataFrame => DataFrame, DataFrame => DataFrame)] =
+      Seq(
+        ("x62_setsim_prefix_join",
+          d => PrefixJoin.prefixSimJoinOf(d),
+          d => PrefixJoin.prefixSimJoinOf(d, cap)),
+        ("x63_containment_join",
+          d => Containment.containmentJoinOf(d),
+          d => Containment.containmentJoinOf(d, cap)))
+    simJoins.foreach { case (name, lossless, capped) =>
+      val t1 = timed(lossless(spark.read.parquet(dir1))
+        .write.format("noop").mode("overwrite").save())
+      val t10 = timed(capped(spark.read.parquet(dir10))
+        .write.format("noop").mode("overwrite").save())
+      println(f"SCALE $name 1x(lossless)=$t1%.2f s 10x(cap=$cap)=$t10%.2f s " +
+        f"growth=${t10 / t1}%.1fx")
+    }
+
+    // Capped wall AND RECALL on hot corpora (r8 verdict: the 30× run
+    // had wall only — recall loss was declared, never measured).
+    //
+    // Corpus = the disjoint-vocab replica with a corpus-wide hot phrase
+    // appended to every document (df = |corpus| boilerplate — the term
+    // that makes uncapped candidate volume superlinear), PLUS a crafted
+    // 1200-doc cluster ("uniq<k>" + a 7-word boilerplate phrase of its
+    // own, df = 1200 > cap) whose every pair overlaps ONLY through hot
+    // shingles. Ground truth is exact by construction:
+    //  - organic qualifying pairs are within-block only (cross-block
+    //    overlap is the 5 phrase shingles; min n_sh = 15 keeps every
+    //    cross-block Jaccard < 0.5 and containment < 3/4), and blocks
+    //    are isomorphic — so organic truth = blocks × (lossless count
+    //    on ONE hot block, a ≤1×-SF run);
+    //  - the injected cluster contributes C(1200,2) Jaccard pairs and
+    //    1200·1199 ordered containments (every member pairs with every
+    //    other, nothing else — its vocabulary is disjoint from the
+    //    corpus), ALL of which the cap must drop (their entire overlap
+    //    sits above maxCandDf — the declared loss mode, pinned
+    //    set-exactly in CapRecallSpec at test scale).
+    val nInjected = 1200L
+    def hotCorpus(blocks: Int, inject: Boolean, dir: String): String = {
+      val organic = replicate(base, blocks)
+        .withColumn("text",
+          concat($"text", lit(" the quick brown fox jumps over it")))
+      val withInjected = if (!inject) organic else organic.unionByName(
+        spark.range(nInjected).select(
+          ($"id" + 900000000L).as("doc_id"),
+          lit("injected").as("source"),
+          concat(lit("uniq"), $"id",
+            lit(" lorem ipsum dolor sit amet consectetur adipiscing"))
+            .as("text")))
+      withInjected.repartition(8 * blocks).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val hot1 = hotCorpus(1, inject = false, "target/scale_corpus_1x_hot")
+    val hot10 = hotCorpus(10, inject = true, "target/scale_corpus_10x_hot")
+    val hot30 = hotCorpus(30, inject = true, "target/scale_corpus_30x_hot")
+    val w62 = PrefixJoin.prefixSimJoinOf(spark.read.parquet(hot1)).count()
+    val w63 = Containment.containmentJoinOf(spark.read.parquet(hot1)).count()
+    spark.catalog.clearCache()
+    val inj62 = nInjected * (nInjected - 1) / 2
+    val inj63 = nInjected * (nInjected - 1)
+    val simTruth: Seq[(String, DataFrame => DataFrame, Long, Long)] = Seq(
+      ("x62_setsim_prefix_join",
+        d => PrefixJoin.prefixSimJoinOf(d, cap), w62, inj62),
+      ("x63_containment_join",
+        d => Containment.containmentJoinOf(d, cap), w63, inj63))
+    simTruth.foreach { case (name, capped, w, inj) =>
+      Seq(10 -> hot10, 30 -> hot30).foreach { case (blocks, dir) =>
+        val t = timed(capped(spark.read.parquet(dir))
           .write.format("noop").mode("overwrite").save())
-        val t30 = timed(q(spark.read.parquet(hot30))
-          .write.format("noop").mode("overwrite").save())
-        println(f"SCALE $name cap=$cap hot10x=$t10%.2f s hot30x=$t30%.2f s " +
-          f"growth=${t30 / t10}%.1fx")
+        val found = capped(spark.read.parquet(dir)).count()
+        spark.catalog.clearCache()
+        val truth = blocks * w + inj
+        println(f"SCALE $name cap=$cap hot${blocks}x wall=$t%.2f s " +
+          f"recall=${found.toDouble / truth}%.3f " +
+          f"(found=$found organic_truth=${blocks * w} hot_only_dropped=$inj " +
+          f"organic_recall=${found.toDouble / (blocks * w)}%.3f)")
       }
     }
 

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Containment, PrefixJoin}
+
+/** 10×-scale CORRECTNESS evidence (round-8 verdict item 5: ScaleBench
+  * measures wall only — prove the scale-seam paths stay hash-green, not
+  * just fast).
+  *
+  * Builds the disjoint-vocab 10× documents replica (same construction
+  * as ScaleBench, full schema) under `<outDir>/tables/`, dumps the
+  * scale-seam queries over it in Verify's format, and writes the same
+  * `oracle_sql.json` the driver gate consumes — so the standard
+  *   CHECK_ORACLE_JSON=CORRECTNESS_scale.json \
+  *   python3 tools/check_oracle.py <outDir>/tables <outDir>
+  * run produces the CORRECTNESS_scale artifact.
+  *
+  * x62/x63 run in their CAPPED form (maxCandDf = 1000 — the ≥10×
+  * registered mode). On this replica the natural shingle df ceiling is
+  * 25 and block-local (disjoint vocabulary), so the cap filter is IN
+  * the plan while provably dropping nothing — the brute-force oracles
+  * stay exact at 10×. (What the cap drops when df exceeds it is pinned
+  * set-exactly in CapRecallSpec; recall under hot boilerplate is
+  * measured by ScaleBench.)
+  *
+  * Usage: `sbt "runMain graft.ScaleVerify [baseSfDir] [outDir] [blocks]"`.
+  */
+object ScaleVerify {
+
+  val Cap = 1000L
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("target/scale_verify")
+    val blocks = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // full-schema replica (ScaleBench.replicate carries only the join
+    // columns; registered queries may read lang/n_chars too)
+    val tables = s"$outDir/tables"
+    Tables.documents(spark, baseDir)
+      .crossJoin(spark.range(blocks).toDF("block"))
+      .select(
+        ($"doc_id" + $"block" * 10000000L).as("doc_id"),
+        array_join(transform(split(trim(lower($"text")), "\\s+"),
+          w => concat(w, lit("_"), $"block")), " ").as("text"),
+        $"lang", $"source")
+      .withColumn("n_chars", length($"text"))
+      .repartition(8 * blocks)
+      .write.mode("overwrite").parquet(s"$tables/documents.parquet")
+
+    val queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      Seq(
+        "x02_minhash_lsh" -> SparkEntry.queries("x02_minhash_lsh"),
+        "x17_ngram_jaccard" -> SparkEntry.queries("x17_ngram_jaccard"),
+        "x42_epoch_shuffle" -> SparkEntry.queries("x42_epoch_shuffle"),
+        "x56_incremental_dedup" -> SparkEntry.queries("x56_incremental_dedup"),
+        "x62_setsim_prefix_join" ->
+          ((s, d) => PrefixJoin.prefixSimJoinOf(Tables.documents(s, d), Cap)),
+        "x63_containment_join" ->
+          ((s, d) => Containment.containmentJoinOf(Tables.documents(s, d), Cap)))
+
+    queries.foreach { case (name, fn) =>
+      try fn(spark, tables).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[scale-verify] $name failed: ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
+    }
+
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = queries.map(_._1)
+      .map(n => s"${q(n)}: ${q(SparkEntry.oracleSql(n))}").mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    println(s"scale-verify: dumped ${queries.size} queries at ${blocks}x to $outDir")
+    spark.stop()
+  }
+}

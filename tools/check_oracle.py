@@ -51,34 +51,49 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir: str, out_dir: str, only=None) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # partial table dirs are fine (a ScaleVerify replica ships only
+        # the tables its queries read); a query against a missing view
+        # still fails loudly below
+        try:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        except Exception:
+            pass
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
     if only:
         oracle = {k: v for k, v in oracle.items() if k in only}
+    results = {}  # name -> row dict, dumped if CHECK_ORACLE_JSON is set
+
+    def record(name, ok, why, rows=None):
+        results[name] = {"pass": ok, "rows": rows, "err": why}
+
     for name, sql in sorted(oracle.items()):
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: spark dump unreadable: {e}")
+            record(name, False, f"spark dump unreadable: {e}")
             n_fail += 1
             continue
         try:
             want = con.execute(sql).fetch_df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            record(name, False, f"oracle SQL error: {e}")
             n_fail += 1
             continue
         got, want = normalize(got), normalize(want)
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns spark={list(got.columns)} "
                   f"duck={list(want.columns)}")
+            record(name, False, "column mismatch")
             n_fail += 1
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows spark={len(got)} duck={len(want)}")
+            record(name, False, f"rows spark={len(got)} duck={len(want)}")
             n_fail += 1
             continue
         # Dtype gate: the driver hashes TYPED values, so a DuckDB HUGEINT
@@ -96,6 +111,7 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
         if kind_bad:
             print(f"FAIL {name}: dtype mismatch (driver hash would diverge): "
                   + "; ".join(kind_bad))
+            record(name, False, "dtype mismatch: " + "; ".join(kind_bad))
             n_fail += 1
             continue
         diffs = []
@@ -115,11 +131,18 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
                 diffs.append(f"col {c}: {bad} mismatches{detail}")
         if diffs:
             print(f"FAIL {name}: " + "; ".join(diffs))
+            record(name, False, "; ".join(diffs), rows=len(got))
             n_fail += 1
         else:
             print(f"PASS {name} ({len(got)} rows)")
+            record(name, True, None, rows=len(got))
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    import os
+    json_out = os.environ.get("CHECK_ORACLE_JSON")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
     return 1 if n_fail else 0
 
 
