@@ -53,12 +53,15 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
     for t in TABLES:
         # partial table dirs are fine (a ScaleVerify replica ships only
         # the tables its queries read); a query against a missing view
-        # still fails loudly below
-        try:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-        except Exception:
-            pass
+        # still fails loudly below. Spark-written tables are DIRECTORIES
+        # of part files — glob those.
+        for src in (f"{sf_dir}/{t}.parquet", f"{sf_dir}/{t}.parquet/*.parquet"):
+            try:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+                break
+            except Exception:
+                pass
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
