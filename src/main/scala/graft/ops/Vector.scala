@@ -136,7 +136,7 @@ object Vector {
   }
 
   /** Exact-cosine rerank of (query × candidate) rows to top-5 per query. */
-  private def rerankTop5(cands: DataFrame): DataFrame = {
+  private[graft] def rerankTop5(cands: DataFrame): DataFrame = {
     import cands.sparkSession.implicits._
     val byQuery = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id".asc)
@@ -145,6 +145,42 @@ object Vector {
       .filter($"rnk" <= 5)
       .select($"query_id", $"rnk", $"vec_id", $"cos_sim")
       .orderBy($"query_id", $"rnk")
+  }
+
+  /** Generalized multi-probe LSH candidate set (the sweep axis behind
+    * x14/x21 — see graft.AnnSweep / ANN_SWEEP.md): each query probes its
+    * own bucket plus the buckets across its `nprobes - 1` least-confident
+    * hyperplanes (smallest |dotq|, ties on plane index — deterministic).
+    * nprobes = 1 is exactly x14's candidate set; nprobes = 2 is x21's;
+    * each step adds a bucket, so candidates grow as a strict superset and
+    * recall is monotone in nprobes (pinned in TextVectorSpec).
+    */
+  private[graft] def lshCandidates(spark: SparkSession, dir: String,
+      nprobes: Int): DataFrame = {
+    import spark.implicits._
+    val (proj, indexed) = lshState(spark, dir)
+    val byConfidence = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy(abs($"dotq").asc, $"p".asc)
+    val flips = proj
+      .withColumn("rn", row_number().over(byConfidence))
+      .filter($"rn" <= nprobes - 1)
+      .groupBy($"vec_id")
+      .agg(collect_list(struct($"rn", $"p")).as("flips"))
+      .select($"vec_id",
+        transform(array_sort($"flips"), f => f.getField("p")).as("pflips"))
+    val q = indexed.filter($"vec_id" < 3)
+      .join(flips, Seq("vec_id"), "left")
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nq".as("qnq"),
+        explode(concat(array($"bucket"),
+          transform(coalesce($"pflips", array()),
+            // 1L << p for p < 8 — exact in double
+            p => $"bucket".bitwiseXOR(
+              pow(lit(2.0), p.cast("double")).cast("long")))))
+          .as("probe"))
+    indexed.join(broadcast(q),
+        $"bucket" === $"probe" && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        cosQ(dotQ($"embedding", $"qe"), $"nq", $"qnq").as("cos_sim"))
   }
 
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -270,7 +306,7 @@ object Vector {
     *
     * nprobe trades candidates for recall (monotone by construction — more
     * probed cells is a candidate superset). The measured sweep on this
-    * corpus is committed in IVF_SWEEP.md; the registered query uses
+    * corpus is committed in ANN_SWEEP.md; the registered query uses
     * nprobe=2 (recall plateau at ~2× the nprobe=1 candidate cost).
     *
     * No DuckDB oracle: k-means centroids depend on float reduction order
@@ -337,7 +373,7 @@ object Vector {
     rerankTop5(ivfCandidates(index, nprobe))
 
   /** The scored candidate set a probe scans (the cost axis of the
-    * recall/cost sweep — see graft.IvfSweep / IVF_SWEEP.md).
+    * recall/cost sweep — see graft.AnnSweep / ANN_SWEEP.md).
     */
   private[graft] def ivfCandidates(index: IvfIndex, nprobe: Int): DataFrame = {
     val spark = index.assigned.sparkSession
@@ -495,10 +531,20 @@ object Vector {
   }
 
   /** ADC probe: broadcast M×K lookup tables per query, approximate
-    * distance = sum of M code lookups, top-[[PqCandK]] by ADC, exact
-    * cosine rerank, top-5.
+    * distance = sum of M code lookups, top-`candK` by ADC, exact
+    * cosine rerank, top-5. `candK` (default [[PqCandK]], the registered
+    * form) is PQ's recall/cost dial — the number of exact-float rows the
+    * rerank touches per query; the ADC scan itself always reads every
+    * row's M bytes of codes, never the floats (see graft.AnnSweep).
     */
-  private[graft] def pqProbe(index: PqIndex): DataFrame = {
+  private[graft] def pqProbe(index: PqIndex,
+      candK: Int = PqCandK): DataFrame =
+    rerankTop5(pqCandidates(index, candK))
+
+  /** The scored exact-rerank candidate set an ADC probe admits (the cost
+    * axis of the PQ recall/cost sweep — graft.AnnSweep / ANN_SWEEP.md).
+    */
+  private[graft] def pqCandidates(index: PqIndex, candK: Int): DataFrame = {
     val spark = index.encoded.sparkSession
     import spark.implicits._
     val q = index.encoded.filter($"vec_id" < 3)
@@ -519,14 +565,13 @@ object Vector {
       .reduce(_ + _)
     val byAdc = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"approx_d2".asc, $"vec_id".asc)
-    val cands = index.encoded.crossJoin(broadcast(lut))
+    index.encoded.crossJoin(broadcast(lut))
       .filter($"vec_id" =!= $"query_id")
       .withColumn("approx_d2", adc)
       .withColumn("arn", row_number().over(byAdc))
-      .filter($"arn" <= PqCandK)
+      .filter($"arn" <= candK)
       .select($"query_id", $"vec_id",
         cosQ(dotQ($"embedding", $"qe"), $"nq", $"qnq").as("cos_sim"))
-    rerankTop5(cands)
   }
 
   def annPqTopK(spark: SparkSession, dir: String): DataFrame =

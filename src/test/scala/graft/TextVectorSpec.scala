@@ -184,6 +184,67 @@ class TextVectorSpec extends SparkSpec {
       s"cand=${VecOps.PqCandK}): ${"%.2f".format(recall)}")
     assert(got.size == brute.size, "PQ probe returned a wrong-size top-5")
     assert(recall >= 0.6, s"ADC recall too low: $recall")
+    // candK is a rank cutoff on one fixed ADC ordering → candidates are
+    // nested → recall is monotone in candK (PQ's recall/cost contract)
+    val sweep = Seq(16, VecOps.PqCandK, 128).map { ck =>
+      val g = VecOps.pqProbe(index, ck).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+      ck -> (g & brute).size.toDouble / brute.size
+    }
+    sweep.sliding(2).foreach { case Seq((_, r1), (_, r2)) =>
+      assert(r2 >= r1 - 1e-9, s"PQ recall regressed in candK sweep: $sweep")
+    }
+  }
+
+  test("X21: multi-probe candidates strictly contain the single-bucket " +
+    "set and recall is monotone in probes") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Hashing.{cosQ, dotQ}
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c1 = pairs(VecOps.lshCandidates(spark, sfDir, 1))
+    val c2 = pairs(VecOps.lshCandidates(spark, sfDir, 2))
+    val c4 = pairs(VecOps.lshCandidates(spark, sfDir, 4))
+    assert(c1.subsetOf(c2) && c2.subsetOf(c4),
+      "each extra probe must only ADD candidates")
+    // consistency with the registered queries: probes=1 reranks to x14's
+    // result, probes=2 to x21's
+    def top5(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rnk", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(top5(VecOps.rerankTop5(VecOps.lshCandidates(spark, sfDir, 1)))
+      == top5(VecOps.annLshTopK(spark, sfDir)),
+      "lshCandidates(1) must rerank to exactly x14's top-5")
+    assert(top5(VecOps.rerankTop5(VecOps.lshCandidates(spark, sfDir, 2)))
+      == top5(VecOps.annMultiProbe(spark, sfDir)),
+      "lshCandidates(2) must rerank to exactly x21's top-5")
+    // brute-force ground truth → recall floor and monotonicity
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        dotQ(col("embedding"), col("embedding")).as("nq"))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nq").as("qnq"))
+    val byQ = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("c").desc, col("vec_id").asc)
+    val brute = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosQ(dotQ(col("embedding"), col("qe")), col("nq"), col("qnq")).as("c"))
+      .withColumn("rnk", row_number().over(byQ)).filter(col("rnk") <= 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sweep = Seq(1 -> c1, 2 -> c2, 4 -> c4).map { case (np, c) =>
+      val got = top5(VecOps.rerankTop5(
+        VecOps.lshCandidates(spark, sfDir, np))).map(t => (t._1, t._3))
+      np -> (got & brute).size.toDouble / brute.size
+    }
+    info("LSH multi-probe sweep: " + sweep.map { case (np, r) =>
+      s"probes=$np -> ${"%.2f".format(r)}" }.mkString(", "))
+    sweep.sliding(2).foreach { case Seq((_, r1), (_, r2)) =>
+      assert(r2 >= r1 - 1e-9, s"recall regressed in probe sweep: $sweep")
+    }
   }
 
   test("X4: pairwise join respects the block and the threshold") {
