@@ -127,5 +127,13 @@ object AnnSweep {
       row("PQ", s"candK=$ck$note", top5Of(Vector.pqProbe(pq, ck)),
         3L * math.min(ck, n - 1))
     }
+    Seq((2, 48), (4, 48), (8, 128)).foreach { case (np, ck) =>
+      val note =
+        if (np == Vector.IvfPqNprobe && ck == Vector.IvfPqCandK) " (=x79)"
+        else ""
+      row("IVF-PQ", s"nprobe=$np,candK=$ck$note",
+        top5Of(Vector.ivfPqProbe(ivf, pq, np, ck)),
+        Vector.ivfPqCandidates(ivf, pq, np, ck).count())
+    }
   }
 }

@@ -98,7 +98,12 @@ object ScaleBench {
       // the fixed embedding table both times (documented in SCALE.md)
       "x69_hybrid_rrf" ->
         (d => Hybrid.hybridRrfOf(d, Tables.embeddings(spark, sfDir))))
-    queries.foreach { case (name, q) =>
+    // section filter for partial re-runs (e.g. the memory-heavy hot-corpus
+    // recall section alone under a bigger heap): generic | simjoin | hot
+    val sections = sys.env.get("SPARK_GRAFT_SCALE_SECTIONS")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("generic", "simjoin", "hot"))
+    if (sections("generic")) queries.foreach { case (name, q) =>
       val t1 = timed(q(spark.read.parquet(dir1))
         .write.format("noop").mode("overwrite").save())
       val t10 = timed(q(spark.read.parquet(dir10))
@@ -120,7 +125,7 @@ object ScaleBench {
         ("x63_containment_join",
           d => Containment.containmentJoinOf(d),
           d => Containment.containmentJoinOf(d, cap)))
-    simJoins.foreach { case (name, lossless, capped) =>
+    if (sections("simjoin")) simJoins.foreach { case (name, lossless, capped) =>
       val t1 = timed(lossless(spark.read.parquet(dir1))
         .write.format("noop").mode("overwrite").save())
       val t10 = timed(capped(spark.read.parquet(dir10))
@@ -128,6 +133,7 @@ object ScaleBench {
       println(f"SCALE $name 1x(lossless)=$t1%.2f s 10x(cap=$cap)=$t10%.2f s " +
         f"growth=${t10 / t1}%.1fx")
     }
+    if (!sections("hot")) { spark.stop(); return }
 
     // Capped wall AND RECALL on hot corpora (r8 verdict: the 30× run
     // had wall only — recall loss was declared, never measured).

@@ -378,11 +378,25 @@ object Vector {
   private[graft] def ivfCandidates(index: IvfIndex, nprobe: Int): DataFrame = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
+    index.assigned
+      .join(broadcast(ivfProbedCells(index, nprobe)), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        cosQ(dotQ($"embedding", $"qe"), $"nq", $"qnq").as("cos_sim"))
+  }
+
+  /** The probed (cell, query) assignment: each query's `nprobe` nearest
+    * cells by exact centroid distance (3 queries × 16 centroids — tiny).
+    * Shared by the plain IVF probe and the composed IVF-PQ probe (x79).
+    */
+  private[graft] def ivfProbedCells(index: IvfIndex, nprobe: Int): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
     val q = index.assigned.filter($"vec_id" < 3)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nq".as("qnq"))
     val byDist = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"dist2".asc, $"cell".asc)
-    val probes = q.crossJoin(broadcast(index.centroids))
+    q.crossJoin(broadcast(index.centroids))
       .withColumn("dist2", aggregate(
         zip_with($"qe", $"centroid", (x, c) => {
           val d = x.cast("double") - c; d * d
@@ -391,10 +405,6 @@ object Vector {
       .withColumn("rn", row_number().over(byDist))
       .filter($"rn" <= nprobe)
       .select($"cell", $"query_id", $"qe", $"qnq")
-    index.assigned.join(broadcast(probes), Seq("cell"))
-      .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id",
-        cosQ(dotQ($"embedding", $"qe"), $"nq", $"qnq").as("cos_sim"))
   }
 
   private[graft] def ivfCandidateCount(index: IvfIndex, nprobe: Int): Long =
@@ -541,17 +551,16 @@ object Vector {
       candK: Int = PqCandK): DataFrame =
     rerankTop5(pqCandidates(index, candK))
 
-  /** The scored exact-rerank candidate set an ADC probe admits (the cost
-    * axis of the PQ recall/cost sweep — graft.AnnSweep / ANN_SWEEP.md).
+  /** Per-query ADC lookup tables, ordered by (sub, code) into one flat
+    * array so a code lookup is element_at(lut, sub*K + code + 1).
+    * Shared by the plain PQ probe and the composed IVF-PQ probe (x79).
     */
-  private[graft] def pqCandidates(index: PqIndex, candK: Int): DataFrame = {
+  private[graft] def pqLuts(index: PqIndex): DataFrame = {
     val spark = index.encoded.sparkSession
     import spark.implicits._
-    val q = index.encoded.filter($"vec_id" < 3)
+    index.encoded.filter($"vec_id" < 3)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nq".as("qnq"))
-    // the per-query ADC table, ordered by (sub, code) into one flat array
-    // so a code lookup is element_at(lut, sub*K + code + 1)
-    val lut = q.crossJoin(broadcast(index.codebooks))
+      .crossJoin(broadcast(index.codebooks))
       .withColumn("d2", aggregate(
         zip_with(slice($"qe", $"sub" * PqSub + 1, lit(PqSub)), $"centroid",
           (x, c) => { val d = x.cast("double") - c; d * d }),
@@ -560,14 +569,24 @@ object Vector {
       .agg(transform(
         array_sort(collect_list(struct($"sub", $"code", $"d2"))),
         s => s.getField("d2")).as("lut"))
-    val adc = (0 until PqM)
-      .map(j => element_at($"lut", col(s"code_$j") + lit(j * PqK + 1)))
-      .reduce(_ + _)
+  }
+
+  /** Approximate squared distance: sum of M code lookups in the lut. */
+  private def adcExpr = (0 until PqM)
+    .map(j => element_at(col("lut"), col(s"code_$j") + lit(j * PqK + 1)))
+    .reduce(_ + _)
+
+  /** The scored exact-rerank candidate set an ADC probe admits (the cost
+    * axis of the PQ recall/cost sweep — graft.AnnSweep / ANN_SWEEP.md).
+    */
+  private[graft] def pqCandidates(index: PqIndex, candK: Int): DataFrame = {
+    val spark = index.encoded.sparkSession
+    import spark.implicits._
     val byAdc = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"approx_d2".asc, $"vec_id".asc)
-    index.encoded.crossJoin(broadcast(lut))
+    index.encoded.crossJoin(broadcast(pqLuts(index)))
       .filter($"vec_id" =!= $"query_id")
-      .withColumn("approx_d2", adc)
+      .withColumn("approx_d2", adcExpr)
       .withColumn("arn", row_number().over(byAdc))
       .filter($"arn" <= candK)
       .select($"query_id", $"vec_id",
@@ -576,6 +595,62 @@ object Vector {
 
   def annPqTopK(spark: SparkSession, dir: String): DataFrame =
     pqProbe(pqIndex(spark, dir))
+
+  /** X79 — composed IVF-PQ (the production billion-vector layout): IVF
+    * bounds the candidate set to the query's `nprobe` nearest cells (a
+    * keyed join, ~nprobe/16 of the corpus), the ADC pass ranks ONLY
+    * those members by their M=8 code bytes (never touching floats), and
+    * exact-cosine rerank pays for just `candK` rows per query. Cell
+    * filter, code scan, and rerank each bound a different resource —
+    * scan I/O, memory bandwidth, exact-distance CPU — which is why the
+    * composition is the standard at open scale.
+    *
+    * What it does and does not fix (measured, ANN_SWEEP.md): the cell
+    * bound cuts the decoy pool ADC ranks against by a CONSTANT factor
+    * (16/nprobe) — at equal recall the composition reranks ~1/3 the
+    * rows of flat PQ on the 500-vector corpus — but the pool still
+    * GROWS with the corpus, so a fixed candK degrades at 10× exactly as
+    * flat PQ does on these near-uniform vectors (margins ≪ ADC noise,
+    * the quantizer's worst regime). The operational rule stands either
+    * way: candK tracks the probed-cell population (a per-partition
+    * fraction, trivial in the cell-partitioned layout), not a constant.
+    *
+    * Both stages reuse the memoized per-(session, dir) indexes and the
+    * factored seams ([[ivfProbedCells]], [[pqLuts]]); in production the
+    * codes live cell-partitioned next to the IVF lists, so the
+    * codes-join below disappears into the index layout. No DuckDB
+    * oracle (two k-means fits — x19/x31's declared reason); recall and
+    * the candidate-containment contract are pinned in TextVectorSpec.
+    */
+  val IvfPqNprobe = 4
+  val IvfPqCandK = 48
+
+  def annIvfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfPqProbe(ivfIndex(spark, dir), pqIndex(spark, dir),
+      IvfPqNprobe, IvfPqCandK)
+
+  private[graft] def ivfPqProbe(ivf: IvfIndex, pq: PqIndex,
+      nprobe: Int, candK: Int): DataFrame =
+    rerankTop5(ivfPqCandidates(ivf, pq, nprobe, candK))
+
+  private[graft] def ivfPqCandidates(ivf: IvfIndex, pq: PqIndex,
+      nprobe: Int, candK: Int): DataFrame = {
+    val spark = ivf.assigned.sparkSession
+    import spark.implicits._
+    val luts = ivfProbedCells(ivf, nprobe).drop("qe", "qnq")
+      .join(pqLuts(pq), Seq("query_id"))
+    val byAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"approx_d2".asc, $"vec_id".asc)
+    ivf.assigned.select($"vec_id", $"cell")
+      .join(pq.encoded, Seq("vec_id"))
+      .join(broadcast(luts), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("approx_d2", adcExpr)
+      .withColumn("arn", row_number().over(byAdc))
+      .filter($"arn" <= candK)
+      .select($"query_id", $"vec_id",
+        cosQ(dotQ($"embedding", $"qe"), $"nq", $"qnq").as("cos_sim"))
+  }
 
   /** X51 — hard-negative mining: for each query vector, the [[NegK]]
     * most-similar vectors with a DIFFERENT label — the contrastive-
@@ -644,7 +719,8 @@ object Vector {
     "x20_embedding_near_dup" -> embeddingNearDupClusters _,
     "x21_ann_multiprobe" -> annMultiProbe _,
     "x31_ann_pq_topk" -> annPqTopK _,
-    "x51_hard_negatives" -> hardNegatives _)
+    "x51_hard_negatives" -> hardNegatives _,
+    "x79_ann_ivfpq_topk" -> annIvfPqTopK _)
 
   val oracles: Map[String, String] = Map(
     "x03_cosine_topk" -> cosineTopKSql,

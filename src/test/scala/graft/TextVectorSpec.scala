@@ -196,6 +196,49 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("X79: IVF-PQ candidates live inside the probed cells, rerank is " +
+    "candK-bounded, and recall holds at the registered dials") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Hashing.{cosQ, dotQ}
+    val ivf = VecOps.ivfIndex(spark, sfDir)
+    val pq = VecOps.pqIndex(spark, sfDir)
+    // containment: the composed probe's candidates are a subset of the
+    // plain-IVF candidate set at the same nprobe (ADC only prunes)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val np = VecOps.IvfPqNprobe
+    val ivfSet = pairs(VecOps.ivfCandidates(ivf, np))
+    val composed = pairs(VecOps.ivfPqCandidates(ivf, pq, np, VecOps.IvfPqCandK))
+    assert(composed.subsetOf(ivfSet),
+      "IVF-PQ candidates must come only from the probed cells")
+    // per-query rerank bound
+    val perQ = VecOps.ivfPqCandidates(ivf, pq, np, VecOps.IvfPqCandK)
+      .groupBy(col("query_id")).count().collect().map(_.getLong(1))
+    assert(perQ.forall(_ <= VecOps.IvfPqCandK),
+      "rerank candidates must be candK-bounded per query")
+    // recall vs the IN-CELL exact truth (what the composition can see at
+    // this nprobe; cross-cell misses are IVF's, not the PQ stage's) —
+    // ADC + candK=48 over ≤ nprobe/16 of a 500-vector corpus must keep
+    // most of the reachable top-5
+    val reachable = VecOps.rerankTop5(VecOps.ivfCandidates(ivf, np))
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs(VecOps.ivfPqProbe(ivf, pq, np, VecOps.IvfPqCandK))
+    val recall = (got & reachable).size.toDouble / reachable.size
+    info(s"IVF-PQ in-cell recall@5 (nprobe=$np, candK=${VecOps.IvfPqCandK}): " +
+      "%.2f".format(recall))
+    assert(recall >= 0.6, s"in-cell ADC recall too low: $recall")
+    // candK sweep is monotone (nested short-lists, fixed ADC order)
+    val sweep = Seq(8, 48, 200).map { ck =>
+      val g = pairs(VecOps.ivfPqProbe(ivf, pq, np, ck))
+      ck -> (g & reachable).size.toDouble / reachable.size
+    }
+    sweep.sliding(2).foreach { case Seq((_, r1), (_, r2)) =>
+      assert(r2 >= r1 - 1e-9, s"IVF-PQ recall regressed in candK sweep: $sweep")
+    }
+  }
+
   test("X21: multi-probe candidates strictly contain the single-bucket " +
     "set and recall is monotone in probes") {
     import org.apache.spark.sql.functions._
