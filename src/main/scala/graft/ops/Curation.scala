@@ -46,13 +46,21 @@ object Curation {
   val MinQuality = 0.5
 
   def curationPipeline(spark: SparkSession, dir: String): DataFrame =
-    curationOf(Tables.documents(spark, dir))
+    // ride the shared memoized corpus shingle index: a survivor subset's
+    // shingle set IS the corpus shingle set semi-joined to the survivors
+    // (shingling is per-doc), so stage 4 never re-tokenizes — and text
+    // never needs re-attaching to the unique survivors at all
+    curationOf(Tables.documents(spark, dir),
+      corpusShingles = Some(CorpusIndex.shingles(spark, dir)))
 
   /** Core of X22 over any (doc_id, text) frame; `minQuality` is the gate
     * threshold (the registered query uses [[MinQuality]], which the
-    * oracle mirrors).
+    * oracle mirrors). `corpusShingles`, when supplied, must be the
+    * (doc_id, sh) shingle set of the FULL input frame — stage 4 then
+    * filters it to survivors instead of re-shingling.
     */
-  def curationOf(docs: DataFrame, minQuality: Double = MinQuality): DataFrame = {
+  def curationOf(docs: DataFrame, minQuality: Double = MinQuality,
+      corpusShingles: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // scored feeds the verdict join AND the surviving-doc stages — cache
@@ -79,10 +87,18 @@ object Curation {
     // by next
     val uniq = withRep.filter($"doc_id" === $"rep")
       .select($"doc_id", $"quality_score")
-      .join(scored.select($"doc_id", $"text"), "doc_id")
     // stage 4: near-dup pairs among the unique survivors ONLY — the
     // shingle/index cost is paid on the shrunk corpus, not the raw one
-    val pairs = Dedup.ngramJaccardOf(Dedup.shinglesOf(uniq))
+    // (or, when the corpus index is supplied, on a semi-join against it:
+    // df is recomputed over the filtered frame either way, so the pair
+    // semantics — and the oracle — are identical)
+    val survivorShingles = corpusShingles match {
+      case Some(sh) =>
+        sh.join(uniq.select($"doc_id"), Seq("doc_id"), "left_semi")
+      case None =>
+        Dedup.shinglesOf(uniq.join(scored.select($"doc_id", $"text"), "doc_id"))
+    }
+    val pairs = Dedup.ngramJaccardOf(survivorShingles)
       .select($"doc_a", $"doc_b")
     val labels = Dedup.connectedComponents(pairs)
     val clustered = uniq

@@ -28,6 +28,12 @@ class PlanShapeSpec extends SparkSpec {
   test("every registered query's plan shape matches PLAN_EXPECTATIONS.tsv") {
     val shapes: Seq[(String, PlanAudit.Shape)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // clear cached frames before each shape: the suites share one
+        // session, and a prior suite's (or prior query's) .cache() whose
+        // analyzed plan matches a subtree here would substitute an
+        // InMemoryRelation and shift the codegen-span count — making the
+        // gate depend on suite order instead of the code
+        spark.catalog.clearCache()
         name -> PlanAudit.shapeOf(fn(spark, sfDir))
       }
 

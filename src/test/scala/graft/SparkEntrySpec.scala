@@ -55,7 +55,8 @@ class SparkEntrySpec extends SparkSpec {
       "Assign" -> Assign.queries, "Twa" -> Twa.queries,
       "Cascade" -> Cascade.queries, "Mode" -> Mode.queries,
       "Correlate" -> Correlate.queries,
-      "SnapshotDiff" -> SnapshotDiff.queries)
+      "SnapshotDiff" -> SnapshotDiff.queries,
+      "IncrementalCc" -> IncrementalCc.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
@@ -66,7 +67,8 @@ class SparkEntrySpec extends SparkSpec {
   test("rows-only queries (no oracle) are the documented exceptions") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set(
-      "b11_approx_distinct", "x19_ann_ivf_topk", "x31_ann_pq_topk"),
+      "b11_approx_distinct", "x19_ann_ivf_topk", "x31_ann_pq_topk",
+      "x79_ann_ivfpq_topk"),
       s"unexpected oracle-less queries: $noOracle")
   }
 }
