@@ -56,7 +56,8 @@ class SparkEntrySpec extends SparkSpec {
       "Cascade" -> Cascade.queries, "Mode" -> Mode.queries,
       "Correlate" -> Correlate.queries,
       "SnapshotDiff" -> SnapshotDiff.queries,
-      "IncrementalCc" -> IncrementalCc.queries)
+      "IncrementalCc" -> IncrementalCc.queries,
+      "Batching" -> Batching.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
