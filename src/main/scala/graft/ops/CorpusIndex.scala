@@ -56,6 +56,16 @@ object CorpusIndex {
   private[graft] def signatures(spark: SparkSession, dir: String): DataFrame =
     index(spark, dir).sig
 
+  /** Test-only: drop this session's memoized entries so the next access
+    * rebuilds from scratch (PlanShapeSpec measures plan shapes from a
+    * cold memo regardless of which suites ran first; the dropped
+    * checkpoint blocks are reclaimed by the context cleaner).
+    */
+  private[graft] def invalidate(spark: SparkSession): Unit =
+    cache.synchronized {
+      Option(cache.get(spark)).foreach(_.clear())
+    }
+
   private def build(spark: SparkSession, dir: String): ShingleIndex = {
     val sh = Dedup.shinglesOf(Tables.documents(spark, dir)).localCheckpoint()
     val sig = Dedup.minhashSignatures(sh).localCheckpoint()

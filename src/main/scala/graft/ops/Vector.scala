@@ -510,6 +510,20 @@ object Vector {
     perSession.getOrElseUpdate(dir, buildPqIndex(spark, dir))
   }
 
+  /** Test-only: drop this session's memoized IVF/PQ indexes so the next
+    * access rebuilds from scratch (PlanShapeSpec measures plan shapes
+    * from a cold memo regardless of which suites ran first; dropped
+    * checkpoint blocks are reclaimed by the context cleaner).
+    */
+  private[graft] def invalidateIndexes(spark: SparkSession): Unit = {
+    ivfIndexCache.synchronized {
+      Option(ivfIndexCache.get(spark)).foreach(_.clear())
+    }
+    pqIndexCache.synchronized {
+      Option(pqIndexCache.get(spark)).foreach(_.clear())
+    }
+  }
+
   /** PQ index build: M seeded KMeans fits on the 8-dim slices, vectors
     * encoded to their per-subspace nearest-centroid codes, materialized
     * via localCheckpoint; plus the M×K codebook table.

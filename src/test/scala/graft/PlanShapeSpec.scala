@@ -26,6 +26,13 @@ class PlanShapeSpec extends SparkSpec {
   private val snapshotPath = Paths.get("PLAN_EXPECTATIONS.tsv")
 
   test("every registered query's plan shape matches PLAN_EXPECTATIONS.tsv") {
+    // reset the build-once index memos (CorpusIndex shingles, IVF/PQ)
+    // before the loop: a localCheckpoint-backed frame built by an earlier
+    // SUITE substitutes a checkpoint scan where a cold run has the full
+    // subplan, shifting codegen-span counts with suite order. A cold memo
+    // + sorted query order makes every run measure the same plans.
+    ops.CorpusIndex.invalidate(spark)
+    ops.Vector.invalidateIndexes(spark)
     val shapes: Seq[(String, PlanAudit.Shape)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         // clear cached frames before each shape: the suites share one
