@@ -57,7 +57,9 @@ class SparkEntrySpec extends SparkSpec {
       "Correlate" -> Correlate.queries,
       "SnapshotDiff" -> SnapshotDiff.queries,
       "IncrementalCc" -> IncrementalCc.queries,
-      "Batching" -> Batching.queries)
+      "Batching" -> Batching.queries, "Novelty" -> Novelty.queries,
+      "Triangles" -> Triangles.queries,
+      "ClusterShard" -> ClusterShard.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
