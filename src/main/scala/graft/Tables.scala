@@ -44,23 +44,41 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark has
-    * no native type for ([PARQUET_TYPE_ILLEGAL] on schema inference
-    * otherwise). Supplying the schema explicitly — ts as a nanos long,
-    * exactly what `spark.sql.legacy.parquet.nanosAsLong` would infer —
-    * skips inference entirely and scopes the mapping to THIS read, instead
-    * of mutating session-global config for every other table and query
-    * (round-1 ADVICE). The long is floor-divided to microseconds, matching
-    * DuckDB's ns→µs truncating CAST.
+  /** `events.ts` has shipped under two parquet annotations across
+    * driver testdata generations: TIMESTAMP(MICROS, isAdjustedToUTC
+    * =false) — which Spark infers as TIMESTAMP_NTZ — and
+    * TIMESTAMP(NANOS), which Spark has no native type for
+    * ([PARQUET_TYPE_ILLEGAL] on schema inference). Sniff via normal
+    * inference first: an NTZ micros column casts to the session
+    * TimestampType (all engine entry points run UTC, so the wall-clock
+    * reading is unchanged and matches DuckDB's naive read); only if
+    * inference itself rejects the file fall back to the explicit
+    * nanos-long schema — exactly what `spark.sql.legacy.parquet
+    * .nanosAsLong` would infer — floor-divided to microseconds to
+    * match DuckDB's ns→µs truncating CAST. Both mappings are scoped to
+    * THIS read instead of mutating session-global config for every
+    * other table and query (round-1 ADVICE).
     */
   def events(spark: SparkSession, dir: String): DataFrame =
     memo(spark, s"$dir/events.parquet") {
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-          "value DOUBLE, props STRING")
-      spark.read.schema(schema)
-        .parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val path = s"$dir/events.parquet"
+      try {
+        val df = spark.read.parquet(path)
+        df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            df.withColumn("ts",
+              expr("ts").cast(org.apache.spark.sql.types.TimestampType))
+          case _ => df
+        }
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          val schema = org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+              "value DOUBLE, props STRING")
+          spark.read.schema(schema)
+            .parquet(path)
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      }
     }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
