@@ -59,7 +59,8 @@ class SparkEntrySpec extends SparkSpec {
       "IncrementalCc" -> IncrementalCc.queries,
       "Batching" -> Batching.queries, "Novelty" -> Novelty.queries,
       "Triangles" -> Triangles.queries,
-      "ClusterShard" -> ClusterShard.queries)
+      "ClusterShard" -> ClusterShard.queries,
+      "PageRank" -> PageRank.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
