@@ -1050,9 +1050,29 @@ object Relational {
     */
   def scd2History(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    scd2Intervals(spark, dir)
+      .select($"o_custkey", $"version", $"o_orderpriority",
+        $"valid_from".cast("timestamp_ntz").as("valid_from"),
+        $"valid_to".cast("timestamp_ntz").as("valid_to"), $"n_orders")
+      .orderBy($"o_custkey", $"version")
+  }
+
+  /** The unsorted, uncast version-interval frame behind B37 (and B54's
+    * point-in-time lookup): `(o_custkey, version, o_orderpriority,
+    * valid_from DATE, valid_to DATE nullable, n_orders)` where per
+    * customer the intervals [valid_from, valid_to) partition time from
+    * the first order onward (valid_to null = current version).
+    */
+  private[graft] def scd2Intervals(spark: SparkSession, dir: String): DataFrame =
+    scd2IntervalsOf(Tables.orders(spark, dir))
+
+  /** Same, over any orders-shaped frame; test seam for B54. */
+  private[graft] def scd2IntervalsOf(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
     val w = Window.partitionBy($"o_custkey")
       .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
-    val versioned = Tables.orders(spark, dir)
+    val versioned = orders
       .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderpriority")
       .withColumn("chg",
         when(lag($"o_orderpriority", 1).over(w).isNull ||
@@ -1060,17 +1080,12 @@ object Relational {
           .otherwise(0L))
       .withColumn("version",
         sum($"chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val intervals = versioned
+    versioned
       .groupBy($"o_custkey", $"version", $"o_orderpriority")
       .agg(min($"o_orderdate").as("valid_from"),
         count(lit(1)).as("n_orders"))
-    intervals
       .withColumn("valid_to", lead($"valid_from", 1).over(
         Window.partitionBy($"o_custkey").orderBy($"version".asc)))
-      .select($"o_custkey", $"version", $"o_orderpriority",
-        $"valid_from".cast("timestamp_ntz").as("valid_from"),
-        $"valid_to".cast("timestamp_ntz").as("valid_to"), $"n_orders")
-      .orderBy($"o_custkey", $"version")
   }
 
   val scd2HistorySql: String =

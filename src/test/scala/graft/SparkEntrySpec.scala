@@ -60,7 +60,9 @@ class SparkEntrySpec extends SparkSpec {
       "Batching" -> Batching.queries, "Novelty" -> Novelty.queries,
       "Triangles" -> Triangles.queries,
       "ClusterShard" -> ClusterShard.queries,
-      "PageRank" -> PageRank.queries)
+      "PageRank" -> PageRank.queries, "PitJoin" -> PitJoin.queries,
+      "ThresholdSweep" -> ThresholdSweep.queries,
+      "IncrementalAgg" -> IncrementalAgg.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
