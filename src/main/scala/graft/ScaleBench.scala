@@ -97,13 +97,27 @@ object ScaleBench {
       // lexical retriever scales with the corpus; the dense side reads
       // the fixed embedding table both times (documented in SCALE.md)
       "x69_hybrid_rrf" ->
-        (d => Hybrid.hybridRrfOf(d, Tables.embeddings(spark, sfDir))))
+        (d => Hybrid.hybridRrfOf(d, Tables.embeddings(spark, sfDir))),
+      // graph build scales with the corpus; the vocab (suffixed per
+      // block) grows 10× with it, so the iteration frames scale too —
+      // the honest worst case (production vocab is sublinear in corpus)
+      "x84_pagerank" ->
+        (d => graft.ops.PageRank.pagerankFromEdges(
+          graft.ops.Triangles.edgesOf(d))),
+      "x85_threshold_sweep" ->
+        (d => graft.ops.ThresholdSweep.thresholdSweepOf(d)))
     // section filter for partial re-runs (e.g. the memory-heavy hot-corpus
-    // recall section alone under a bigger heap): generic | simjoin | hot
+    // recall section alone under a bigger heap):
+    // generic | simjoin | hot | events | vectors | pit
     val sections = sys.env.get("SPARK_GRAFT_SCALE_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("generic", "simjoin", "hot"))
-    if (sections("generic")) queries.foreach { case (name, q) =>
+      .getOrElse(Set("generic", "simjoin", "hot", "events", "vectors", "pit"))
+    // name filter within sections, for a quick look at specific queries
+    val onlyQ = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def selected(name: String): Boolean = onlyQ.forall(_.contains(name))
+    if (sections("generic")) queries.filter(q => selected(q._1))
+      .foreach { case (name, q) =>
       val t1 = timed(q(spark.read.parquet(dir1))
         .write.format("noop").mode("overwrite").save())
       val t10 = timed(q(spark.read.parquet(dir10))
@@ -133,7 +147,7 @@ object ScaleBench {
       println(f"SCALE $name 1x(lossless)=$t1%.2f s 10x(cap=$cap)=$t10%.2f s " +
         f"growth=${t10 / t1}%.1fx")
     }
-    if (!sections("hot")) { spark.stop(); return }
+    if (sections("hot")) {
 
     // Capped wall AND RECALL on hot corpora (r8 verdict: the 30× run
     // had wall only — recall loss was declared, never measured).
@@ -197,7 +211,10 @@ object ScaleBench {
       }
     }
 
+    }
+
     // event-shaped rows scale on the user dimension instead
+    if (sections("events")) {
     val ev1 = "target/scale_events_1x"
     val ev10 = "target/scale_events_10x"
     val evBase = Tables.events(spark, sfDir)
@@ -211,13 +228,57 @@ object ScaleBench {
       // the user replica multiplies events per hour, not the timeline:
       // the grid stays fixed while hourly counts grow 10× — exactly how
       // a production deployment's traffic grows
-      "x76_type_correlation" -> (d => Correlate.typeCorrelationOf(d)))
-    evQueries.foreach { case (name, q) =>
+      "x76_type_correlation" -> (d => Correlate.typeCorrelationOf(d)),
+      // the user replica grows the KEY space 10×: base partials, delta
+      // partials, and the merge all scale on |keys| — the refresh-path
+      // dimension that grows in production (the timeline is fixed)
+      "x86_incremental_agg" -> (d => graft.ops.IncrementalAgg
+        .incrementalAggOf(d,
+          to_timestamp(lit(graft.ops.IncrementalAgg.Cutoff)))))
+    evQueries.filter(q => selected(q._1)).foreach { case (name, q) =>
       val t1 = timed(q(spark.read.parquet(ev1))
         .write.format("noop").mode("overwrite").save())
       val t10 = timed(q(spark.read.parquet(ev10))
         .write.format("noop").mode("overwrite").save())
       println(f"SCALE $name 1x=$t1%.2f s 10x=$t10%.2f s growth=${t10 / t1}%.1fx")
+    }
+    }
+
+    // fact/dimension rows (B54) scale on the customer dimension: each
+    // block is a disjoint customer population carrying the original
+    // order/lineitem structure — version history depth per customer is
+    // unchanged while the fact stream and the version table both grow
+    // 10×, exactly how a production PIT lookup grows
+    if (sections("pit")) {
+      val od1 = "target/scale_orders_1x"
+      val od10 = "target/scale_orders_10x"
+      val li1 = "target/scale_lineitem_1x"
+      val li10 = "target/scale_lineitem_10x"
+      val odBase = Tables.orders(spark, sfDir)
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+      val liBase = Tables.lineitem(spark, sfDir)
+        .select($"l_orderkey", $"l_shipdate", $"l_extendedprice", $"l_discount")
+      odBase.repartition(8).write.mode("overwrite").parquet(od1)
+      liBase.repartition(8).write.mode("overwrite").parquet(li1)
+      odBase.crossJoin(spark.range(Blocks).toDF("block"))
+        .select(($"o_orderkey" + $"block" * 100000000L).as("o_orderkey"),
+          ($"o_custkey" + $"block" * 10000000L).as("o_custkey"),
+          $"o_orderdate", $"o_orderpriority")
+        .repartition(8 * Blocks).write.mode("overwrite").parquet(od10)
+      liBase.crossJoin(spark.range(Blocks).toDF("block"))
+        .select(($"l_orderkey" + $"block" * 100000000L).as("l_orderkey"),
+          $"l_shipdate", $"l_extendedprice", $"l_discount")
+        .repartition(8 * Blocks).write.mode("overwrite").parquet(li10)
+      if (selected("b54_scd2_pit_join")) {
+        val t1 = timed(graft.ops.PitJoin
+          .scd2PitJoinOf(spark.read.parquet(od1), spark.read.parquet(li1))
+          .write.format("noop").mode("overwrite").save())
+        val t10 = timed(graft.ops.PitJoin
+          .scd2PitJoinOf(spark.read.parquet(od10), spark.read.parquet(li10))
+          .write.format("noop").mode("overwrite").save())
+        println(f"SCALE b54_scd2_pit_join 1x=$t1%.2f s 10x=$t10%.2f s " +
+          f"growth=${t10 / t1}%.1fx")
+      }
     }
 
     // vector-shaped rows scale on the corpus dimension with the label
@@ -225,23 +286,25 @@ object ScaleBench {
     // label/embedding distribution, so the centroid aggregate stays
     // |labels|×dims while the E-step stream grows 10× — exactly how a
     // production corpus grows under a fixed clustering
-    val em1 = "target/scale_embeddings_1x"
-    val em10 = "target/scale_embeddings_10x"
-    val emBase = Tables.embeddings(spark, sfDir)
-    emBase.repartition(8).write.mode("overwrite").parquet(em1)
-    emBase.crossJoin(spark.range(Blocks).toDF("block"))
-      .select(($"vec_id" + $"block" * 10000000L).as("vec_id"),
-        $"embedding", $"label")
-      .repartition(8 * Blocks).write.mode("overwrite").parquet(em10)
-    val emQueries: Seq[(String, DataFrame => DataFrame)] = Seq(
-      "x70_centroid_assign" -> (d => Assign.centroidAssignOf(d)),
-      "x71_kmeans_step" -> (d => Assign.kmeansStepOf(d)))
-    emQueries.foreach { case (name, q) =>
-      val t1 = timed(q(spark.read.parquet(em1))
-        .write.format("noop").mode("overwrite").save())
-      val t10 = timed(q(spark.read.parquet(em10))
-        .write.format("noop").mode("overwrite").save())
-      println(f"SCALE $name 1x=$t1%.2f s 10x=$t10%.2f s growth=${t10 / t1}%.1fx")
+    if (sections("vectors")) {
+      val em1 = "target/scale_embeddings_1x"
+      val em10 = "target/scale_embeddings_10x"
+      val emBase = Tables.embeddings(spark, sfDir)
+      emBase.repartition(8).write.mode("overwrite").parquet(em1)
+      emBase.crossJoin(spark.range(Blocks).toDF("block"))
+        .select(($"vec_id" + $"block" * 10000000L).as("vec_id"),
+          $"embedding", $"label")
+        .repartition(8 * Blocks).write.mode("overwrite").parquet(em10)
+      val emQueries: Seq[(String, DataFrame => DataFrame)] = Seq(
+        "x70_centroid_assign" -> (d => Assign.centroidAssignOf(d)),
+        "x71_kmeans_step" -> (d => Assign.kmeansStepOf(d)))
+      emQueries.filter(q => selected(q._1)).foreach { case (name, q) =>
+        val t1 = timed(q(spark.read.parquet(em1))
+          .write.format("noop").mode("overwrite").save())
+        val t10 = timed(q(spark.read.parquet(em10))
+          .write.format("noop").mode("overwrite").save())
+        println(f"SCALE $name 1x=$t1%.2f s 10x=$t10%.2f s growth=${t10 / t1}%.1fx")
+      }
     }
     spark.stop()
   }
