@@ -725,6 +725,89 @@ object Vector {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** X87 — mutual k-NN graph: pairs (a, b) where b is in a's
+    * [[MutualK]]-nearest list AND a is in b's — the reciprocity filter
+    * that turns a directed neighbor list into the graph behind coreset
+    * selection, diversity sampling, and density-based outlier screens
+    * (a point whose neighbors don't reciprocate sits on a cluster
+    * boundary; a mutual pair is inside one). Directed lists are exact
+    * per-label-block top-k (the X4 blocking); the mutual step is ONE
+    * self-join of k-bounded lists — |corpus|·k rows, never pairs².
+    *
+    * Scale shape: [[mutualFromDirected]] is the seam — at open scale
+    * the directed list comes from the X14/X19/X21 ANN index instead of
+    * the exact block join, and the reciprocity join shape is unchanged
+    * (corpus·k vs corpus·k, keyed on the pair). Per-vector top-k is a
+    * window over vec_a with the map-side WindowGroupLimit cap (the
+    * x29/x51 idiom). Cosines are the quantized-dot form; ranks break
+    * ties on vec_id — bit-identical cross-engine.
+    */
+  val MutualK = 5
+
+  def mutualKnn(spark: SparkSession, dir: String): DataFrame =
+    mutualKnnOf(Tables.embeddings(spark, dir), MutualK)
+
+  /** Core of X87 over any (vec_id, label, embedding) frame; test seam. */
+  private[graft] def mutualKnnOf(emb: DataFrame, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select($"vec_id", $"label", $"embedding",
+      dotQ($"embedding", $"embedding").as("nq"))
+    val a = e.select($"vec_id".as("vec_a"), $"label",
+      $"embedding".as("emb_a"), $"nq".as("nq_a"))
+    val b = e.select($"vec_id".as("vec_b"), $"label".as("label_b"),
+      $"embedding".as("emb_b"), $"nq".as("nq_b"))
+    val directed = a.join(b, $"label" === $"label_b" && $"vec_a" =!= $"vec_b")
+      .select($"label", $"vec_a", $"vec_b",
+        cosQ(dotQ($"emb_a", $"emb_b"), $"nq_a", $"nq_b").as("cos_sim"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"vec_a").orderBy($"cos_sim".desc, $"vec_b".asc)))
+      .filter($"rk" <= k)
+    mutualFromDirected(directed)
+  }
+
+  /** Reciprocity join over ANY directed k-NN list `(label, vec_a,
+    * vec_b, cos_sim, rk)` — the scale seam: feed an ANN candidate list
+    * (X14/X19/X21) instead of the exact block join and the shape holds.
+    */
+  private[graft] def mutualFromDirected(directed: DataFrame): DataFrame = {
+    val spark = directed.sparkSession
+    import spark.implicits._
+    val fwd = directed.select($"label", $"vec_a", $"vec_b", $"cos_sim", $"rk")
+    val back = directed.select($"vec_a".as("rb"), $"vec_b".as("ra"),
+      $"rk".as("rk_back"))
+    fwd.join(back, $"vec_a" === $"ra" && $"vec_b" === $"rb")
+      .filter($"vec_a" < $"vec_b")
+      .select($"label", $"vec_a", $"vec_b", $"cos_sim",
+        $"rk".cast("long").as("rank_ab"),
+        $"rk_back".cast("long").as("rank_ba"))
+      .orderBy($"label", $"vec_a", $"vec_b")
+  }
+
+  val mutualKnnSql: String = {
+    val dq = sqlDotQ("a.embedding", "b.embedding")
+    s"""WITH e AS (SELECT vec_id, label, embedding,
+       |                  ${sqlDotQ("embedding", "embedding")} AS nq
+       |           FROM embeddings),
+       |c AS (
+       |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         ${sqlCosQ(dq, "a.nq", "b.nq")} AS cos_sim
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+       |d AS (
+       |  SELECT label, vec_a, vec_b, cos_sim,
+       |         row_number() OVER (PARTITION BY vec_a
+       |           ORDER BY cos_sim DESC, vec_b ASC) AS rk
+       |  FROM c),
+       |k AS (SELECT * FROM d WHERE rk <= $MutualK)
+       |SELECT f.label, f.vec_a, f.vec_b, f.cos_sim,
+       |       CAST(f.rk AS BIGINT) AS rank_ab,
+       |       CAST(r.rk AS BIGINT) AS rank_ba
+       |FROM k f JOIN k r ON f.vec_a = r.vec_b AND f.vec_b = r.vec_a
+       |WHERE f.vec_a < f.vec_b
+       |ORDER BY f.label, f.vec_a, f.vec_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x03_cosine_topk" -> cosineTopK _,
     "x04_pairwise_similarity" -> pairwiseSimilarity _,
@@ -734,7 +817,8 @@ object Vector {
     "x21_ann_multiprobe" -> annMultiProbe _,
     "x31_ann_pq_topk" -> annPqTopK _,
     "x51_hard_negatives" -> hardNegatives _,
-    "x79_ann_ivfpq_topk" -> annIvfPqTopK _)
+    "x79_ann_ivfpq_topk" -> annIvfPqTopK _,
+    "x87_mutual_knn" -> mutualKnn _)
 
   val oracles: Map[String, String] = Map(
     "x03_cosine_topk" -> cosineTopKSql,
@@ -742,5 +826,6 @@ object Vector {
     "x14_ann_lsh_topk" -> annLshTopKSql,
     "x20_embedding_near_dup" -> embeddingNearDupClustersSql,
     "x21_ann_multiprobe" -> annMultiProbeSql,
-    "x51_hard_negatives" -> hardNegativesSql)
+    "x51_hard_negatives" -> hardNegativesSql,
+    "x87_mutual_knn" -> mutualKnnSql)
 }
