@@ -62,7 +62,8 @@ class SparkEntrySpec extends SparkSpec {
       "ClusterShard" -> ClusterShard.queries,
       "PageRank" -> PageRank.queries, "PitJoin" -> PitJoin.queries,
       "ThresholdSweep" -> ThresholdSweep.queries,
-      "IncrementalAgg" -> IncrementalAgg.queries)
+      "IncrementalAgg" -> IncrementalAgg.queries,
+      "QuantileNorm" -> QuantileNorm.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
