@@ -63,7 +63,8 @@ class SparkEntrySpec extends SparkSpec {
       "PageRank" -> PageRank.queries, "PitJoin" -> PitJoin.queries,
       "ThresholdSweep" -> ThresholdSweep.queries,
       "IncrementalAgg" -> IncrementalAgg.queries,
-      "QuantileNorm" -> QuantileNorm.queries)
+      "QuantileNorm" -> QuantileNorm.queries,
+      "Decay" -> Decay.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
