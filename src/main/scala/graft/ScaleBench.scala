@@ -105,7 +105,12 @@ object ScaleBench {
         (d => graft.ops.PageRank.pagerankFromEdges(
           graft.ops.Triangles.edgesOf(d))),
       "x85_threshold_sweep" ->
-        (d => graft.ops.ThresholdSweep.thresholdSweepOf(d)))
+        (d => graft.ops.ThresholdSweep.thresholdSweepOf(d)),
+      // the replica keeps the 20-source space fixed while each source
+      // grows 10× — the hierarchical rank's bucket windows get deeper,
+      // never wider (the scale dimension the op is built for)
+      "x89_source_quantile_norm" ->
+        (d => graft.ops.QuantileNorm.sourceQuantileNormOf(d)))
     // section filter for partial re-runs (e.g. the memory-heavy hot-corpus
     // recall section alone under a bigger heap):
     // generic | simjoin | hot | events | vectors | pit
@@ -234,7 +239,9 @@ object ScaleBench {
       // dimension that grows in production (the timeline is fixed)
       "x86_incremental_agg" -> (d => graft.ops.IncrementalAgg
         .incrementalAggOf(d,
-          to_timestamp(lit(graft.ops.IncrementalAgg.Cutoff)))))
+          to_timestamp(lit(graft.ops.IncrementalAgg.Cutoff)))),
+      "x90_decayed_activity" ->
+        (d => graft.ops.Decay.decayedActivityOf(d)))
     evQueries.filter(q => selected(q._1)).foreach { case (name, q) =>
       val t1 = timed(q(spark.read.parquet(ev1))
         .write.format("noop").mode("overwrite").save())
