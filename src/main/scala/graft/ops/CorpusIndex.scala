@@ -56,15 +56,39 @@ object CorpusIndex {
   private[graft] def signatures(spark: SparkSession, dir: String): DataFrame =
     index(spark, dir).sig
 
+  /** Shared thresholded collocation edge set (u < v canonical — see
+    * [[Triangles.edgesOf]]): the graph-family analog of the shingle
+    * frames. X44 builds the pair counts for PMI, X81 counts triangles
+    * on them, X84 iterates PageRank on them — without sharing, the
+    * corpus pays the tokenize + pair-expand + count pass once per
+    * graph query.
+    */
+  private val edgeCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]
+
+  private[graft] def collocationEdges(spark: SparkSession, dir: String): DataFrame = {
+    val perSession = edgeCache.synchronized {
+      edgeCache.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+    }
+    perSession.getOrElseUpdate(dir,
+      Triangles.edgesOf(Tables.documents(spark, dir)).localCheckpoint())
+  }
+
   /** Test-only: drop this session's memoized entries so the next access
     * rebuilds from scratch (PlanShapeSpec measures plan shapes from a
     * cold memo regardless of which suites ran first; the dropped
     * checkpoint blocks are reclaimed by the context cleaner).
     */
-  private[graft] def invalidate(spark: SparkSession): Unit =
+  private[graft] def invalidate(spark: SparkSession): Unit = {
     cache.synchronized {
       Option(cache.get(spark)).foreach(_.clear())
     }
+    edgeCache.synchronized {
+      Option(edgeCache.get(spark)).foreach(_.clear())
+    }
+  }
 
   private def build(spark: SparkSession, dir: String): ShingleIndex = {
     val sh = Dedup.shinglesOf(Tables.documents(spark, dir)).localCheckpoint()

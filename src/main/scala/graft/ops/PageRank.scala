@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
 
 /** X84 — deterministic integer PageRank over the collocation graph:
   * damped PageRank (d = 0.85, [[Iters]] fixed power-iteration rounds)
@@ -48,7 +47,7 @@ object PageRank {
   val Scale = 1000000000000L // ranks in units of 1e-12
 
   def pagerank(spark: SparkSession, dir: String): DataFrame =
-    pagerankFromEdges(Triangles.edgesOf(Tables.documents(spark, dir)))
+    pagerankFromEdges(CorpusIndex.collocationEdges(spark, dir))
 
   /** Core of X84 over any (u, v) undirected simple edge frame (u < v
     * canonical, no duplicates — [[Triangles.edgesOf]]'s contract);

@@ -43,7 +43,7 @@ object Triangles {
   val MinEdge: Int = Cooccur.MinPair
 
   def triangleStats(spark: SparkSession, dir: String): DataFrame =
-    triangleStatsFromEdges(edgesOf(Tables.documents(spark, dir)))
+    triangleStatsFromEdges(CorpusIndex.collocationEdges(spark, dir))
 
   /** Undirected simple edge set (u < v) of the X44 co-occurrence graph
     * over any (doc_id, text) frame; test seam.
