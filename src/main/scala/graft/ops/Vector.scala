@@ -785,6 +785,48 @@ object Vector {
       .orderBy($"label", $"vec_a", $"vec_b")
   }
 
+  /** Directed per-vector top-k from the IVF index — the production
+    * directed-list producer for X87 at scale: each vector ranks the
+    * members of its `nprobe` nearest cells (per-VECTOR probe, unlike
+    * the fixed-query probes of x19). Work is corpus · (nprobe/16) of
+    * the corpus per row instead of per-label blocks. Recall vs the
+    * exact GLOBAL mutual graph is measured in MutualKnnSpec: on these
+    * near-uniform vectors the reciprocity requirement squares the
+    * directed-list miss rate (both endpoints must survive the cell
+    * cut), so mutual recall needs a deeper probe than top-k recall —
+    * 0.33/0.49/0.80 at nprobe 2/4/8 — mirroring the ANN_SWEEP finding
+    * that cell pruning on near-uniform vectors is recall-expensive;
+    * clustered production embeddings align cells with neighborhoods.
+    */
+  private[graft] def ivfDirectedKnn(index: IvfIndex, nprobe: Int, k: Int): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val byDist = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_a").orderBy($"dist2".asc, $"cell".asc)
+    val vcells = index.assigned
+      .select($"vec_id".as("vec_a"), $"embedding".as("ea"),
+        $"nq".as("na"), $"label")
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("dist2", aggregate(
+        zip_with($"ea", $"centroid", (x, c) => {
+          val d = x.cast("double") - c; d * d
+        }),
+        lit(0.0), (acc, t) => acc + t))
+      .withColumn("rn", row_number().over(byDist))
+      .filter($"rn" <= nprobe)
+      .select($"cell", $"vec_a", $"ea", $"na", $"label")
+    // each candidate lives in exactly one cell, so no dedup is needed
+    val members = index.assigned.select($"cell", $"vec_id".as("vec_b"),
+      $"embedding".as("eb"), $"nq".as("nb"))
+    vcells.join(members, Seq("cell")).filter($"vec_a" =!= $"vec_b")
+      .select($"label", $"vec_a", $"vec_b",
+        cosQ(dotQ($"ea", $"eb"), $"na", $"nb").as("cos_sim"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"vec_a").orderBy($"cos_sim".desc, $"vec_b".asc)))
+      .filter($"rk" <= k)
+  }
+
   val mutualKnnSql: String = {
     val dq = sqlDotQ("a.embedding", "b.embedding")
     s"""WITH e AS (SELECT vec_id, label, embedding,

@@ -76,6 +76,31 @@ class MutualKnnSpec extends SparkSpec {
     }
   }
 
+  test("X87 scale path: IVF-fed mutual recall rises with the probe " +
+      "and clears 0.75 at nprobe=8") {
+    // exact GLOBAL truth (no label blocking — the scale path searches
+    // the whole corpus): refMutual with one constant block key
+    val idx = graft.ops.Vector.ivfIndex(spark, sfDir)
+    val vecs = idx.assigned.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), "g": Any,
+        r.getAs[scala.collection.Seq[Float]]("embedding"))).toSeq
+    val exact = refMutual(vecs, graft.ops.Vector.MutualK).keySet
+    def annRecall(nprobe: Int): Double = {
+      val pairs = graft.ops.Vector.mutualFromDirected(
+        graft.ops.Vector.ivfDirectedKnn(idx, nprobe,
+          graft.ops.Vector.MutualK)).collect()
+        .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+      (exact & pairs).size.toDouble / exact.size
+    }
+    val r2 = annRecall(2)
+    val r8 = annRecall(8)
+    info(f"mutual recall vs exact global: nprobe=2 -> $r2%.3f, nprobe=8 -> $r8%.3f")
+    assert(r8 > r2, "a deeper probe must not lose mutual pairs here")
+    // reciprocity squares the directed miss rate, so the mutual floor
+    // needs a deeper probe than top-k recall (ANN_SWEEP's caveat)
+    assert(r8 >= 0.75, f"nprobe=8 mutual recall $r8%.3f under floor")
+  }
+
   test("X87: every pair is canonical and reciprocity is symmetric-free") {
     val rows = Vector.mutualKnn(spark, sfDir).collect()
     val pairs = rows.map(r =>
