@@ -73,7 +73,17 @@ object ScaleVerify {
         "x62_setsim_prefix_join" ->
           ((s, d) => PrefixJoin.prefixSimJoinOf(Tables.documents(s, d), Cap)),
         "x63_containment_join" ->
-          ((s, d) => Containment.containmentJoinOf(Tables.documents(s, d), Cap)))
+          ((s, d) => Containment.containmentJoinOf(Tables.documents(s, d), Cap)),
+        // round-9 documents-shaped additions: the graph family (x84
+        // iterates on a vocab that grew 10× WITH the corpus here — the
+        // honest worst case), the novelty df accounting, the threshold
+        // curve, and the hierarchical source ranks — each against its
+        // full DuckDB oracle at 10×
+        "x82_shingle_novelty" -> SparkEntry.queries("x82_shingle_novelty"),
+        "x84_pagerank" -> SparkEntry.queries("x84_pagerank"),
+        "x85_threshold_sweep" -> SparkEntry.queries("x85_threshold_sweep"),
+        "x89_source_quantile_norm" ->
+          SparkEntry.queries("x89_source_quantile_norm"))
 
     queries.foreach { case (name, fn) =>
       try fn(spark, tables).coalesce(1).write.mode("overwrite")
