@@ -104,6 +104,30 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         requireArgs("repetition_counts", args, exact = 1)
         graft.functions.expr.RepetitionCounts(args.head)
+      }),
+    // Spark's own runtime-filter pair (catalyst-internal, not
+    // SQL-registered upstream) surfaced for B55's explicit
+    // bloom-pruned semi-join: bloom_filter_agg(xxhash64(k), items,
+    // bits) builds the bits, might_contain(bloom, xxhash64(k)) probes
+    // them (the bloom argument must be a scalar subquery or constant —
+    // Spark's analyzer enforces it)
+    (FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (args: Seq[Expression]) => {
+        requireArgs("bloom_filter_agg", args, exact = 3)
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1), args(2))
+      }),
+    (FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (args: Seq[Expression]) => {
+        requireArgs("might_contain", args, exact = 2)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args(0), args(1))
       }))
 
   def register(spark: SparkSession): Unit =

@@ -64,7 +64,7 @@ class SparkEntrySpec extends SparkSpec {
       "ThresholdSweep" -> ThresholdSweep.queries,
       "IncrementalAgg" -> IncrementalAgg.queries,
       "QuantileNorm" -> QuantileNorm.queries,
-      "Decay" -> Decay.queries)
+      "Decay" -> Decay.queries, "BloomPrune" -> BloomPrune.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
