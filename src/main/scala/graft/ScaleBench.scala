@@ -256,7 +256,7 @@ object ScaleBench {
     // order/lineitem structure — version history depth per customer is
     // unchanged while the fact stream and the version table both grow
     // 10×, exactly how a production PIT lookup grows
-    if (sections("pit")) {
+    if (sections("pit") && selected("b54_scd2_pit_join")) {
       val od1 = "target/scale_orders_1x"
       val od10 = "target/scale_orders_10x"
       val li1 = "target/scale_lineitem_1x"
@@ -276,16 +276,14 @@ object ScaleBench {
         .select(($"l_orderkey" + $"block" * 100000000L).as("l_orderkey"),
           $"l_shipdate", $"l_extendedprice", $"l_discount")
         .repartition(8 * Blocks).write.mode("overwrite").parquet(li10)
-      if (selected("b54_scd2_pit_join")) {
-        val t1 = timed(graft.ops.PitJoin
-          .scd2PitJoinOf(spark.read.parquet(od1), spark.read.parquet(li1))
-          .write.format("noop").mode("overwrite").save())
-        val t10 = timed(graft.ops.PitJoin
-          .scd2PitJoinOf(spark.read.parquet(od10), spark.read.parquet(li10))
-          .write.format("noop").mode("overwrite").save())
-        println(f"SCALE b54_scd2_pit_join 1x=$t1%.2f s 10x=$t10%.2f s " +
-          f"growth=${t10 / t1}%.1fx")
-      }
+      val t1 = timed(graft.ops.PitJoin
+        .scd2PitJoinOf(spark.read.parquet(od1), spark.read.parquet(li1))
+        .write.format("noop").mode("overwrite").save())
+      val t10 = timed(graft.ops.PitJoin
+        .scd2PitJoinOf(spark.read.parquet(od10), spark.read.parquet(li10))
+        .write.format("noop").mode("overwrite").save())
+      println(f"SCALE b54_scd2_pit_join 1x=$t1%.2f s 10x=$t10%.2f s " +
+        f"growth=${t10 / t1}%.1fx")
     }
 
     // vector-shaped rows scale on the corpus dimension with the label

@@ -26,10 +26,13 @@ import graft.Tables
   * still reuse the exchange.
   *
   * Keys are weak session references (the [[Vector]] index-cache
-  * pattern): a stopped, dereferenced session's entry — and its
-  * checkpoint blocks — are collected with the session rather than
-  * pinned for the JVM lifetime. Test seams (`*Of` forms) keep taking
-  * caller-supplied frames and never touch this cache.
+  * pattern) — with the honest caveat that the memoized DataFrames
+  * themselves reference their session, so an entry only becomes
+  * collectable once BOTH the session and its frames are dereferenced;
+  * in the engine's one-long-lived-session processes the map is in
+  * practice bounded by the (session, dir) count, and tests drop
+  * entries explicitly via [[invalidate]]. Test seams (`*Of` forms)
+  * keep taking caller-supplied frames and never touch this cache.
   */
 object CorpusIndex {
 
@@ -58,10 +61,11 @@ object CorpusIndex {
 
   /** Shared thresholded collocation edge set (u < v canonical — see
     * [[Triangles.edgesOf]]): the graph-family analog of the shingle
-    * frames. X44 builds the pair counts for PMI, X81 counts triangles
-    * on them, X84 iterates PageRank on them — without sharing, the
-    * corpus pays the tokenize + pair-expand + count pass once per
-    * graph query.
+    * frames, consumed by X81 (triangles) and X84 (PageRank), which
+    * otherwise each pay the tokenize + pair-expand + count pass per
+    * query. X44 is NOT a consumer — PMI needs the pre-threshold pair
+    * counts and the unigram totals, which the thresholded edge set
+    * cannot provide, so Cooccur keeps its own aggregates.
     */
   private val edgeCache =
     new java.util.WeakHashMap[SparkSession,

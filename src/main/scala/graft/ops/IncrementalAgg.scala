@@ -41,20 +41,33 @@ object IncrementalAgg {
     incrementalAggOf(Tables.events(spark, dir),
       to_timestamp(lit(Cutoff)))
 
+  /** The per-key partial-aggregate definition — THE shared contract
+    * between the batch merge (X86) and the streaming state (X88,
+    * stream/StreamMetrics.scala): both paths aggregate exactly these
+    * columns, so the "state == the persisted base partials" claim is
+    * structural, not a copy.
+    */
+  private[graft] def partialsOf(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum($"value".cast("decimal(27,6)")).as("tot"),
+        max($"value").as("mx"))
+  }
+
   /** Core of X86 over any (user_id, event_type, value, ts) frame;
     * test seam — crafted fixtures pin merge-vs-recompute equality.
     */
   private[graft] def incrementalAggOf(events: DataFrame, cutoff: Column): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    def partials(df: DataFrame): DataFrame =
-      df.groupBy($"user_id", $"event_type")
-        .agg(count(lit(1)).as("cnt"),
-          sum($"value".cast("decimal(27,6)")).as("tot"),
-          max($"value").as("mx"))
-    val base = partials(events.filter($"ts" < cutoff))
+    val base = partialsOf(events.filter($"ts" < cutoff))
       .withColumn("nb", lit(1L)).withColumn("nd", lit(0L))
-    val delta = partials(events.filter($"ts" >= cutoff))
+    // a NULL ts fails both `< cutoff` and `>= cutoff`; route it to the
+    // delta side explicitly so no row silently vanishes — matching the
+    // oracle, whose FILTER counts classify a null-ts row as delta_only
+    val delta = partialsOf(events.filter($"ts" >= cutoff || $"ts".isNull))
       .withColumn("nb", lit(0L)).withColumn("nd", lit(1L))
     base.unionByName(delta)
       .groupBy($"user_id", $"event_type")

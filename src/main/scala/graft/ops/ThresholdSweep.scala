@@ -49,9 +49,14 @@ object ThresholdSweep {
     val totals = hist.agg(sum($"n_docs").as("t_docs"),
       sum($"n_tokens").as("t_tokens"))
     val grid = spark.range(0, Buckets).select($"id".as("thr_bucket"))
-    grid.join(broadcast(hist), $"bucket" >= $"thr_bucket")
+    // LEFT join + coalesce-to-0: a cutoff nothing survives must still
+    // appear on the curve as an explicit zero row, never go missing —
+    // an operator reading the sweep needs to SEE that a threshold
+    // empties the corpus
+    grid.join(broadcast(hist), $"bucket" >= $"thr_bucket", "left")
       .groupBy($"thr_bucket")
-      .agg(sum($"n_docs").as("n_kept"), sum($"n_tokens").as("tok_kept"))
+      .agg(coalesce(sum($"n_docs"), lit(0L)).as("n_kept"),
+        coalesce(sum($"n_tokens"), lit(0L)).as("tok_kept"))
       .crossJoin(broadcast(totals))
       .select($"thr_bucket",
         ($"thr_bucket".cast("double") / lit(Buckets).cast("double"))
@@ -81,13 +86,13 @@ object ThresholdSweep {
       |SELECT g.thr_bucket,
       |       CAST(g.thr_bucket AS DOUBLE) / CAST($Buckets AS DOUBLE)
       |         AS cutoff_q,
-      |       CAST(sum(h.n_docs) AS BIGINT) AS n_kept,
-      |       CAST(sum(h.n_tokens) AS BIGINT) AS tok_kept,
-      |       CAST(sum(h.n_docs) AS DOUBLE) / CAST(t.t_docs AS DOUBLE)
-      |         AS doc_frac_q,
-      |       CAST(sum(h.n_tokens) AS DOUBLE) / CAST(t.t_tokens AS DOUBLE)
-      |         AS tok_frac_q
-      |FROM grid g JOIN h ON h.bucket >= g.thr_bucket, tot t
+      |       CAST(coalesce(sum(h.n_docs), 0) AS BIGINT) AS n_kept,
+      |       CAST(coalesce(sum(h.n_tokens), 0) AS BIGINT) AS tok_kept,
+      |       CAST(coalesce(sum(h.n_docs), 0) AS DOUBLE)
+      |         / CAST(t.t_docs AS DOUBLE) AS doc_frac_q,
+      |       CAST(coalesce(sum(h.n_tokens), 0) AS DOUBLE)
+      |         / CAST(t.t_tokens AS DOUBLE) AS tok_frac_q
+      |FROM grid g LEFT JOIN h ON h.bucket >= g.thr_bucket, tot t
       |GROUP BY g.thr_bucket, t.t_docs, t.t_tokens
       |ORDER BY g.thr_bucket""".stripMargin
 

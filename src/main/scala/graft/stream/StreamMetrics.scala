@@ -31,14 +31,12 @@ object StreamMetrics {
   def keyedMetrics(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
-      .groupBy($"user_id", $"event_type")
-      .agg(count(lit(1)).as("n_events"),
-        sum($"value".cast("decimal(27,6)")).as("tot"),
-        max($"value").as("max_value"))
-      .select($"user_id", $"event_type", $"n_events",
+    // the aggregate IS x86's partial definition (one shared builder,
+    // so the state == base-partials claim can't silently drift)
+    graft.ops.IncrementalAgg.partialsOf(events)
+      .select($"user_id", $"event_type", $"cnt".as("n_events"),
         $"tot".cast("double").as("total_q"),
-        ($"tot".cast("double") / $"n_events".cast("double")).as("avg_q"),
-        $"max_value")
+        ($"tot".cast("double") / $"cnt".cast("double")).as("avg_q"),
+        $"mx".as("max_value"))
   }
 }

@@ -40,6 +40,21 @@ class IncrementalAggSpec extends SparkSpec {
       (2L, "click", 1L, 7.5, 7.5, 7.50, "delta_only")))
   }
 
+  test("X86: a NULL ts routes to the delta side instead of vanishing") {
+    val cutoff = ts("2024-01-24 00:00:00")
+    val events = Seq(
+      (1L, "click", 1.00, Some(ts("2024-01-02 00:00:00"))),
+      (1L, "click", 3.00, None: Option[Timestamp]))
+      .toDF("user_id", "event_type", "value", "ts")
+    val got = IncrementalAgg.incrementalAggOf(events, lit(cutoff)).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // both rows counted (the null-ts one as delta), so the key merges
+    assert(r.getAs[Long]("n_events") == 2L &&
+      r.getAs[Double]("total_q") == 4.0 &&
+      r.getAs[String]("origin") == "merged")
+  }
+
   test("X86: merge of partials equals flat recompute on the real table") {
     val events = Tables.events(spark, sfDir)
     val cutoff = to_timestamp(lit(IncrementalAgg.Cutoff))

@@ -18,14 +18,27 @@ class ThresholdSweepSpec extends SparkSpec {
   test("X85: every cutoff row equals the driver-side bucket replay") {
     val b = ThresholdSweep.Buckets
     val bucketOf = (s: Double) => math.min(math.floor(s * b).toLong, b - 1L)
-    val expected = (0 until b).flatMap { thr =>
+    val expected = (0 until b).map { thr =>
       val kept = scored.filter(d => bucketOf(d._1) >= thr)
-      if (kept.isEmpty) None
-      else Some(thr.toLong -> ((kept.length.toLong, kept.map(_._2).sum)))
+      thr.toLong -> ((kept.length.toLong, kept.map(_._2).sum))
     }.toMap
     val gotMap = got.map(r => r.getAs[Long]("thr_bucket") ->
       ((r.getAs[Long]("n_kept"), r.getAs[Long]("tok_kept")))).toMap
     assert(gotMap == expected)
+    assert(gotMap.size == b, "the curve must carry ALL cutoffs, zeros included")
+  }
+
+  test("X85: a cutoff nothing survives appears as an explicit zero row") {
+    import spark.implicits._
+    // three short low-score docs: the top buckets are empty and must
+    // still show up with n_kept = 0, not vanish from the curve
+    val docs = Seq((1L, "a b"), (2L, "c d"), (3L, "e f"))
+      .toDF("doc_id", "text")
+    val rows = ThresholdSweep.thresholdSweepOf(docs).collect()
+    assert(rows.length == ThresholdSweep.Buckets)
+    val top = rows.filter(_.getAs[Long]("thr_bucket") == 19L)
+    assert(top.length == 1 && top.head.getAs[Long]("n_kept") == 0L &&
+      top.head.getAs[Double]("doc_frac_q") == 0.0)
   }
 
   test("X85: kept counts are non-increasing in the cutoff") {
