@@ -33,13 +33,11 @@ object Calibration {
 
   def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // shared memoized corpus frames — shingled/signed once per
-    // (session, dir), not re-derived for the calibration pass
-    val ix = CorpusIndex.index(spark, dir)
-    val sh = ix.shingles
-    val sig = ix.sig
-    val cand = Dedup.minhashCandidates(sig)
-    val exact = Dedup.exactJaccard(cand, sh, sig.select($"doc_id", $"n_sh"))
+    // shared memoized verify output (unfiltered — this op is WHY the
+    // memoized frame keeps the sub-threshold candidates); the signature
+    // table rides the same memo for the component-match columns
+    val sig = CorpusIndex.index(spark, dir).sig
+    val exact = CorpusIndex.minhashScores(spark, dir)
 
     val nMatch = (0 until Dedup.nHashes)
       .map(j => when(col(s"qa.m$j") === col(s"qb.m$j"), 1L).otherwise(0L))

@@ -35,8 +35,9 @@ object ClusterShard {
 
   def clusterShards(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val labels = Dedup.connectedComponents(
-      Dedup.ngramJaccard(spark, dir).select($"doc_a", $"doc_b"))
+    // shared memoized x18 fixpoint result — shard layout is a POLICY
+    // read of the persisted cluster artifact, not a fresh graph solve
+    val labels = CorpusIndex.ccLabels(spark, dir)
     Tables.documents(spark, dir)
       .join(labels, $"doc_id" === $"doc", "left")
       .select($"doc_id",

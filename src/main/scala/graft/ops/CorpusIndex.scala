@@ -80,6 +80,91 @@ object CorpusIndex {
       Triangles.edgesOf(Tables.documents(spark, dir)).localCheckpoint())
   }
 
+  /** Derived frames DOWNSTREAM of the shingle/signature index — the
+    * verified near-dup pair streams and the corpus CC label table. Round
+    * 9 shared the tokenization (this object's raison d'être) but every
+    * pair consumer still re-ran the candidate join + exact verify, and
+    * every cluster consumer re-ran the CC fixpoint:
+    *
+    *  - LSH-candidate exact-Jaccard scores (UNFILTERED — x65 needs the
+    *    sub-threshold spectrum): consumed by x02 (≥ 0.5 + sort), x60,
+    *    x65, x75 — four candidate-join+verify passes collapsed to one;
+    *  - rare-shingle verified pairs (x17's stream, unsorted): consumed
+    *    by x17, x78, and (via [[ccLabels]]) x18/x67/x83;
+    *  - the corpus CC label table (x18's fixpoint result): consumed by
+    *    x18, x67, x83 — three fixpoint loops collapsed to one;
+    *  - the label-blocked embedding pair stream (x04's, unsorted):
+    *    consumed by x04 and x20.
+    *
+    * Same production statement as the shingle memo: the dedup decision
+    * artifacts (pair ledger, cluster labels) are computed once per
+    * corpus snapshot and PERSISTED; every policy pass (canonical
+    * select, sharding, provenance, incremental merge) reads the
+    * artifact instead of re-deriving the graph. x22 deliberately does
+    * NOT consume these: its pairs are over the post-quality/exact-dedup
+    * SURVIVOR corpus (df recomputed on the shrunk frame), a genuinely
+    * different graph whose oracle recomputes the same way.
+    *
+    * Everything here memoizes lazily and independently (a TrieMap per
+    * (dir, kind)), so x02 never pays for a CC fixpoint and x04 never
+    * pays for shingles.
+    */
+  private val derivedCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]
+
+  private def derived(spark: SparkSession, dir: String, kind: String)(
+      build: => DataFrame): DataFrame = {
+    val perSession = derivedCache.synchronized {
+      derivedCache.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+    }
+    perSession.getOrElseUpdate((dir, kind), build)
+  }
+
+  /** Exact-Jaccard scores of every LSH band-bucket candidate pair, with
+    * size/overlap counts, NO threshold, NO sort — X2's verify output one
+    * stage earlier, which is the exact frame all four consumers branch
+    * from (x02/x60/x75 filter ≥ 0.5; x65 keeps the spectrum).
+    */
+  private[graft] def minhashScores(spark: SparkSession, dir: String): DataFrame =
+    derived(spark, dir, "minhashScores") {
+      val ix = index(spark, dir)
+      Dedup.exactJaccard(Dedup.minhashCandidates(ix.sig), ix.shingles,
+        ix.sig.select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("n_sh"))).localCheckpoint()
+    }
+
+  /** X17's verified rare-shingle pair stream (doc_a, doc_b, n_common,
+    * jaccard ≥ 0.5), unsorted.
+    */
+  private[graft] def ngramPairs(spark: SparkSession, dir: String): DataFrame =
+    derived(spark, dir, "ngramPairs") {
+      Dedup.ngramPairsFrom(shingles(spark, dir)).localCheckpoint()
+    }
+
+  /** The corpus near-dup CC label table (doc, label = min doc_id in
+    * component) over [[ngramPairs]] — x18's fixpoint result, which
+    * x67's canonical policy and x83's shard layout re-read instead of
+    * re-looping. [[Dedup.connectedComponents]] already returns a
+    * checkpoint-backed frame, so no further materialization is needed.
+    */
+  private[graft] def ccLabels(spark: SparkSession, dir: String): DataFrame =
+    derived(spark, dir, "ccLabels") {
+      Dedup.connectedComponents(ngramPairs(spark, dir)
+        .select(org.apache.spark.sql.functions.col("doc_a"),
+          org.apache.spark.sql.functions.col("doc_b")))
+    }
+
+  /** X4's label-blocked thresholded embedding pair stream (label, vec_a,
+    * vec_b, cos_sim ≥ 0.35), unsorted — shared by x04 and x20's
+    * modality-agnostic clustering.
+    */
+  private[graft] def embPairs(spark: SparkSession, dir: String): DataFrame =
+    derived(spark, dir, "embPairs") {
+      Vector.pairwiseSimilarityUnsorted(spark, dir).localCheckpoint()
+    }
+
   /** Test-only: drop this session's memoized entries so the next access
     * rebuilds from scratch (PlanShapeSpec measures plan shapes from a
     * cold memo regardless of which suites ran first; the dropped
@@ -91,6 +176,9 @@ object CorpusIndex {
     }
     edgeCache.synchronized {
       Option(edgeCache.get(spark)).foreach(_.clear())
+    }
+    derivedCache.synchronized {
+      Option(derivedCache.get(spark)).foreach(_.clear())
     }
   }
 

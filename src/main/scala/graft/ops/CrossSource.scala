@@ -28,10 +28,11 @@ object CrossSource {
 
   def crossSourceDups(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // shared memoized shingles/signatures — the pair producer costs one
-    // candidate+verify pass here, not a fresh corpus tokenization
-    val ix = CorpusIndex.index(spark, dir)
-    val pairs = Dedup.minhashVerified(ix.shingles, ix.sig)
+    // shared memoized verify output — the pair producer costs nothing
+    // here beyond the one candidate+verify pass x02/x65/x75 also read
+    // (and no sort: the matrix aggregate doesn't need x02's ordering)
+    val pairs = CorpusIndex.minhashScores(spark, dir)
+      .filter($"jaccard" >= 0.5)
     val src = Tables.documents(spark, dir).select($"doc_id", $"source")
 
     pairs

@@ -114,8 +114,13 @@ object Dedup {
     * (session, dir), not once per family member.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val ix = CorpusIndex.index(spark, dir)
-    minhashVerified(ix.shingles, ix.sig)
+    import spark.implicits._
+    // shared memoized verify output (one candidate join + exact verify
+    // per (session, dir) across x02/x60/x65/x75) — this query is the
+    // threshold + deterministic sort over it
+    CorpusIndex.minhashScores(spark, dir)
+      .filter($"jaccard" >= 0.5)
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** MinHash signature table (doc_id, n_sh, m0..m15) over a shingle
@@ -336,8 +341,12 @@ object Dedup {
     * same verification, LSH candidate generation instead; this exact
     * path wins when the corpus fits one index, LSH wins at open scale.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardFrom(shingles(spark, dir))
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // shared memoized pair stream (one rare-shingle candidate join +
+    // verify per (session, dir) across x17/x18/x67/x78/x83)
+    CorpusIndex.ngramPairs(spark, dir).orderBy($"doc_a", $"doc_b")
+  }
 
   /** Core of X17 over any (doc_id, sh) shingle frame — x22 feeds it only
     * its curation survivors. Caches the input (it feeds five subplans);
@@ -348,6 +357,16 @@ object Dedup {
     ngramJaccardFrom(shingleSet.cache())
 
   private[graft] def ngramJaccardFrom(sh: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    ngramPairsFrom(sh).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The unsorted verified-pair core behind [[ngramJaccardFrom]] — the
+    * frame [[CorpusIndex.ngramPairs]] memoizes (sorting belongs to the
+    * registered x17 output, not to graph consumers).
+    */
+  private[graft] def ngramPairsFrom(sh: DataFrame): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
     // document frequency as groupBy+join, NOT count(*) OVER (PARTITION BY
@@ -373,7 +392,6 @@ object Dedup {
     exactJaccard(cand, sh, sizes)
       .select($"doc_a", $"doc_b", $"n_common", $"jaccard")
       .filter($"jaccard" >= 0.5)
-      .orderBy($"doc_a", $"doc_b")
   }
 
   /** Shared CTE chain: shingle sets → rare-shingle candidates → exact
@@ -430,8 +448,9 @@ object Dedup {
     */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val labels = connectedComponents(
-      ngramJaccard(spark, dir).select($"doc_a", $"doc_b"))
+    // shared memoized fixpoint result (one CC loop per (session, dir)
+    // across x18/x67/x83 — the persisted-cluster-artifact shape)
+    val labels = CorpusIndex.ccLabels(spark, dir)
     val byCluster = org.apache.spark.sql.expressions.Window
       .partitionBy($"cluster_id")
     Tables.documents(spark, dir)
@@ -567,9 +586,7 @@ object Dedup {
   def dupDegreeHistogram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val ix = CorpusIndex.index(spark, dir)
-    val pairs = exactJaccard(minhashCandidates(ix.sig), ix.shingles,
-        ix.sig.select($"doc_id", $"n_sh"))
+    val pairs = CorpusIndex.minhashScores(spark, dir)
       .filter($"jaccard" >= 0.5)
     val deg = pairs.select($"doc_a".as("doc_id"))
       .unionAll(pairs.select($"doc_b".as("doc_id")))

@@ -46,7 +46,9 @@ object IncrementalCc {
 
   def incrementalClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = Dedup.ngramJaccard(spark, dir).select($"doc_a", $"doc_b")
+    // shared memoized pair stream (no sort — the even/odd split and the
+    // contraction joins don't care about pair order)
+    val pairs = CorpusIndex.ngramPairs(spark, dir).select($"doc_a", $"doc_b")
     incrementalClustersOf(Tables.documents(spark, dir), pairs)
   }
 

@@ -29,21 +29,22 @@ import graft.Tables
 object QualityDedup {
 
   def qualityCanonical(spark: SparkSession, dir: String): DataFrame =
-    qualityCanonicalFrom(Tables.documents(spark, dir),
-      CorpusIndex.shingles(spark, dir))
+    // shared memoized x18 fixpoint result — canonical selection is a
+    // policy pass over the persisted cluster artifact
+    qualityCanonicalWith(Tables.documents(spark, dir),
+      CorpusIndex.ccLabels(spark, dir))
 
   /** Core of X67 over any (doc_id, text) frame (ScaleBench seam). */
-  private[graft] def qualityCanonicalOf(docs: DataFrame): DataFrame =
-    qualityCanonicalFrom(docs, Dedup.shinglesOf(docs).cache())
+  private[graft] def qualityCanonicalOf(docs: DataFrame): DataFrame = {
+    val sh = Dedup.shinglesOf(docs).cache()
+    qualityCanonicalWith(docs, Dedup.connectedComponents(
+      Dedup.ngramPairsFrom(sh).select(col("doc_a"), col("doc_b"))))
+  }
 
-  /** X67 with the pair producer fed a pre-materialized shingle frame
-    * (the shared [[CorpusIndex]] path for the registered query).
-    */
-  private[graft] def qualityCanonicalFrom(docs: DataFrame, sh: DataFrame): DataFrame = {
+  /** X67 policy core over a pre-resolved (doc, label) cluster table. */
+  private[graft] def qualityCanonicalWith(docs: DataFrame, labels: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val labels = Dedup.connectedComponents(
-      Dedup.ngramJaccardFrom(sh).select($"doc_a", $"doc_b"))
     val scored = Text.qualityOf(docs)
       .select($"doc_id", $"quality_score")
 

@@ -62,6 +62,18 @@ object Vector {
     */
   def pairwiseSimilarity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // shared memoized pair stream (x20's clustering reads the same
+    // frame); this query is the deterministic sort over it
+    CorpusIndex.embPairs(spark, dir)
+      .orderBy($"label", $"vec_a", $"vec_b")
+  }
+
+  /** The unsorted core behind X4 — the frame [[CorpusIndex.embPairs]]
+    * memoizes (sorting belongs to the registered output, not to the
+    * graph consumers).
+    */
+  private[graft] def pairwiseSimilarityUnsorted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val e = Tables.embeddings(spark, dir)
       .select($"vec_id", $"label", $"embedding",
         dotQ($"embedding", $"embedding").as("nq"))
@@ -73,7 +85,6 @@ object Vector {
       .select($"label", $"vec_a", $"vec_b",
         cosQ(dotQ($"emb_a", $"emb_b"), $"nq_a", $"nq_b").as("cos_sim"))
       .filter($"cos_sim" >= 0.35)
-      .orderBy($"label", $"vec_a", $"vec_b")
   }
 
   val pairwiseSimilaritySql: String = {
@@ -423,7 +434,8 @@ object Vector {
     */
   def embeddingNearDupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = pairwiseSimilarity(spark, dir)
+    // shared memoized X4 pair stream (unsorted — CC symmetrizes anyway)
+    val pairs = CorpusIndex.embPairs(spark, dir)
       .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
     // rename the CC label: embeddings has its own `label` (class) column
     val labels = Dedup.connectedComponents(pairs)
