@@ -144,7 +144,8 @@ object ScaleBench {
         ("x63_containment_join",
           d => Containment.containmentJoinOf(d),
           d => Containment.containmentJoinOf(d, cap)))
-    if (sections("simjoin")) simJoins.foreach { case (name, lossless, capped) =>
+    if (sections("simjoin")) simJoins.filter(q => selected(q._1))
+      .foreach { case (name, lossless, capped) =>
       val t1 = timed(lossless(spark.read.parquet(dir1))
         .write.format("noop").mode("overwrite").save())
       val t10 = timed(capped(spark.read.parquet(dir10))
@@ -202,7 +203,9 @@ object ScaleBench {
         d => PrefixJoin.prefixSimJoinOf(d, cap), w62, inj62),
       ("x63_containment_join",
         d => Containment.containmentJoinOf(d, cap), w63, inj63))
-    simTruth.foreach { case (name, capped, w, inj) =>
+    // honor the name filter here too (ADVICE r9: SECTIONS=hot + ONLY
+    // otherwise still ran every hot query)
+    simTruth.filter(q => selected(q._1)).foreach { case (name, capped, w, inj) =>
       Seq(10 -> hot10, 30 -> hot30).foreach { case (blocks, dir) =>
         val t = timed(capped(spark.read.parquet(dir))
           .write.format("noop").mode("overwrite").save())

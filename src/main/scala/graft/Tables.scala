@@ -68,7 +68,18 @@ object Tables {
           case org.apache.spark.sql.types.TimestampNTZType =>
             df.withColumn("ts",
               expr("ts").cast(org.apache.spark.sql.types.TimestampType))
-          case _ => df
+          case org.apache.spark.sql.types.TimestampType => df
+          case other =>
+            // A regen writing ts as e.g. un-annotated INT64 would infer
+            // LongType and silently leave a raw long flowing into every
+            // ts consumer (only the test-time canary would notice). The
+            // known annotations are handled above/below; anything else
+            // must fail loudly at first read, naming what arrived.
+            throw new IllegalStateException(
+              s"unexpected events.ts parquet type $other at $path — " +
+                "known shapes: TIMESTAMP(MICROS,NTZ), TIMESTAMP(NANOS) " +
+                "(inference failure -> nanos fallback). Testdata regen " +
+                "changed the annotation again; extend Tables.events.")
         }
       } catch {
         case _: org.apache.spark.sql.AnalysisException =>

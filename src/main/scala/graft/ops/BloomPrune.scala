@@ -34,17 +34,25 @@ object BloomPrune {
 
   def bloomPrunedSemiJoin(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    Tables.orders(spark, dir).createOrReplaceTempView("b55_orders")
-    Tables.lineitem(spark, dir).createOrReplaceTempView("b55_lineitem")
+    // The scalar-subquery + scan-pushed predicate shape needs SQL over
+    // views, but catalog names are SESSION state — a fixed name would
+    // couple interleaved calls from two dirs (ADVICE r9). Scope the
+    // views per dir (stable hash suffix → idempotent re-registration
+    // for the same dir, distinct names across dirs).
+    val tag = java.lang.Integer.toHexString(dir.hashCode) // String.hashCode is spec-stable
+    val ordersView = s"b55_orders_$tag"
+    val lineitemView = s"b55_lineitem_$tag"
+    Tables.orders(spark, dir).createOrReplaceTempView(ordersView)
+    Tables.lineitem(spark, dir).createOrReplaceTempView(lineitemView)
     spark.sql(
       s"""WITH hot AS (
-         |  SELECT o_orderkey FROM b55_orders
+         |  SELECT o_orderkey FROM $ordersView
          |  WHERE o_totalprice > $PriceFloor)
          |SELECT l.l_returnflag,
          |       count(*) AS n_items,
          |       ${OracleSafe.sqlSum("l.l_extendedprice * (1.0 - l.l_discount)")}
          |         AS revenue_q
-         |FROM b55_lineitem l
+         |FROM $lineitemView l
          |WHERE might_contain(
          |        (SELECT bloom_filter_agg(xxhash64(o_orderkey),
          |                CAST(100000 AS BIGINT), CAST(800000 AS BIGINT))

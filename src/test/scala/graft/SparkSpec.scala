@@ -21,6 +21,10 @@ trait SparkSpec extends AnyFunSuite {
     s
   }
 
-  /** Smallest driver-generated testdata; read-only. */
-  val sfDir = "/root/testdata/sf0.001"
+  /** Smallest driver-generated testdata; read-only. Env-overridable so
+    * a machine with a different testdata root runs the suites unchanged
+    * (suites needing sibling SFs derive them from this path).
+    */
+  val sfDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 }

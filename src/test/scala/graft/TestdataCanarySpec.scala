@@ -75,7 +75,16 @@ class TestdataCanarySpec extends SparkSpec {
   }
 
   test("key tables are non-empty at every SF the gates use") {
-    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+    // derive the SF dirs from the suite's (env-overridable) sfDir
+    // instead of absolute literals: a machine with a different testdata
+    // root checks whatever siblings it has rather than failing on a
+    // hardcoded path (ADVICE r9)
+    val root = new java.io.File(sfDir).getParentFile
+    val dirs = (sfDir +: Seq("sf0.01")
+        .map(n => new java.io.File(root, n).getPath))
+      .distinct.filter(d => new java.io.File(d).isDirectory)
+    assert(dirs.nonEmpty, s"no testdata dirs found at or beside $sfDir")
+    dirs.foreach { dir =>
       assert(Tables.documents(spark, dir).limit(1).count() == 1L, s"$dir docs")
       assert(Tables.events(spark, dir).limit(1).count() == 1L, s"$dir events")
       assert(Tables.lineitem(spark, dir).limit(1).count() == 1L, s"$dir lineitem")
