@@ -126,7 +126,24 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] sentinel dump failed: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"stat":"med","sent":{"med":${sec(sentMed)},"max":${sec(sentMax)},"nhot":${hot.size}},"queries":$qs,"sf":"$sfDir"}""")
+    // Per-query sentinel IN the bench line (round-9 verdict item 7):
+    // inlining all 146 slots would overflow the driver's 2000-char tail
+    // capture (the line is already ~1800 chars), so the line carries the
+    // slots that MATTER — the hot ones (≥1.5× median), keyed by the same
+    // query ids as `queries` — and BENCH_SENTINEL.json keeps every slot.
+    // A verdict reads contention per-query directly: a regressed query
+    // id present in sent.hot was measured under a busy box; one absent
+    // was measured quiet. The length guard drops the hot map (never the
+    // queries) if a pathological round would overflow the capture.
+    def line(withHot: Boolean): String = {
+      val hotJson = if (withHot)
+        s""","hot":${hot.map { case (k, v) => "\"" + shortId(k) + "\":" + sec(v) }
+          .mkString("{", ",", "}")}"""
+      else ""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"stat":"med","sent":{"med":${sec(sentMed)},"max":${sec(sentMax)},"nhot":${hot.size}$hotJson},"queries":$qs,"sf":"$sfDir"}"""
+    }
+    val full = line(withHot = true)
+    println(if (full.length <= 1900) full else line(withHot = false))
     spark.stop()
   }
 }

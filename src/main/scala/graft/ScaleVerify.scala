@@ -64,6 +64,43 @@ object ScaleVerify {
       .repartition(8 * blocks)
       .write.mode("overwrite").parquet(s"$tables/documents.parquet")
 
+    // round-10 additions (verdict item 3: the relational/window/event
+    // heavyweights had 10× wall numbers but no 10× hash rows). Same
+    // replica constructions as ScaleBench's sections, full schema:
+    //  - orders/lineitem: disjoint customer populations per block with
+    //    the original order/lineitem structure (b37's version windows
+    //    get 10× more customers at unchanged depth; b54's PIT lookup
+    //    grows on both sides);
+    //  - events: disjoint user populations per block with the original
+    //    per-user timelines (b43's sliding windows and b48's session
+    //    windows scale across users, the production dimension).
+    Tables.orders(spark, baseDir)
+      .crossJoin(spark.range(blocks).toDF("block"))
+      .select(
+        ($"o_orderkey" + $"block" * 100000000L).as("o_orderkey"),
+        ($"o_custkey" + $"block" * 10000000L).as("o_custkey"),
+        $"o_orderstatus", $"o_totalprice", $"o_orderdate",
+        $"o_orderpriority")
+      .repartition(8 * blocks)
+      .write.mode("overwrite").parquet(s"$tables/orders.parquet")
+    Tables.lineitem(spark, baseDir)
+      .crossJoin(spark.range(blocks).toDF("block"))
+      .select(
+        (col("l_orderkey") + $"block" * 100000000L).as("l_orderkey") +:
+          Tables.lineitem(spark, baseDir).columns.filter(_ != "l_orderkey")
+            .map(col).toSeq: _*)
+      .repartition(8 * blocks)
+      .write.mode("overwrite").parquet(s"$tables/lineitem.parquet")
+    Tables.events(spark, baseDir)
+      .crossJoin(spark.range(blocks).toDF("block"))
+      .select(
+        ($"event_id" + $"block" * 100000000L).as("event_id"),
+        $"ts",
+        ($"user_id" + $"block" * 10000000L).as("user_id"),
+        $"event_type", $"value", $"props")
+      .repartition(8 * blocks)
+      .write.mode("overwrite").parquet(s"$tables/events.parquet")
+
     val queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       Seq(
         "x02_minhash_lsh" -> SparkEntry.queries("x02_minhash_lsh"),
@@ -83,7 +120,15 @@ object ScaleVerify {
         "x84_pagerank" -> SparkEntry.queries("x84_pagerank"),
         "x85_threshold_sweep" -> SparkEntry.queries("x85_threshold_sweep"),
         "x89_source_quantile_norm" ->
-          SparkEntry.queries("x89_source_quantile_norm"))
+          SparkEntry.queries("x89_source_quantile_norm"),
+        // round-10: relational/window/event heavyweights at 10×, each
+        // against its full DuckDB oracle over the same replica tables
+        "b37_scd2_history" -> SparkEntry.queries("b37_scd2_history"),
+        "b54_scd2_pit_join" -> SparkEntry.queries("b54_scd2_pit_join"),
+        "b43_rolling_distinct" -> SparkEntry.queries("b43_rolling_distinct"),
+        "b48_last_touch_attribution" ->
+          SparkEntry.queries("b48_last_touch_attribution"),
+        "x26_sequence_packing" -> SparkEntry.queries("x26_sequence_packing"))
 
     queries.foreach { case (name, fn) =>
       try fn(spark, tables).coalesce(1).write.mode("overwrite")
