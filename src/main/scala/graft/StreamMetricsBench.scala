@@ -50,9 +50,13 @@ object StreamMetricsBench {
     val checkpoint = s"$work/ckpt"
     // deterministic keyed events; value in exact cents (the x86/x88
     // decimal discipline)
+    // type derives from id DIV Users (not id mod anything — Types
+    // divides Users, so any linear residue would collapse each user
+    // onto a single type and the key space to |Users|): each user sees
+    // every type across the sweep → exactly Users × Types keys
     val src = spark.range(n).select(
       ($"id" % Users).as("user_id"),
-      concat(lit("t"), $"id" % Types).as("event_type"),
+      concat(lit("t"), ($"id" / Users).cast("long") % Types).as("event_type"),
       (($"id" * 37L % 100000L).cast("decimal(27,6)") / 100).cast("double")
         .as("value"))
     src.repartition(cpus.toInt).write.mode("overwrite").parquet(srcDir)
