@@ -128,7 +128,11 @@ object ScaleVerify {
         "b43_rolling_distinct" -> SparkEntry.queries("b43_rolling_distinct"),
         "b48_last_touch_attribution" ->
           SparkEntry.queries("b48_last_touch_attribution"),
-        "x26_sequence_packing" -> SparkEntry.queries("x26_sequence_packing"))
+        "x26_sequence_packing" -> SparkEntry.queries("x26_sequence_packing"),
+        // round-10: the composed X91 build manifest at 10× — the whole
+        // curation→split→leak-repair→packing composition against its
+        // single independent DuckDB recomputation over the replica
+        "x91_pipeline_manifest" -> SparkEntry.queries("x91_pipeline_manifest"))
 
     queries.foreach { case (name, fn) =>
       try fn(spark, tables).coalesce(1).write.mode("overwrite")

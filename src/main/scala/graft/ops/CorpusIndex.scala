@@ -165,6 +165,20 @@ object CorpusIndex {
       Vector.pairwiseSimilarityUnsorted(spark, dir).localCheckpoint()
     }
 
+  /** The X22 curation verdict frame (doc_id, lang_guess, quality_score,
+    * cluster_id, verdict), unsorted — shared by x22 and the composed
+    * X91 build, which otherwise each pay the survivor-corpus pair +
+    * CC fixpoint (the exact per-query waste the round-9 memos removed
+    * from the corpus-level family). Production shape: the curation
+    * verdict ledger is computed once per corpus snapshot and persisted;
+    * downstream builds read the artifact.
+    */
+  private[graft] def curationVerdicts(spark: SparkSession, dir: String): DataFrame =
+    derived(spark, dir, "curationVerdicts") {
+      Curation.curationVerdictsOf(Tables.documents(spark, dir),
+        corpusShingles = Some(shingles(spark, dir))).localCheckpoint()
+    }
+
   /** Test-only: drop this session's memoized entries so the next access
     * rebuilds from scratch (PlanShapeSpec measures plan shapes from a
     * cold memo regardless of which suites ran first; the dropped

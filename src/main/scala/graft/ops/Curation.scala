@@ -46,12 +46,10 @@ object Curation {
   val MinQuality = 0.5
 
   def curationPipeline(spark: SparkSession, dir: String): DataFrame =
-    // ride the shared memoized corpus shingle index: a survivor subset's
-    // shingle set IS the corpus shingle set semi-joined to the survivors
-    // (shingling is per-doc), so stage 4 never re-tokenizes — and text
-    // never needs re-attaching to the unique survivors at all
-    curationOf(Tables.documents(spark, dir),
-      corpusShingles = Some(CorpusIndex.shingles(spark, dir)))
+    // ride the shared memoized verdict frame (which itself rides the
+    // corpus shingle index — tokenize-once): x22 is the presentation
+    // sort over the artifact the composed X91 build also consumes
+    CorpusIndex.curationVerdicts(spark, dir).orderBy(col("doc_id"))
 
   /** Core of X22 over any (doc_id, text) frame; `minQuality` is the gate
     * threshold (the registered query uses [[MinQuality]], which the
@@ -60,6 +58,16 @@ object Curation {
     * filters it to survivors instead of re-shingling.
     */
   def curationOf(docs: DataFrame, minQuality: Double = MinQuality,
+      corpusShingles: Option[DataFrame] = None): DataFrame =
+    curationVerdictsOf(docs, minQuality, corpusShingles)
+      .orderBy(col("doc_id"))
+
+  /** [[curationOf]] without the final presentation sort — the form a
+    * downstream composition (X91) consumes, so the verdict frame joins
+    * onward without a pointless mid-pipeline range exchange.
+    */
+  private[graft] def curationVerdictsOf(docs: DataFrame,
+      minQuality: Double = MinQuality,
       corpusShingles: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -120,14 +128,17 @@ object Curation {
           .when($"doc_id" =!= $"rep", "exact_dup")
           .when($"rn" === 1, "kept")
           .otherwise("near_dup").as("verdict"))
-      .orderBy($"doc_id")
   }
 
-  val curationPipelineSql: String = {
+  /** The full curation-verdict CTE chain (t … ranked → `verdicts`),
+    * shared verbatim by the x22 oracle and the X91 composed-manifest
+    * oracle. Must be hosted under a `WITH RECURSIVE` prelude (the
+    * transitive-closure `reach` CTE).
+    */
+  private[graft] val verdictCtes: String = {
     // the near-dup CTE chain over the curation survivors, not the corpus
     val pairCtes = Dedup.ngramPairCtesFrom("uniq")
-    s"""WITH RECURSIVE
-       |t AS (
+    s"""t AS (
        |  SELECT doc_id, text,
        |         string_split_regex(trim(lower(text)), '\\s+') AS words
        |  FROM documents),
@@ -173,18 +184,25 @@ object Curation {
        |  SELECT doc_id, cluster_id,
        |         row_number() OVER (PARTITION BY cluster_id
        |                            ORDER BY quality_score DESC, doc_id ASC) AS rn
-       |  FROM clustered)
-       |SELECT q.doc_id, q.lang_guess, q.quality_score,
-       |       r.cluster_id,
-       |       CASE WHEN p.doc_id IS NULL THEN 'low_quality'
-       |            WHEN p.doc_id <> p.rep THEN 'exact_dup'
-       |            WHEN r.rn = 1 THEN 'kept'
-       |            ELSE 'near_dup' END AS verdict
-       |FROM qdocs q
-       |LEFT JOIN pass p ON q.doc_id = p.doc_id
-       |LEFT JOIN ranked r ON q.doc_id = r.doc_id
-       |ORDER BY q.doc_id""".stripMargin
+       |  FROM clustered),
+       |verdicts AS (
+       |  SELECT q.doc_id, q.lang_guess, q.quality_score,
+       |         r.cluster_id,
+       |         CASE WHEN p.doc_id IS NULL THEN 'low_quality'
+       |              WHEN p.doc_id <> p.rep THEN 'exact_dup'
+       |              WHEN r.rn = 1 THEN 'kept'
+       |              ELSE 'near_dup' END AS verdict
+       |  FROM qdocs q
+       |  LEFT JOIN pass p ON q.doc_id = p.doc_id
+       |  LEFT JOIN ranked r ON q.doc_id = r.doc_id)""".stripMargin
   }
+
+  val curationPipelineSql: String =
+    s"""WITH RECURSIVE
+       |$verdictCtes
+       |SELECT doc_id, lang_guess, quality_score, cluster_id, verdict
+       |FROM verdicts
+       |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x22_curation_pipeline" -> curationPipeline _)

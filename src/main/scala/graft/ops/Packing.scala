@@ -39,7 +39,16 @@ object Packing {
   def sequencePacking(spark: SparkSession, dir: String): DataFrame =
     packingOf(Tables.documents(spark, dir), PackCapacity)
 
-  def packingOf(docs: DataFrame, capacity: Long): DataFrame = {
+  def packingOf(docs: DataFrame, capacity: Long): DataFrame =
+    packingCoreOf(docs, capacity).orderBy(col("doc_id"))
+
+  /** [[packingOf]] without the final presentation sort (the X91
+    * composition joins the pack layout back onto its manifest by doc_id,
+    * so an inner global sort would be a wasted range exchange). Returns
+    * an empty correctly-typed frame when `docs` is empty — the min/max
+    * scalar fetch has no row to anchor the bucket width on.
+    */
+  private[graft] def packingCoreOf(docs: DataFrame, capacity: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val parallelism = spark.sparkContext.defaultParallelism
@@ -56,9 +65,17 @@ object Packing {
     // footer stats at cluster scale). Buckets are balanced when doc_id is
     // dense (it is here); skew only widens a window partition, never
     // breaks correctness.
-    val Array(mn, mx) = docs.agg(
+    val bounds = docs.agg(
       min($"doc_id").cast("long"), max($"doc_id").cast("long"))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      .collect()(0)
+    if (bounds.isNullAt(0)) {
+      // empty input: no anchor for the bucket width; the layout is empty
+      return docs.select($"doc_id".cast("long"),
+        lit(0L).as("n_tokens"), lit(0L).as("start_offset"),
+        lit(0L).as("pack_id"), lit(0L).as("offset_in_pack"))
+        .where(lit(false))
+    }
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (mx - mn) / parallelism + 1L)
     // `div` = exact integral division (the `/` Column operator is double
     // division — lossy past 2^53); cache so the two consumers (running-sum
@@ -88,7 +105,6 @@ object Packing {
       .select($"doc_id", $"n_tokens", $"start_offset",
         expr(s"start_offset div ${capacity}L").as("pack_id"),
         ($"start_offset" % capacity).as("offset_in_pack"))
-      .orderBy($"doc_id")
   }
 
   val sequencePackingSql: String =

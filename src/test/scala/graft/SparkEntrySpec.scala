@@ -64,7 +64,8 @@ class SparkEntrySpec extends SparkSpec {
       "ThresholdSweep" -> ThresholdSweep.queries,
       "IncrementalAgg" -> IncrementalAgg.queries,
       "QuantileNorm" -> QuantileNorm.queries,
-      "Decay" -> Decay.queries, "BloomPrune" -> BloomPrune.queries)
+      "Decay" -> Decay.queries, "BloomPrune" -> BloomPrune.queries,
+      "Manifest" -> Manifest.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
