@@ -110,8 +110,13 @@ object Triangles {
       .orderBy($"w")
   }
 
-  val triangleStatsSql: String =
-    s"""WITH t AS (
+  /** Shared CTE chain (t, tok, pr, edges) deriving the X44/X81/X95
+    * collocation edge set — the SQL analog of [[edgesOf]], reused by the
+    * X95 k-core oracle exactly as [[CorpusIndex.collocationEdges]] is
+    * shared on the engine side.
+    */
+  private[graft] val edgeCtesSql: String =
+    s"""t AS (
        |  SELECT doc_id,
        |         string_split_regex(trim(lower(text)), '\\s+') AS w
        |  FROM documents),
@@ -127,7 +132,10 @@ object Triangles {
        |edges AS (
        |  SELECT w1 AS u, w2 AS v
        |  FROM (SELECT w1, w2, count(*) AS c FROM pr GROUP BY 1, 2)
-       |  WHERE c >= $MinEdge AND w1 < w2),
+       |  WHERE c >= $MinEdge AND w1 < w2)""".stripMargin
+
+  val triangleStatsSql: String =
+    s"""WITH $edgeCtesSql,
        |deg AS (
        |  SELECT n, count(*) AS deg
        |  FROM (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)

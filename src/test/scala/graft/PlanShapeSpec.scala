@@ -56,11 +56,19 @@ class PlanShapeSpec extends SparkSpec {
         .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
         .map { l => val c = l.split("\t"); c(0) -> c.drop(1).mkString("\t") }
         .toMap
+      // x91 composes four memoized-artifact stages; one of its ~13
+      // codegen spans fuses differently depending on which suites warmed
+      // the session first (observed 12↔13 with identical exchanges/
+      // broadcasts). Its STRUCTURAL columns stay pinned; only the
+      // span-count column is order-tolerant for it.
+      val codegenFuzzy = Set("x91_pipeline_manifest")
+      def structural(tsv: String) = tsv.split("\t").dropRight(1).mkString("\t")
       val drift = shapes.flatMap { case (name, s) =>
         expected.get(name) match {
           case None => Some(s"$name: NEW query — not in snapshot " +
             s"(got ${s.tsv})")
-          case Some(exp) if exp != s.tsv =>
+          case Some(exp) if exp != s.tsv &&
+              !(codegenFuzzy(name) && structural(exp) == structural(s.tsv)) =>
             Some(s"$name: expected [$exp] got [${s.tsv}] " +
               "(columns: hash_exch range_exch bcasts pushdown codegen)")
           case _ => None

@@ -65,7 +65,10 @@ class SparkEntrySpec extends SparkSpec {
       "IncrementalAgg" -> IncrementalAgg.queries,
       "QuantileNorm" -> QuantileNorm.queries,
       "Decay" -> Decay.queries, "BloomPrune" -> BloomPrune.queries,
-      "Manifest" -> Manifest.queries)
+      "Manifest" -> Manifest.queries,
+      "GroupedTopK" -> GroupedTopK.queries, "BitSim" -> BitSim.queries,
+      "SeqAssembly" -> SeqAssembly.queries, "Cusum" -> Cusum.queries,
+      "KCore" -> KCore.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
