@@ -27,9 +27,9 @@ object ScaleBench {
     docs.crossJoin(spark.range(blocks).toDF("block"))
       .select(
         ($"doc_id" + $"block" * 10000000L).as("doc_id"),
-        // source carries over unchanged: the corpus grows, the source
-        // set does not (matches real ingestion)
-        $"source",
+        // source/lang carry over unchanged: the corpus grows, the
+        // source and language sets do not (matches real ingestion)
+        $"source", $"lang",
         array_join(transform(split(trim(lower($"text")), "\\s+"),
           w => concat(w, lit("_"), $"block")), " ").as("text"))
   }
@@ -60,7 +60,7 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val base = Tables.documents(spark, sfDir)
-      .select($"doc_id", $"source", $"text")
+      .select($"doc_id", $"source", $"lang", $"text")
     // materialize both corpora to parquet so every timed query reads the
     // same physical shape (multi-split, off-heap) instead of an in-memory
     // lineage that would hide the scan
@@ -110,13 +110,28 @@ object ScaleBench {
       // grows 10× — the hierarchical rank's bucket windows get deeper,
       // never wider (the scale dimension the op is built for)
       "x89_source_quantile_norm" ->
-        (d => graft.ops.QuantileNorm.sourceQuantileNormOf(d)))
+        (d => graft.ops.QuantileNorm.sourceQuantileNormOf(d)),
+      // graph family on the per-block vocab (grows 10× with the corpus
+      // — the honest worst case, as for x84): fixed-round peel and
+      // fixed-round synchronous diffusion
+      "x95_kcore" -> (d => graft.ops.KCore.kCoreFromEdges(
+        graft.ops.Triangles.edgesOf(d))),
+      "x96_label_prop" -> (d => graft.ops.LabelProp.labelPropOf(
+        d, graft.ops.Triangles.edgesOf(d))),
+      // sampling/LM doc ops: the PPS number line grows 10×; the x98
+      // reference model grows with the per-block vocab (worst case —
+      // production reference vocab is fixed)
+      "x97_pps_sample" -> (d => graft.ops.PpsSample.ppsSampleOf(
+        d, graft.ops.PpsSample.Stride)),
+      "x98_bigram_surprisal" -> (d => graft.ops.Surprisal.surprisalOf(
+        d, graft.ops.Surprisal.RefLang)))
     // section filter for partial re-runs (e.g. the memory-heavy hot-corpus
     // recall section alone under a bigger heap):
     // generic | simjoin | hot | events | vectors | pit
     val sections = sys.env.get("SPARK_GRAFT_SCALE_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("generic", "simjoin", "hot", "events", "vectors", "pit"))
+      .getOrElse(Set("generic", "simjoin", "hot", "events", "vectors",
+        "pit", "orders"))
     // name filter within sections, for a quick look at specific queries
     val onlyQ = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -244,7 +259,14 @@ object ScaleBench {
         .incrementalAggOf(d,
           to_timestamp(lit(graft.ops.IncrementalAgg.Cutoff)))),
       "x90_decayed_activity" ->
-        (d => graft.ops.Decay.decayedActivityOf(d)))
+        (d => graft.ops.Decay.decayedActivityOf(d)),
+      // user-dimension scaling for the round-10 event ops: sessions,
+      // CUSUM charts, and trend fits are all per-user — the spine and
+      // window work scale across users, depth per user unchanged
+      "x93_session_sequences" ->
+        (d => graft.ops.SeqAssembly.sessionSequencesOf(d)),
+      "x94_cusum_drift" -> (d => graft.ops.Cusum.cusumDriftOf(d)),
+      "x99_activity_trend" -> (d => graft.ops.Trend.activityTrendOf(d)))
     evQueries.filter(q => selected(q._1)).foreach { case (name, q) =>
       val t1 = timed(q(spark.read.parquet(ev1))
         .write.format("noop").mode("overwrite").save())
@@ -289,6 +311,32 @@ object ScaleBench {
         f"growth=${t10 / t1}%.1fx")
     }
 
+    // the bounded grouped-top-k aggregate scales on the GROUP dimension:
+    // each block is a disjoint customer population, so per-group depth
+    // (orders per customer) is unchanged while groups grow 10× — map
+    // tasks still ship ≤ k pairs per (group, partition), the whole point
+    // of the aggregate form over the window form
+    if (sections("orders") && selected("b56_grouped_topk")) {
+      val ob1 = "target/scale_b56_orders_1x"
+      val ob10 = "target/scale_b56_orders_10x"
+      val obBase = Tables.orders(spark, sfDir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      obBase.repartition(8).write.mode("overwrite").parquet(ob1)
+      obBase.crossJoin(spark.range(Blocks).toDF("block"))
+        .select(($"o_orderkey" + $"block" * 100000000L).as("o_orderkey"),
+          ($"o_custkey" + $"block" * 10000000L).as("o_custkey"),
+          $"o_totalprice")
+        .repartition(8 * Blocks).write.mode("overwrite").parquet(ob10)
+      val t1 = timed(graft.ops.GroupedTopK
+        .groupedTopKOf(spark.read.parquet(ob1))
+        .write.format("noop").mode("overwrite").save())
+      val t10 = timed(graft.ops.GroupedTopK
+        .groupedTopKOf(spark.read.parquet(ob10))
+        .write.format("noop").mode("overwrite").save())
+      println(f"SCALE b56_grouped_topk 1x=$t1%.2f s 10x=$t10%.2f s " +
+        f"growth=${t10 / t1}%.1fx")
+    }
+
     // vector-shaped rows scale on the corpus dimension with the label
     // space fixed: each block carries fresh vec_ids with the original
     // label/embedding distribution, so the centroid aggregate stays
@@ -305,7 +353,10 @@ object ScaleBench {
         .repartition(8 * Blocks).write.mode("overwrite").parquet(em10)
       val emQueries: Seq[(String, DataFrame => DataFrame)] = Seq(
         "x70_centroid_assign" -> (d => Assign.centroidAssignOf(d)),
-        "x71_kmeans_step" -> (d => Assign.kmeansStepOf(d)))
+        "x71_kmeans_step" -> (d => Assign.kmeansStepOf(d)),
+        // fixed block-0 query band vs a 10× packed corpus — the ANN
+        // anchor's honest scale shape (16 B/vector packed stream)
+        "x92_hamming_topk" -> (d => graft.ops.BitSim.hammingTopKOf(d)))
       emQueries.filter(q => selected(q._1)).foreach { case (name, q) =>
         val t1 = timed(q(spark.read.parquet(em1))
           .write.format("noop").mode("overwrite").save())

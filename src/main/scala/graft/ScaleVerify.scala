@@ -100,6 +100,21 @@ object ScaleVerify {
         $"event_type", $"value", $"props")
       .repartition(8 * blocks)
       .write.mode("overwrite").parquet(s"$tables/events.parquet")
+    // embeddings: disjoint vec_id populations per block, each block's
+    // vectors deterministically sign-perturbed (every 5th dim flipped,
+    // phase = block) so replicas are NOT byte-duplicates — x92's query
+    // set stays the fixed block-0 `vec_id < NQueries` band while the
+    // corpus it ranks grows 10× (the honest ANN scale shape)
+    Tables.embeddings(spark, baseDir)
+      .crossJoin(spark.range(blocks).toDF("block"))
+      .select(
+        ($"vec_id" + $"block" * 10000000L).as("vec_id"),
+        transform($"embedding",
+          (x, i) => when((i + $"block") % 5 === 0, -x).otherwise(x))
+          .as("embedding"),
+        $"label")
+      .repartition(8 * blocks)
+      .write.mode("overwrite").parquet(s"$tables/embeddings.parquet")
 
     val queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       Seq(
@@ -132,7 +147,21 @@ object ScaleVerify {
         // round-10: the composed X91 build manifest at 10× — the whole
         // curation→split→leak-repair→packing composition against its
         // single independent DuckDB recomputation over the replica
-        "x91_pipeline_manifest" -> SparkEntry.queries("x91_pipeline_manifest"))
+        "x91_pipeline_manifest" -> SparkEntry.queries("x91_pipeline_manifest"),
+        // round-10 second half: the new-operator families at 10× — the
+        // bounded grouped-top-k aggregate (orders), the packed-Hamming
+        // ANN anchor (fixed query band vs 10× corpus), the event-family
+        // session/chart/trend ops, the graph-family peel + propagation
+        // (vocab grows 10× WITH the corpus), and the sampling/LM doc ops
+        "b56_grouped_topk" -> SparkEntry.queries("b56_grouped_topk"),
+        "x92_hamming_topk" -> SparkEntry.queries("x92_hamming_topk"),
+        "x93_session_sequences" -> SparkEntry.queries("x93_session_sequences"),
+        "x94_cusum_drift" -> SparkEntry.queries("x94_cusum_drift"),
+        "x95_kcore" -> SparkEntry.queries("x95_kcore"),
+        "x96_label_prop" -> SparkEntry.queries("x96_label_prop"),
+        "x97_pps_sample" -> SparkEntry.queries("x97_pps_sample"),
+        "x98_bigram_surprisal" -> SparkEntry.queries("x98_bigram_surprisal"),
+        "x99_activity_trend" -> SparkEntry.queries("x99_activity_trend"))
 
     queries.foreach { case (name, fn) =>
       try fn(spark, tables).coalesce(1).write.mode("overwrite")

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** B58 — incremental SCD2 maintenance: apply a delta batch of orders to
+  * an EXISTING B37 version history without replaying the history — the
+  * nightly warehouse merge (close the current version when the incoming
+  * attribute differs, extend it when it doesn't, append the new
+  * versions, leave every untouched customer's rows byte-identical).
+  * B30 merges a CDC snapshot, B37 builds the full history from scratch,
+  * X86 maintains keyed aggregates incrementally; B58 is the missing
+  * composition — incremental maintenance of the VERSIONED history
+  * itself, where the state that must be consulted is one open-version
+  * row per touched customer, not the fact stream.
+  *
+  * The incremental contract (the X78 discipline — the oracle IS the
+  * full recompute): closed versions of touched customers pass through
+  * untouched (their `valid_to` chain ends at the open version's start,
+  * which never moves); the open version either extends (same priority:
+  * `n_orders` grows, `valid_from` keeps) or closes (the first delta
+  * version's start becomes its `valid_to`); delta rows version-number
+  * from the open version's counter seeded with its priority (a lag
+  * whose first `prev` is the state row, not NULL). The DuckDB oracle
+  * rebuilds the ENTIRE history from all orders with B37's SQL, so the
+  * hash gate proves merge(history(<cutoff), delta) ≡ history(all) —
+  * bit-equal, every column, every customer.
+  *
+  * Scale shape: the moving work scales with |delta| + |touched
+  * customers|, never with history size — untouched rows are routed by
+  * one anti/semi join pair on the customer key (no window, no sort);
+  * the delta windows partition by customer over delta rows only; the
+  * open-version state join is |touched| rows. At 100 TB the history is
+  * the big side and this is the difference between a nightly merge
+  * that reads one day and one that replays seven years.
+  *
+  * Reference scope: no warehouse ops in the reference; engine baseline
+  * extension (SURVEY §2.4, the B30/B37/B54 SCD family).
+  */
+object IncScd2 {
+
+  /** Delta cutoff: orders on/after this date form the incoming batch
+    * (~10% of the corpus at every SF; the X86 split convention).
+    */
+  val Cutoff = "2001-01-01"
+
+  def incrementalScd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    incrementalScd2Of(Tables.orders(spark, dir),
+      lit(Cutoff).cast("timestamp"))
+      .select($"o_custkey", $"version", $"o_orderpriority",
+        $"valid_from".cast("timestamp_ntz").as("valid_from"),
+        $"valid_to".cast("timestamp_ntz").as("valid_to"), $"n_orders")
+      .orderBy($"o_custkey", $"version")
+  }
+
+  /** Core: split at `cutoff`, build the pre-cutoff history with B37's
+    * machinery (standing in for the persisted SCD2 table), merge the
+    * delta. Test seam.
+    */
+  private[graft] def incrementalScd2Of(orders: DataFrame, cutoff: Column): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val base = Relational.scd2IntervalsOf(orders.filter($"o_orderdate" < cutoff))
+    mergeScd2(base, orders.filter($"o_orderdate" >= cutoff))
+  }
+
+  /** The merge alone, over any B37-shaped history frame and any
+    * orders-shaped delta frame; fixture seam.
+    */
+  private[graft] def mergeScd2(base: DataFrame, delta: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val touched = delta.select($"o_custkey").distinct()
+    val untouched = base.join(touched, Seq("o_custkey"), "left_anti")
+    val tBase = base.join(touched, Seq("o_custkey"), "left_semi")
+    val closed = tBase.filter($"valid_to".isNotNull)
+    val open = tBase.filter($"valid_to".isNull)
+      .select($"o_custkey", $"version".as("open_v"),
+        $"o_orderpriority".as("open_prio"),
+        $"valid_from".as("open_from"), $"n_orders".as("open_n"))
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    // delta versioning seeded by the open version: the first row's
+    // lag-compare reads the state row's priority instead of NULL, so
+    // an unchanged attribute EXTENDS version open_v (dv = 0) and a
+    // changed one opens open_v + 1; a brand-new customer (no state)
+    // falls back to the cold B37 rule (first row opens version 1)
+    val seeded = delta
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .join(open, Seq("o_custkey"), "left")
+      .withColumn("prev",
+        coalesce(lag($"o_orderpriority", 1).over(w), $"open_prio"))
+      .withColumn("chg",
+        when($"prev".isNull || $"prev" =!= $"o_orderpriority", 1L)
+          .otherwise(0L))
+      .withColumn("dv", sum($"chg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("version", coalesce($"open_v", lit(0L)) + $"dv")
+    val newVers = seeded
+      .groupBy($"o_custkey", $"version", $"o_orderpriority",
+        $"open_v", $"open_from", $"open_n")
+      .agg(min($"o_orderdate").as("dmin"), count(lit(1)).as("cnt"))
+      .select($"o_custkey", $"version", $"o_orderpriority",
+        when($"version" === $"open_v", $"open_from").otherwise($"dmin")
+          .as("valid_from"),
+        when($"version" === $"open_v", $"open_n" + $"cnt").otherwise($"cnt")
+          .as("n_orders"))
+    // an open version the delta did NOT extend still joins the tail so
+    // the lead() below closes it with the first delta version's start
+    val openAsRow = open.select($"o_custkey", $"open_v".as("version"),
+      $"open_prio".as("o_orderpriority"), $"open_from".as("valid_from"),
+      $"open_n".as("n_orders"))
+    val tail = newVers.unionByName(
+      openAsRow.join(newVers.select($"o_custkey", $"version"),
+        Seq("o_custkey", "version"), "left_anti"))
+    val tailClosed = tail.withColumn("valid_to",
+      lead($"valid_from", 1).over(
+        Window.partitionBy($"o_custkey").orderBy($"version".asc)))
+      .select(base.columns.map(col).toSeq: _*)
+    untouched.unionByName(closed).unionByName(tailClosed)
+  }
+
+  /** The oracle is B37's FULL recompute over all orders — the hash gate
+    * proves merge(history(<cutoff), delta) ≡ history(all).
+    */
+  val incrementalScd2Sql: String = Relational.scd2HistorySql
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b58_incremental_scd2" -> incrementalScd2 _)
+
+  val oracles: Map[String, String] = Map(
+    "b58_incremental_scd2" -> incrementalScd2Sql)
+}
