@@ -50,9 +50,17 @@ object ScaleVerify {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // dev-only toggles for incremental re-runs: skip the replica build
+    // when the tables already exist, and dump a name subset (the full
+    // driver-style run leaves both unset)
+    val skipBuild = sys.env.get("SPARK_GRAFT_SCALE_SKIP_BUILD").contains("1")
+    val only = sys.env.get("SPARK_GRAFT_SCALE_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+
     // full-schema replica (ScaleBench.replicate carries only the join
     // columns; registered queries may read lang/n_chars too)
     val tables = s"$outDir/tables"
+    if (!skipBuild) {
     Tables.documents(spark, baseDir)
       .crossJoin(spark.range(blocks).toDF("block"))
       .select(
@@ -115,6 +123,7 @@ object ScaleVerify {
         $"label")
       .repartition(8 * blocks)
       .write.mode("overwrite").parquet(s"$tables/embeddings.parquet")
+    }
 
     val queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       Seq(
@@ -161,9 +170,15 @@ object ScaleVerify {
         "x96_label_prop" -> SparkEntry.queries("x96_label_prop"),
         "x97_pps_sample" -> SparkEntry.queries("x97_pps_sample"),
         "x98_bigram_surprisal" -> SparkEntry.queries("x98_bigram_surprisal"),
-        "x99_activity_trend" -> SparkEntry.queries("x99_activity_trend"))
+        "x99_activity_trend" -> SparkEntry.queries("x99_activity_trend"),
+        // the incremental-SCD2 contract at 10× (delta + touched-customer
+        // work vs a 10× history) and the recall audit with its fixed
+        // query band against the 10× perturbed-replica corpus
+        "b58_incremental_scd2" -> SparkEntry.queries("b58_incremental_scd2"),
+        "x100_ann_recall" -> SparkEntry.queries("x100_ann_recall"))
 
-    queries.foreach { case (name, fn) =>
+    queries.filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try fn(spark, tables).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
