@@ -124,7 +124,35 @@ object ScaleBench {
       "x97_pps_sample" -> (d => graft.ops.PpsSample.ppsSampleOf(
         d, graft.ops.PpsSample.Stride)),
       "x98_bigram_surprisal" -> (d => graft.ops.Surprisal.surprisalOf(
-        d, graft.ops.Surprisal.RefLang)))
+        d, graft.ops.Surprisal.RefLang)),
+      // round-10 second wave. x103's wedge-count cost is real even when
+      // the dense graph leaves the prediction set empty; x105's rank
+      // line and x106's pair stream grow with the corpus; x104/x107's
+      // second aggregate is vocab-bounded (grows 10× here — worst case);
+      // x108 is row-local; x109's windows are per-source partitioned
+      "x103_link_predict" -> (d => graft.ops.LinkPredict
+        .linkPredictFromEdges(graft.ops.Triangles.edgesOf(d))),
+      "x104_top_keywords" -> (d => graft.ops.Keywords.topKeywordsOf(d)),
+      "x105_sorted_neighborhood" -> { d =>
+        val sh = Dedup.shinglesOf(d)
+        graft.ops.SortedNeighborhood.snFrom(sh, Dedup.minhashSignatures(sh))
+      },
+      "x106_grouped_auc" -> { d =>
+        import org.apache.spark.sql.functions.{array, col, explode, length}
+        val pairs = Dedup.ngramPairsFrom(Dedup.shinglesOf(d))
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
+        graft.ops.Auc.aucOf(
+          d.select(col("doc_id"), col("lang").as("grp"),
+            length(col("text")).cast("long").as("score")), pairs)
+      },
+      "x107_vocab_richness" -> (d => graft.ops.Richness.richnessOf(d)),
+      "x108_reshard_audit" -> (d => graft.ops.Rendezvous.reshardAuditOf(d)),
+      "x109_source_gini" -> { d =>
+        import org.apache.spark.sql.functions.{col, length}
+        graft.ops.Gini.giniOf(d.select(col("source").as("grp"),
+          col("doc_id"), length(col("text")).cast("long").as("x")))
+      })
     // section filter for partial re-runs (e.g. the memory-heavy hot-corpus
     // recall section alone under a bigger heap):
     // generic | simjoin | hot | events | vectors | pit

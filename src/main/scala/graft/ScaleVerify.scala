@@ -175,7 +175,22 @@ object ScaleVerify {
         // work vs a 10× history) and the recall audit with its fixed
         // query band against the 10× perturbed-replica corpus
         "b58_incremental_scd2" -> SparkEntry.queries("b58_incremental_scd2"),
-        "x100_ann_recall" -> SparkEntry.queries("x100_ann_recall"))
+        "x100_ann_recall" -> SparkEntry.queries("x100_ann_recall"),
+        // round-10 second-wave operators at 10×: keyword extraction and
+        // richness over the 10×-grown per-block vocabulary, the
+        // sorted-neighborhood rank line at 10× corpus, the AUC label
+        // join over the 10× pair stream, and the layout/profile ops.
+        // x103 is EXCLUDED deliberately: the sf0.1 collocation graph is
+        // dense enough that no non-adjacent pair clears the evidence
+        // floor (0 rows, oracle agrees) — a trivially-green row is not
+        // scale evidence.
+        "x104_top_keywords" -> SparkEntry.queries("x104_top_keywords"),
+        "x105_sorted_neighborhood" ->
+          SparkEntry.queries("x105_sorted_neighborhood"),
+        "x106_grouped_auc" -> SparkEntry.queries("x106_grouped_auc"),
+        "x107_vocab_richness" -> SparkEntry.queries("x107_vocab_richness"),
+        "x108_reshard_audit" -> SparkEntry.queries("x108_reshard_audit"),
+        "x109_source_gini" -> SparkEntry.queries("x109_source_gini"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -30,7 +30,7 @@ class CapRecallSpec extends SparkSpec {
   private def hotCorpus(blocks: Int) = {
     import spark.implicits._
     val base = Tables.documents(spark, sfDir)
-      .select($"doc_id", $"source", $"text")
+      .select($"doc_id", $"source", $"lang", $"text")
     val organic = ScaleBench.replicate(base, blocks)
       .withColumn("text",
         concat($"text", lit(" the quick brown fox jumps over it")))
@@ -38,6 +38,7 @@ class CapRecallSpec extends SparkSpec {
       spark.range(K).select(
         ($"id" + injBase).as("doc_id"),
         lit("injected").as("source"),
+        lit("zz").as("lang"),
         concat(lit("uniq"), $"id",
           lit(" lorem ipsum dolor sit amet consectetur adipiscing"))
           .as("text")))

@@ -68,7 +68,15 @@ class SparkEntrySpec extends SparkSpec {
       "Manifest" -> Manifest.queries,
       "GroupedTopK" -> GroupedTopK.queries, "BitSim" -> BitSim.queries,
       "SeqAssembly" -> SeqAssembly.queries, "Cusum" -> Cusum.queries,
-      "KCore" -> KCore.queries)
+      "KCore" -> KCore.queries, "Trend" -> Trend.queries,
+      "PpsSample" -> PpsSample.queries, "Surprisal" -> Surprisal.queries,
+      "LabelProp" -> LabelProp.queries, "IncScd2" -> IncScd2.queries,
+      "RecallAudit" -> RecallAudit.queries,
+      "Matryoshka" -> Matryoshka.queries,
+      "LinkPredict" -> LinkPredict.queries, "Keywords" -> Keywords.queries,
+      "SortedNeighborhood" -> SortedNeighborhood.queries,
+      "Auc" -> Auc.queries, "Richness" -> Richness.queries,
+      "Rendezvous" -> Rendezvous.queries, "Gini" -> Gini.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
