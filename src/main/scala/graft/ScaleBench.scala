@@ -152,7 +152,8 @@ object ScaleBench {
         import org.apache.spark.sql.functions.{col, length}
         graft.ops.Gini.giniOf(d.select(col("source").as("grp"),
           col("doc_id"), length(col("text")).cast("long").as("x")))
-      })
+      },
+      "x110_bpe_merges" -> (d => graft.ops.Bpe.bpeMergesOf(d)))
     // section filter for partial re-runs (e.g. the memory-heavy hot-corpus
     // recall section alone under a bigger heap):
     // generic | simjoin | hot | events | vectors | pit

@@ -190,7 +190,10 @@ object ScaleVerify {
         "x106_grouped_auc" -> SparkEntry.queries("x106_grouped_auc"),
         "x107_vocab_richness" -> SparkEntry.queries("x107_vocab_richness"),
         "x108_reshard_audit" -> SparkEntry.queries("x108_reshard_audit"),
-        "x109_source_gini" -> SparkEntry.queries("x109_source_gini"))
+        "x109_source_gini" -> SparkEntry.queries("x109_source_gini"),
+        // BPE training at 10×: the corpus pass grows 10×, the per-round
+        // state with the (suffixed, hence 10×) vocabulary — worst case
+        "x110_bpe_merges" -> SparkEntry.queries("x110_bpe_merges"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -76,7 +76,8 @@ class SparkEntrySpec extends SparkSpec {
       "LinkPredict" -> LinkPredict.queries, "Keywords" -> Keywords.queries,
       "SortedNeighborhood" -> SortedNeighborhood.queries,
       "Auc" -> Auc.queries, "Richness" -> Richness.queries,
-      "Rendezvous" -> Rendezvous.queries, "Gini" -> Gini.queries)
+      "Rendezvous" -> Rendezvous.queries, "Gini" -> Gini.queries,
+      "Bpe" -> Bpe.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
