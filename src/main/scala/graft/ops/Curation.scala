@@ -137,18 +137,18 @@ object Curation {
     */
   private[graft] val verdictCtes: String = {
     // the near-dup CTE chain over the curation survivors, not the corpus
-    val pairCtes = Dedup.ngramPairCtesFrom("uniq")
-    s"""t AS (
+    val pairCtes = Dedup.ngramPairCtesFromWith("uniq", mat = false)
+    s"""t AS MATERIALIZED (
        |  SELECT doc_id, text,
        |         string_split_regex(trim(lower(text)), '\\s+') AS words
        |  FROM documents),
-       |m AS (
+       |m AS MATERIALIZED (
        |  SELECT doc_id, text,
        |         CAST(len(words) AS BIGINT) AS n_tokens,
        |         CAST(len(list_filter(words, w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop,
        |         CAST(length(regexp_replace(lower(text), '\\s+', '', 'g')) AS BIGINT) AS swc
        |  FROM t),
-       |qdocs AS (
+       |qdocs AS MATERIALIZED (
        |  SELECT doc_id, text,
        |         CASE WHEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.12
        |              THEN 'en_like' ELSE 'other' END AS lang_guess,
@@ -157,14 +157,14 @@ object Curation {
        |           + least(1.0, (CAST(swc AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 8.0) * 0.2
        |           AS quality_score
        |  FROM m),
-       |pass AS (
+       |pass AS MATERIALIZED (
        |  SELECT doc_id, text, quality_score,
        |         min(doc_id) OVER (PARTITION BY sha256(lower(trim(text)))) AS rep
        |  FROM qdocs WHERE quality_score >= 0.5),
-       |uniq AS (SELECT doc_id, text, quality_score FROM pass WHERE doc_id = rep),
+       |uniq AS MATERIALIZED (SELECT doc_id, text, quality_score FROM pass WHERE doc_id = rep),
        |$pairCtes,
-       |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
-       |edges AS (
+       |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+       |edges AS MATERIALIZED (
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
        |  UNION
        |  SELECT doc_b, doc_a FROM pairs),

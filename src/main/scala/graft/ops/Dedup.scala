@@ -97,7 +97,7 @@ object Dedup {
     * survivors, not the whole corpus).
     */
   private[graft] def shinglesSqlFrom(src: String): String =
-    s"""sh AS (
+    s"""sh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id,
        |         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
        |  FROM (SELECT doc_id,
@@ -107,6 +107,12 @@ object Dedup {
        |       LATERAL unnest(generate_series(1, len(words) - 2)) AS u(i))""".stripMargin
 
   private val shinglesSql: String = shinglesSqlFrom("documents")
+
+  /** Inline (non-hoisted) form of the documents shingle CTE, for chains
+    * nested inside an outer MATERIALIZED CTE (see lshCandidateCtesWith).
+    */
+  private val shinglesSqlInline: String =
+    shinglesSqlFrom("documents").replace("sh AS MATERIALIZED (", "sh AS (")
 
   /** X2 — MinHash signatures → LSH band buckets → candidate pairs →
     * exact-Jaccard verification at τ = 0.5. Reads the shared
@@ -218,27 +224,37 @@ object Dedup {
     * intersection counts; suffixed by X2's verify-select and X65's
     * calibration rollup (single source, no SQL drift between them).
     */
-  private[graft] val lshCandidateCtes: String = {
+  private[graft] val lshCandidateCtes: String = lshCandidateCtesWith(true)
+
+  /** Same chain with the MATERIALIZED hints toggled: the Manifest (x91)
+    * oracle nests this whole chain inside its own MATERIALIZED `mh`
+    * CTE, where inner MATERIALIZED names would be HOISTED by DuckDB and
+    * collide with the outer verdict chain's `sh` — inline-inside-one-
+    * materialization is the collision-free form there (the chain still
+    * evaluates once, because `mh` itself materializes).
+    */
+  private[graft] def lshCandidateCtesWith(mat: Boolean): String = {
+    val M = if (mat) " MATERIALIZED" else ""
     val hashExpr = sqlMd5Long40("sh")
     val minCols = (0 until nHashes)
       .map(j => s"min((h * ${A(j)} + ${B(j)}) % $P) AS m$j").mkString(",\n         ")
     val bandSelects = (0 until nBands)
       .map(b => s"SELECT doc_id, $b AS band_idx, m${2 * b} || '_' || m${2 * b + 1} AS band_key FROM sig")
       .mkString("\n  UNION ALL ")
-    s"""WITH $shinglesSql,
-       |hashed AS (SELECT doc_id, $hashExpr AS h FROM sh),
-       |sig AS (
+    s"""WITH ${if (mat) shinglesSql else shinglesSqlInline},
+       |hashed AS$M (SELECT doc_id, $hashExpr AS h FROM sh),
+       |sig AS$M (
        |  SELECT doc_id, count(*) AS n_sh,
        |         $minCols
        |  FROM hashed GROUP BY doc_id),
-       |bands AS (
+       |bands AS$M (
        |  $bandSelects),
-       |cand AS (
+       |cand AS$M (
        |  SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
        |  FROM bands ba JOIN bands bb
        |    ON ba.band_idx = bb.band_idx AND ba.band_key = bb.band_key
        |   AND ba.doc_id < bb.doc_id),
-       |inter AS (
+       |inter AS$M (
        |  SELECT doc_a, doc_b, count(*) AS n_common
        |  FROM cand
        |  JOIN sh sa ON sa.doc_id = doc_a
@@ -246,8 +262,13 @@ object Dedup {
        |  GROUP BY doc_a, doc_b)""".stripMargin
   }
 
-  val minhashLshSql: String = {
-    s"""$lshCandidateCtes
+  val minhashLshSql: String = minhashLshSqlWith(true)
+
+  /** Inline-hint form for nesting inside an outer MATERIALIZED CTE
+    * (the x91 manifest oracle) — see [[lshCandidateCtesWith]].
+    */
+  private[graft] def minhashLshSqlWith(mat: Boolean): String = {
+    s"""${lshCandidateCtesWith(mat)}
        |SELECT doc_a, doc_b, za.n_sh AS n_sh_a, zb.n_sh AS n_sh_b, n_common,
        |       CAST(n_common AS DOUBLE)
        |         / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) AS jaccard
@@ -399,28 +420,40 @@ object Dedup {
     * parameterized by the (doc_id, text) source relation.
     */
   private[graft] def ngramPairCtesFrom(src: String): String =
-    s"""${shinglesSqlFrom(src)},
-       |rare AS (
+    ngramPairCtesFromWith(src, mat = true)
+
+  /** `mat = false` nests the chain without MATERIALIZED hints — required
+    * inside [[Curation.verdictCtes]], where hints on this subchain trip
+    * DuckDB's recursive-CTE planner ("Recursive CTE scan found without
+    * recursive CTE node"); every top-level use keeps the hints (the
+    * multiply-referenced `sh` would otherwise re-shingle per reference).
+    */
+  private[graft] def ngramPairCtesFromWith(src: String, mat: Boolean): String = {
+    val M = if (mat) " MATERIALIZED" else ""
+    s"""${if (mat) shinglesSqlFrom(src)
+          else shinglesSqlFrom(src).replace("sh AS MATERIALIZED (", "sh AS (")},
+       |rare AS$M (
        |  SELECT doc_id, sh
        |  FROM (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
        |  WHERE df <= 5),
-       |cand AS (
+       |cand AS$M (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id),
-       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-       |inter AS (
+       |sizes AS$M (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS$M (
        |  SELECT doc_a, doc_b, count(*) AS n_common
        |  FROM cand
        |  JOIN sh sa ON sa.doc_id = doc_a
        |  JOIN sh sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
        |  GROUP BY doc_a, doc_b),
-       |scored AS (
+       |scored AS$M (
        |  SELECT doc_a, doc_b, n_common,
        |         CAST(n_common AS DOUBLE)
        |           / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) AS jaccard
        |  FROM inter
        |  JOIN sizes za ON za.doc_id = doc_a
        |  JOIN sizes zb ON zb.doc_id = doc_b)""".stripMargin
+  }
 
   private val ngramPairCtes: String = ngramPairCtesFrom("documents")
 
@@ -546,8 +579,8 @@ object Dedup {
     */
   private[graft] val ccLabelCtes: String =
     s"""$ngramPairCtes,
-       |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
-       |edges AS (
+       |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+       |edges AS MATERIALIZED (
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
        |  UNION
        |  SELECT doc_b, doc_a FROM pairs),

@@ -106,14 +106,14 @@ object Manifest {
     def s(c: String) = SplitLeakage.sqlSplitOf(c)
     s"""WITH RECURSIVE
        |${Curation.verdictCtes},
-       |tagged AS (
+       |tagged AS MATERIALIZED (
        |  SELECT doc_id, lang_guess, quality_score, verdict,
        |         ${s("doc_id")} AS split
        |  FROM verdicts),
-       |mh AS (
-       |${Dedup.minhashLshSql}
+       |mh AS MATERIALIZED (
+       |${Dedup.minhashLshSqlWith(false)}
        |),
-       |kept AS (SELECT doc_id, split FROM tagged WHERE verdict = 'kept'),
+       |kept AS MATERIALIZED (SELECT doc_id, split FROM tagged WHERE verdict = 'kept'),
        |keptpairs AS (
        |  SELECT ka.split AS sa, kb.split AS sb, p.doc_a, p.doc_b
        |  FROM mh p
@@ -127,7 +127,7 @@ object Manifest {
        |    SELECT doc_b FROM keptpairs
        |    WHERE sb = 'train' AND sa <> 'train'
        |  ) GROUP BY 1),
-       |acted AS (
+       |acted AS MATERIALIZED (
        |  SELECT g.doc_id, g.lang_guess, g.quality_score, g.split,
        |         g.verdict,
        |         coalesce(l.n_leak_links, 0) AS n_leak_links,

@@ -62,13 +62,21 @@ class PlanShapeSpec extends SparkSpec {
       // broadcasts). Its STRUCTURAL columns stay pinned; only the
       // span-count column is order-tolerant for it.
       val codegenFuzzy = Set("x91_pipeline_manifest")
+      // x102 flips between exactly two shapes with the session's warmth:
+      // its two identical corpus-scan subtrees either collapse into a
+      // ReusedExchange (2 exchanges / 8 spans) or plan independently
+      // (4 / 10) — observed both solo and in-suite, values otherwise
+      // byte-stable. Both exact shapes are pinned; anything else fails.
+      val altShapes = Map(
+        "x102_matryoshka_recall" -> Set("4\t1\t2\tyes\t10", "2\t1\t2\tyes\t8"))
       def structural(tsv: String) = tsv.split("\t").dropRight(1).mkString("\t")
       val drift = shapes.flatMap { case (name, s) =>
         expected.get(name) match {
           case None => Some(s"$name: NEW query — not in snapshot " +
             s"(got ${s.tsv})")
           case Some(exp) if exp != s.tsv &&
-              !(codegenFuzzy(name) && structural(exp) == structural(s.tsv)) =>
+              !(codegenFuzzy(name) && structural(exp) == structural(s.tsv)) &&
+              !altShapes.get(name).exists(a => a(s.tsv) && a(exp)) =>
             Some(s"$name: expected [$exp] got [${s.tsv}] " +
               "(columns: hash_exch range_exch bcasts pushdown codegen)")
           case _ => None
