@@ -61,6 +61,25 @@ object Cusum {
   private[graft] def cusumDriftOf(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    dailyChartOf(events)
+      .groupBy($"user_id")
+      .agg(
+        sum($"cnt").as("total_events"),
+        max($"cusum").as("max_cusum"),
+        sum(when($"cusum" >= H, 1L).otherwise(0L)).as("n_flag_days"),
+        min(when($"cusum" >= H, $"day")).as("first_flag_day"))
+      .orderBy($"user_id")
+  }
+
+  /** The per-(user, day) chart underneath the summary — (user_id, day,
+    * cnt, cusum) over the dense [[StartDay]]..[[EndDay]] spine; the
+    * prefix-identity stage [[cusumDriftOf]] aggregates, exposed as the
+    * parity target for the streaming X111 form (which maintains the
+    * same chart by the direct recursion in keyed state).
+    */
+  private[graft] def dailyChartOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
     val daily = events
       .groupBy($"user_id", to_date($"ts").as("day"))
       .agg(count(lit(1)).as("cnt"))
@@ -74,13 +93,6 @@ object Cusum {
       .withColumn("cnt", coalesce($"cnt", lit(0L)))
       .withColumn("psum", sum($"cnt" - K).over(run))
       .withColumn("cusum", $"psum" - least(min($"psum").over(run), lit(0L)))
-      .groupBy($"user_id")
-      .agg(
-        sum($"cnt").as("total_events"),
-        max($"cusum").as("max_cusum"),
-        sum(when($"cusum" >= H, 1L).otherwise(0L)).as("n_flag_days"),
-        min(when($"cusum" >= H, $"day")).as("first_flag_day"))
-      .orderBy($"user_id")
   }
 
   val cusumDriftSql: String =
