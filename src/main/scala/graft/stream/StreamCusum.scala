@@ -99,7 +99,11 @@ object StreamCusum {
             closeOpen()
             state.update(st) // keep (lastDay, s): later returns decay through the gap
           } else {
-            rows.foreach { case (_, ts) =>
+            // the shuffle behind groupByKey does not preserve event order
+            // within a group — sort the micro-batch's rows by event time
+            // (the StreamSessions discipline) so the recursion sees days
+            // in order regardless of partitioning
+            rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts) =>
               val d = epochDay(ts)
               if (st.hasOpen) {
                 if (d <= st.openDay) {
