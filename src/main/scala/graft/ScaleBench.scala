@@ -295,7 +295,9 @@ object ScaleBench {
       "x93_session_sequences" ->
         (d => graft.ops.SeqAssembly.sessionSequencesOf(d)),
       "x94_cusum_drift" -> (d => graft.ops.Cusum.cusumDriftOf(d)),
-      "x99_activity_trend" -> (d => graft.ops.Trend.activityTrendOf(d)))
+      "x99_activity_trend" -> (d => graft.ops.Trend.activityTrendOf(d)),
+      "x112_type_concentration" ->
+        (d => graft.ops.Concentration.concentrationOf(d)))
     evQueries.filter(q => selected(q._1)).foreach { case (name, q) =>
       val t1 = timed(q(spark.read.parquet(ev1))
         .write.format("noop").mode("overwrite").save())

@@ -193,7 +193,10 @@ object ScaleVerify {
         "x109_source_gini" -> SparkEntry.queries("x109_source_gini"),
         // BPE training at 10×: the corpus pass grows 10×, the per-round
         // state with the (suffixed, hence 10×) vocabulary — worst case
-        "x110_bpe_merges" -> SparkEntry.queries("x110_bpe_merges"))
+        "x110_bpe_merges" -> SparkEntry.queries("x110_bpe_merges"),
+        // per-user concentration census over the 10× user population
+        "x112_type_concentration" ->
+          SparkEntry.queries("x112_type_concentration"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
