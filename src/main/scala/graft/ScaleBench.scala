@@ -153,7 +153,8 @@ object ScaleBench {
         graft.ops.Gini.giniOf(d.select(col("source").as("grp"),
           col("doc_id"), length(col("text")).cast("long").as("x")))
       },
-      "x110_bpe_merges" -> (d => graft.ops.Bpe.bpeMergesOf(d)))
+      "x110_bpe_merges" -> (d => graft.ops.Bpe.bpeMergesOf(d)),
+      "x114_feature_hash" -> (d => graft.ops.FeatureHash.featureHashOf(d)))
     // section filter for partial re-runs (e.g. the memory-heavy hot-corpus
     // recall section alone under a bigger heap):
     // generic | simjoin | hot | events | vectors | pit
@@ -387,7 +388,10 @@ object ScaleBench {
         "x71_kmeans_step" -> (d => Assign.kmeansStepOf(d)),
         // fixed block-0 query band vs a 10× packed corpus — the ANN
         // anchor's honest scale shape (16 B/vector packed stream)
-        "x92_hamming_topk" -> (d => graft.ops.BitSim.hammingTopKOf(d)))
+        "x92_hamming_topk" -> (d => graft.ops.BitSim.hammingTopKOf(d)),
+        // the D² matrix is fixed; the cross-product stream grows 10×
+        "x113_dim_covariance" ->
+          (d => graft.ops.Covariance.covarianceOf(d)))
       emQueries.filter(q => selected(q._1)).foreach { case (name, q) =>
         val t1 = timed(q(spark.read.parquet(em1))
           .write.format("noop").mode("overwrite").save())

@@ -196,7 +196,11 @@ object ScaleVerify {
         "x110_bpe_merges" -> SparkEntry.queries("x110_bpe_merges"),
         // per-user concentration census over the 10× user population
         "x112_type_concentration" ->
-          SparkEntry.queries("x112_type_concentration"))
+          SparkEntry.queries("x112_type_concentration"),
+        // the fixed D² covariance over a 10× (sign-perturbed) vector
+        // population, and the row-local vectorizer over the 10× corpus
+        "x113_dim_covariance" -> SparkEntry.queries("x113_dim_covariance"),
+        "x114_feature_hash" -> SparkEntry.queries("x114_feature_hash"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -77,7 +77,9 @@ class SparkEntrySpec extends SparkSpec {
       "SortedNeighborhood" -> SortedNeighborhood.queries,
       "Auc" -> Auc.queries, "Richness" -> Richness.queries,
       "Rendezvous" -> Rendezvous.queries, "Gini" -> Gini.queries,
-      "Bpe" -> Bpe.queries, "Concentration" -> Concentration.queries)
+      "Bpe" -> Bpe.queries, "Concentration" -> Concentration.queries,
+      "Covariance" -> Covariance.queries,
+      "FeatureHash" -> FeatureHash.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
