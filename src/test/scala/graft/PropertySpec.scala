@@ -77,4 +77,25 @@ class PropertySpec extends AnyFunSuite {
       dot(a, b) == dot(b, a)
     })
   }
+
+  test("TopKLongPairs: merge order never changes the result; equals sort-take") {
+    // the associativity/commutativity law that licenses the B56/X92/X104
+    // partial-aggregate claim (each map task ships <= k pairs): any split
+    // of the input into two buffers, merged in either order, must equal
+    // the single-pass reduce AND the reference sorted-prefix
+    val agg = new graft.functions.TopKLongPairs(3)
+    val gPairs = Gen.listOf(Gen.zip(
+      Gen.chooseNum(-100L, 100L), Gen.chooseNum(-100L, 100L)))
+    def reduceAll(xs: List[(Long, Long)]): Array[Long] =
+      xs.foldLeft(agg.zero)(agg.reduce)
+    check("merge-commutative-and-correct", Prop.forAll(gPairs, gPairs) { (l, r) =>
+      val bl = reduceAll(l)
+      val br = reduceAll(r)
+      val ab = agg.finish(agg.merge(bl, br))
+      val ba = agg.finish(agg.merge(br, bl))
+      val ref = (l ++ r).sorted.take(3)
+      ab == ba && ab == ref &&
+        ab == agg.finish(reduceAll(l ++ r))
+    })
+  }
 }
