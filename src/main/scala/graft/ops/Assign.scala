@@ -147,7 +147,7 @@ object Assign {
   /** Shared oracle CTE chain: exploded quantized corpus → seed
     * centroids → broadcast-scored distances → per-vector rank. Used by
     * both the x70 and x71 oracles (no drift between them). */
-  private val centCtes: String = {
+  private[graft] val centCtes: String = {
     val dvv = sqlDotQ("v.embedding", "v.embedding")
     val dvc = sqlDotQ("v.embedding", "c.c")
     val dcc = sqlDotQ("c.c", "c.c")
