@@ -50,7 +50,12 @@ object Trend {
   /** Core over any (user_id, ts) frame; test seam. One row per user:
     * span length, total events, exact slope fraction, trend class.
     */
-  private[graft] def activityTrendOf(events: DataFrame): DataFrame = {
+  /** Dense per-user daily series over each user's active span (silent
+    * days as explicit 0 rows — the X94/X99 spine semantics): one row
+    * per (user_id, day index x, count y). Shared by X99's slope fit
+    * and X124's dispersion.
+    */
+  private[graft] def denseDailyOf(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val daily = events
@@ -64,6 +69,12 @@ object Trend {
       .select($"user_id",
         datediff($"day", $"d0").cast("long").as("x"),
         coalesce($"cnt", lit(0L)).as("y"))
+  }
+
+  private[graft] def activityTrendOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    denseDailyOf(events)
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n_days"),
         sum($"y").as("total_events"),
