@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Hashing._
+
+/** X125 — winnowing fingerprint match (Schleimer–Wilkerson–Aiken 2003,
+  * the MOSS algorithm): select a position-robust subset of each
+  * document's k-gram hashes — the window minima — and match documents
+  * on shared fingerprints. The guarantee the simpler schemes lack: any
+  * shared substring of length ≥ w+k−1 yields at least one SHARED
+  * fingerprint (every length-w window of a common run selects the same
+  * minimum), while the fingerprint density stays ~2/(w+1) of positions
+  * — X11 fingerprints whole docs, X54/X58 chunk by content; winnowing
+  * is the local-overlap detector that catches partial plagiarism /
+  * quotation between otherwise-different documents.
+  *
+  * Determinism — the rightmost-minimum rule as pure integer order:
+  * each position packs into `key = h·2²¹ + (2²¹−1−p)` (h is the
+  * engine-portable 40-bit md5Long40 — product < 2⁶¹), so the window
+  * `min(key)` IS "smallest hash, rightmost position", bit-equal in
+  * both engines; the selected set is the distinct decoded positions
+  * over all full windows. Doc position caps at 2²¹−1 chars (filtered,
+  * and far above this corpus); k = 8 char-grams over the
+  * whitespace-collapsed lowercase text, w = 4.
+  *
+  * Scale shape: gram hashing and packing are row-local on exploded
+  * positions (doc-keyed repartition parallelizes the explode, the X6
+  * shape); the window min is per-DOC (partitioned, never global); the
+  * match join is hash-on-fingerprint — candidates only where docs
+  * truly share a selected gram (the X2/X118 generate-bucket-verify
+  * discipline; never all-pairs), then one (a, b)-keyed count gated by
+  * a CONTAINMENT floor (2·shared ≥ min fingerprints — see matchOf; a
+  * raw count floor goes quadratic on template-heavy corpora). At
+  * warehouse scale hot boilerplate fingerprints salt like any hot
+  * join key (b28).
+  *
+  * Reference scope: no dedup in the reference; engine extension
+  * (SURVEY §2.5, the X2/X11/X54/X58 dedup family).
+  */
+object Winnowing {
+
+  val K = 8        // char-gram length
+  val W = 4        // winnowing window (selection guarantee: w+k−1 = 11)
+  val PosBits = 21 // position packing width
+
+  def winnowingMatch(spark: SparkSession, dir: String): DataFrame =
+    matchOf(Tables.documents(spark, dir))
+
+  /** Fingerprints (doc_id, pos, h) of any (doc_id, text) frame. */
+  private[graft] def fingerprintsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val posCap = (1 << PosBits) - 1
+    val grams = docs
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id",
+        regexp_replace(lower($"text"), "\\s+", " ").as("t"))
+      // sequence(1, 0) would generate DESCENDING — too-short docs have
+      // no gram and must leave before the explode
+      .filter(length($"t") >= K)
+      .select($"doc_id", $"t",
+        explode(sequence(lit(1), length($"t") - lit(K - 1))).as("p"))
+      .filter($"p" <= posCap)
+      .select($"doc_id", $"p",
+        md5Long40($"t".substr($"p", lit(K))).as("h"))
+    val key = $"h" * lit(1L << PosBits) +
+      (lit((1L << PosBits) - 1) - $"p")
+    val win = Window.partitionBy($"doc_id").orderBy($"p")
+      .rowsBetween(-(W - 1), Window.currentRow)
+    grams
+      .withColumn("mk", min(key).over(win))
+      .withColumn("full", $"p" >= W) // only full windows select
+      .filter($"full")
+      .select($"doc_id",
+        (lit((1L << PosBits) - 1) - pmod($"mk", lit(1L << PosBits)))
+          .as("pos"),
+        // exact i64 unpack (a double divide would round past 2^53)
+        expr(s"(mk - pmod(mk, ${1L << PosBits})) div ${1L << PosBits}")
+          .as("h"))
+      .distinct()
+  }
+
+  /** Core of X125: doc pairs whose shared fingerprints COVER at least
+    * half of the smaller doc's fingerprint set (2·shared ≥ min(nf) — an
+    * integer comparison, the directed-containment stance of X63: a raw
+    * shared-count floor drowns in any template-heavy corpus, where
+    * nearly every pair shares a few boilerplate grams), with a ≥ 2
+    * absolute floor against single-collision noise.
+    */
+  private[graft] def matchOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fp = fingerprintsOf(docs)
+      .select($"doc_id", $"h").distinct()
+      .cache()
+    val perDoc = fp.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
+    fp.as("a").join(fp.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(perDoc.select($"doc_id".as("doc_a"),
+        $"nf".as("nf_a"))), "doc_a")
+      .join(broadcast(perDoc.select($"doc_id".as("doc_b"),
+        $"nf".as("nf_b"))), "doc_b")
+      .filter($"n_shared" >= 2 &&
+        $"n_shared" * 2 >= least($"nf_a", $"nf_b"))
+      .select($"doc_a", $"doc_b", $"n_shared", $"nf_a", $"nf_b")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val winnowingMatchSql: String = {
+    val h = sqlMd5Long40(s"substr(t, CAST(p AS INTEGER), $K)")
+    val pb = 1L << PosBits
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |         regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, CAST(u.p AS BIGINT) AS p, $h AS h
+       |  FROM c, LATERAL (SELECT unnest(generate_series(
+       |    1, length(t) - ${K - 1})) AS p) u
+       |  WHERE length(t) >= $K AND u.p <= ${pb - 1}),
+       |k AS (
+       |  SELECT doc_id, p,
+       |         min(h * $pb + (${pb - 1} - p)) OVER (
+       |           PARTITION BY doc_id ORDER BY p
+       |           ROWS BETWEEN ${W - 1} PRECEDING AND CURRENT ROW) AS mk
+       |  FROM g),
+       |fp AS (
+       |  SELECT DISTINCT doc_id,
+       |         (mk - ((mk % $pb) + $pb) % $pb) // $pb AS h
+       |  FROM k WHERE p >= $W),
+       |perdoc AS (SELECT doc_id, count(*) AS nf FROM fp GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         count(*) AS n_shared
+       |  FROM fp a JOIN fp b
+       |    ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       |       CAST(pa.nf AS BIGINT) AS nf_a, CAST(pb.nf AS BIGINT) AS nf_b
+       |FROM pairs
+       |JOIN perdoc pa ON doc_a = pa.doc_id
+       |JOIN perdoc pb ON doc_b = pb.doc_id
+       |WHERE n_shared >= 2 AND n_shared * 2 >= least(pa.nf, pb.nf)
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x125_winnowing_match" -> winnowingMatch _)
+
+  val oracles: Map[String, String] = Map(
+    "x125_winnowing_match" -> winnowingMatchSql)
+}

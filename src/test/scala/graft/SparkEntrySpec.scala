@@ -79,7 +79,15 @@ class SparkEntrySpec extends SparkSpec {
       "Rendezvous" -> Rendezvous.queries, "Gini" -> Gini.queries,
       "Bpe" -> Bpe.queries, "Concentration" -> Concentration.queries,
       "Covariance" -> Covariance.queries,
-      "FeatureHash" -> FeatureHash.queries)
+      "FeatureHash" -> FeatureHash.queries,
+      "Contingency" -> Contingency.queries, "Spearman" -> Spearman.queries,
+      "KsDrift" -> KsDrift.queries, "EditDistance" -> EditDistance.queries,
+      "PowerIteration" -> PowerIteration.queries,
+      "RandIndex" -> RandIndex.queries, "Mmr" -> Mmr.queries,
+      "Assortativity" -> Assortativity.queries,
+      "Dispersion" -> Dispersion.queries,
+      "Winnowing" -> Winnowing.queries,
+      "InterArrival" -> InterArrival.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
