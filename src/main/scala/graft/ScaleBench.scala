@@ -154,7 +154,28 @@ object ScaleBench {
           col("doc_id"), length(col("text")).cast("long").as("x")))
       },
       "x110_bpe_merges" -> (d => graft.ops.Bpe.bpeMergesOf(d)),
-      "x114_feature_hash" -> (d => graft.ops.FeatureHash.featureHashOf(d)))
+      "x114_feature_hash" -> (d => graft.ops.FeatureHash.featureHashOf(d)),
+      // round-10 third wave. x115/x117's spines are (categories ×
+      // values)-bounded; x116's windows are per-source; x123 rides the
+      // per-block vocab graph (grows 10× — the x84/x95 worst case);
+      // x125's fingerprint stream grows 10× with block-local matches
+      "x115_lang_source_contingency" -> { d =>
+        import org.apache.spark.sql.functions.col
+        graft.ops.Contingency.contingencyOf(
+          d.select(col("lang").as("a"), col("source").as("b")))
+      },
+      "x116_length_breadth_spearman" -> { d =>
+        import org.apache.spark.sql.functions.{col, length}
+        graft.ops.Spearman.lengthBreadthOf(d, length(col("text")))
+      },
+      "x117_source_length_ks" -> { d =>
+        import org.apache.spark.sql.functions.{col, length}
+        graft.ops.KsDrift.ksOf(d.select(col("source").as("grp"),
+          length(col("text")).cast("long").as("v")))
+      },
+      "x123_degree_assortativity" -> (d => graft.ops.Assortativity
+        .assortativityOf(graft.ops.Triangles.edgesOf(d))),
+      "x125_winnowing_match" -> (d => graft.ops.Winnowing.matchOf(d)))
     // section filter for partial re-runs (e.g. the memory-heavy hot-corpus
     // recall section alone under a bigger heap):
     // generic | simjoin | hot | events | vectors | pit
@@ -298,7 +319,13 @@ object ScaleBench {
       "x94_cusum_drift" -> (d => graft.ops.Cusum.cusumDriftOf(d)),
       "x99_activity_trend" -> (d => graft.ops.Trend.activityTrendOf(d)),
       "x112_type_concentration" ->
-        (d => graft.ops.Concentration.concentrationOf(d)))
+        (d => graft.ops.Concentration.concentrationOf(d)),
+      // dispersion reuses the x99 spine; cadence is one per-user window
+      // pair — both scale across the 10× user population
+      "x124_activity_dispersion" ->
+        (d => graft.ops.Dispersion.dispersionOf(d)),
+      "x126_cadence_profile" ->
+        (d => graft.ops.InterArrival.cadenceOf(d)))
     evQueries.filter(q => selected(q._1)).foreach { case (name, q) =>
       val t1 = timed(q(spark.read.parquet(ev1))
         .write.format("noop").mode("overwrite").save())
@@ -391,7 +418,18 @@ object ScaleBench {
         "x92_hamming_topk" -> (d => graft.ops.BitSim.hammingTopKOf(d)),
         // the D² matrix is fixed; the cross-product stream grows 10×
         "x113_dim_covariance" ->
-          (d => graft.ops.Covariance.covarianceOf(d)))
+          (d => graft.ops.Covariance.covarianceOf(d)),
+        // the power rounds are corpus-free after the covariance; the
+        // agreement and MMR cuts stream the 10× corpus once each
+        "x120_cov_power_iteration" ->
+          (d => graft.ops.PowerIteration.powerIterationOf(d)),
+        "x121_cluster_label_agreement" -> { d =>
+          import org.apache.spark.sql.functions.col
+          graft.ops.RandIndex.agreementOf(
+            Assign.centroidAssignOf(d).select(
+              col("nearest_label").as("k"), col("label").as("c")))
+        },
+        "x122_mmr_rerank" -> (d => graft.ops.Mmr.mmrOf(d)))
       emQueries.filter(q => selected(q._1)).foreach { case (name, q) =>
         val t1 = timed(q(spark.read.parquet(em1))
           .write.format("noop").mode("overwrite").save())

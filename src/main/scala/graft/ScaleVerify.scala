@@ -200,7 +200,36 @@ object ScaleVerify {
         // the fixed D² covariance over a 10× (sign-perturbed) vector
         // population, and the row-local vectorizer over the 10× corpus
         "x113_dim_covariance" -> SparkEntry.queries("x113_dim_covariance"),
-        "x114_feature_hash" -> SparkEntry.queries("x114_feature_hash"))
+        "x114_feature_hash" -> SparkEntry.queries("x114_feature_hash"),
+        // round-10 third wave. x118 is deliberately absent: the replica
+        // suffixes every token with `_block`, which its ASCII vocabulary
+        // screen rejects — the query is scale-invariant by design (capped
+        // top-V vocabulary) and its evidence rows live at sf0.01/sf0.1.
+        // x119 is streaming/spec-only (StreamTopKSpec).
+        "x115_lang_source_contingency" ->
+          SparkEntry.queries("x115_lang_source_contingency"),
+        "x116_length_breadth_spearman" ->
+          SparkEntry.queries("x116_length_breadth_spearman"),
+        "x117_source_length_ks" ->
+          SparkEntry.queries("x117_source_length_ks"),
+        // three exact rounds over the 10× vector population's covariance
+        "x120_cov_power_iteration" ->
+          SparkEntry.queries("x120_cov_power_iteration"),
+        // pair-count agreement at N = 20k (T ≈ 2·10⁸ — the i64 bounds
+        // documented in RandIndex hold with two decades to spare)
+        "x121_cluster_label_agreement" ->
+          SparkEntry.queries("x121_cluster_label_agreement"),
+        // candidate cut over the 10× corpus; greedy rounds corpus-free
+        "x122_mmr_rerank" -> SparkEntry.queries("x122_mmr_rerank"),
+        // 10 disjoint-vocab copies of the collocation graph
+        "x123_degree_assortativity" ->
+          SparkEntry.queries("x123_degree_assortativity"),
+        "x124_activity_dispersion" ->
+          SparkEntry.queries("x124_activity_dispersion"),
+        // winnowing over the 10× corpus: matches stay block-local
+        // (disjoint vocabularies), so output grows linearly
+        "x125_winnowing_match" -> SparkEntry.queries("x125_winnowing_match"),
+        "x126_cadence_profile" -> SparkEntry.queries("x126_cadence_profile"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -47,16 +47,24 @@ import graft.Tables
   */
 object Spearman {
 
-  def lengthBreadthSpearman(spark: SparkSession, dir: String): DataFrame = {
+  def lengthBreadthSpearman(spark: SparkSession, dir: String): DataFrame =
+    lengthBreadthOf(Tables.documents(spark, dir), col("n_chars"))
+
+  /** The (grp, x, y) metric build over any documents frame — `x` is
+    * the length column (n_chars for the registered query; ScaleBench's
+    * replica carries no n_chars and passes length(text)).
+    */
+  private[graft] def lengthBreadthOf(docs: DataFrame,
+      x: org.apache.spark.sql.Column): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
     val breadth = docs
       .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("word"))
       .filter($"word" =!= "")
       .groupBy($"doc_id")
       .agg(countDistinct($"word").as("y"))
     val metric = docs
-      .select($"source".as("grp"), $"doc_id", $"n_chars".as("x"))
+      .select($"source".as("grp"), $"doc_id", x.cast("long").as("x"))
       .join(breadth, Seq("doc_id"), "left")
       .select($"grp", $"doc_id", $"x", coalesce($"y", lit(0L)).as("y"))
     spearmanOf(metric)

@@ -34,9 +34,11 @@ import graft.functions.Hashing._
   * truly share a selected gram (the X2/X118 generate-bucket-verify
   * discipline; never all-pairs), then one (a, b)-keyed count gated by
   * a CONTAINMENT floor (2·shared ≥ min fingerprints — see matchOf; a
-  * raw count floor goes quadratic on template-heavy corpora). At
-  * warehouse scale hot boilerplate fingerprints salt like any hot
-  * join key (b28).
+  * raw count floor goes quadratic on template-heavy corpora). Before
+  * the join, MOSS-style common-code elimination drops fingerprints
+  * with document frequency > MaxDf — boilerplate is not overlap
+  * evidence, and it is what makes the candidate pair stream LINEAR in
+  * corpus size (one hash shared by d docs is d² pairs; see MaxDf).
   *
   * Reference scope: no dedup in the reference; engine extension
   * (SURVEY §2.5, the X2/X11/X54/X58 dedup family).
@@ -46,6 +48,15 @@ object Winnowing {
   val K = 8        // char-gram length
   val W = 4        // winnowing window (selection guarantee: w+k−1 = 11)
   val PosBits = 21 // position packing width
+  /** MOSS-style common-code elimination: a fingerprint appearing in
+    * more than MaxDf documents is boilerplate, not overlap evidence —
+    * it leaves the match entirely (kept set AND the containment
+    * denominators). This is also what keeps the PAIR STREAM linear:
+    * without it one template hash shared by d docs contributes d²
+    * candidate pairs — measured as a 100+ GB DuckDB oracle explosion
+    * at the 10× replica before the cap existed.
+    */
+  val MaxDf = 64L
 
   def winnowingMatch(spark: SparkSession, dir: String): DataFrame =
     matchOf(Tables.documents(spark, dir))
@@ -94,9 +105,11 @@ object Winnowing {
   private[graft] def matchOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val fp = fingerprintsOf(docs)
+    val fpAll = fingerprintsOf(docs)
       .select($"doc_id", $"h").distinct()
-      .cache()
+    val rare = fpAll.groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" <= MaxDf)
+    val fp = fpAll.join(rare.select($"h"), Seq("h")).cache()
     val perDoc = fp.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
     fp.as("a").join(fp.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -130,10 +143,15 @@ object Winnowing {
        |           PARTITION BY doc_id ORDER BY p
        |           ROWS BETWEEN ${W - 1} PRECEDING AND CURRENT ROW) AS mk
        |  FROM g),
-       |fp AS (
+       |fp0 AS (
        |  SELECT DISTINCT doc_id,
        |         (mk - ((mk % $pb) + $pb) % $pb) // $pb AS h
        |  FROM k WHERE p >= $W),
+       |fp AS (
+       |  SELECT fp0.doc_id, fp0.h
+       |  FROM fp0 JOIN (SELECT h, count(*) AS df FROM fp0 GROUP BY h) d
+       |    ON fp0.h = d.h
+       |  WHERE d.df <= $MaxDf),
        |perdoc AS (SELECT doc_id, count(*) AS nf FROM fp GROUP BY doc_id),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -74,7 +74,12 @@ class WinnowingSpec extends SparkSpec {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    val fps = docs.map { case (id, t) => id -> fingerprintsRef(t) }.toMap
+    val fpsAll = docs.map { case (id, t) => id -> fingerprintsRef(t) }.toMap
+    // MOSS common-code elimination: df > MaxDf hashes leave the match
+    val df = fpsAll.values.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val fps = fpsAll.view
+      .mapValues(_.filter(h => df(h) <= Winnowing.MaxDf)).toMap
     val expected = (for {
       (a, fa) <- fps.toSeq; (b, fb) <- fps.toSeq
       if a < b
