@@ -34,14 +34,14 @@ object SnapshotDiff {
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame =
     snapshotDiffOf(Tables.documents(spark, dir))
 
-  /** X77 over any (doc_id, source, text) frame — ScaleBench seam. */
-  private[graft] def snapshotDiffOf(documents: DataFrame): DataFrame = {
-    val spark = documents.sparkSession
+  /** The simulated second snapshot: drop ~5%, revise ~10% of the
+    * survivors, append ~4% under fresh ids — all decided by salted
+    * doc_id hashes. Shared by X77's diff and X128's coordinated-
+    * holdout audit (same snapshot, same SQL CTE on the oracle side).
+    */
+  private[graft] def snapshotB(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val docs = documents.select($"doc_id", $"source", $"text")
-
-    // snapshot B: drop ~5%, revise ~10% of the survivors, append ~4%
-    // under fresh ids — all decided by salted doc_id hashes
     val kept = docs
       .filter(md5Long40(concat($"doc_id".cast("string"), lit(":rm"))) % 20 =!= 0)
       .select($"doc_id", $"source",
@@ -50,7 +50,15 @@ object SnapshotDiff {
     val added = docs
       .filter(md5Long40(concat($"doc_id".cast("string"), lit(":add"))) % 25 === 0)
       .select(($"doc_id" + 1000000000L).as("doc_id"), $"source", $"text")
-    val snapB = kept.unionAll(added)
+    kept.unionAll(added)
+  }
+
+  /** X77 over any (doc_id, source, text) frame — ScaleBench seam. */
+  private[graft] def snapshotDiffOf(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val docs = documents.select($"doc_id", $"source", $"text")
+    val snapB = snapshotB(docs)
 
     val a = docs.select($"doc_id", $"source".as("src_a"), md5($"text").as("h_a"))
     val b = snapB.select($"doc_id", $"source".as("src_b"), md5($"text").as("h_b"))
@@ -65,11 +73,14 @@ object SnapshotDiff {
       .orderBy($"source", $"change_class")
   }
 
-  val snapshotDiffSql: String = {
+  /** SQL CTE chain producing `snap_b` — the oracle twin of
+    * [[snapshotB]], shared with X128.
+    */
+  private[graft] val snapBCtes: String = {
     val hRm = sqlMd5Long40("CAST(doc_id AS VARCHAR) || ':rm'")
     val hChg = sqlMd5Long40("CAST(doc_id AS VARCHAR) || ':chg'")
     val hAdd = sqlMd5Long40("CAST(doc_id AS VARCHAR) || ':add'")
-    s"""WITH kept AS (
+    s"""kept AS (
        |  SELECT doc_id, source,
        |         CASE WHEN $hChg % 10 = 0 THEN text || ' [rev2]'
        |              ELSE text END AS text
@@ -79,7 +90,11 @@ object SnapshotDiff {
        |  SELECT doc_id + 1000000000 AS doc_id, source, text
        |  FROM documents
        |  WHERE $hAdd % 25 = 0),
-       |snap_b AS (SELECT * FROM kept UNION ALL SELECT * FROM added),
+       |snap_b AS (SELECT * FROM kept UNION ALL SELECT * FROM added)""".stripMargin
+  }
+
+  val snapshotDiffSql: String = {
+    s"""WITH $snapBCtes,
        |a AS (SELECT doc_id, source AS src_a, md5(text) AS h_a FROM documents),
        |b AS (SELECT doc_id, source AS src_b, md5(text) AS h_b FROM snap_b),
        |d AS (

@@ -87,7 +87,9 @@ class SparkEntrySpec extends SparkSpec {
       "Assortativity" -> Assortativity.queries,
       "Dispersion" -> Dispersion.queries,
       "Winnowing" -> Winnowing.queries,
-      "InterArrival" -> InterArrival.queries)
+      "InterArrival" -> InterArrival.queries,
+      "PathMining" -> PathMining.queries, "Holdout" -> Holdout.queries,
+      "RobustRange" -> RobustRange.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
