@@ -56,7 +56,8 @@ object SparkEntry {
       KsDrift.queries, EditDistance.queries, PowerIteration.queries,
       RandIndex.queries, Mmr.queries, Assortativity.queries,
       Dispersion.queries, Winnowing.queries, InterArrival.queries,
-      PathMining.queries, Holdout.queries, RobustRange.queries
+      PathMining.queries, Holdout.queries, RobustRange.queries,
+      Distinctive.queries, Wilson.queries
     ).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -96,6 +97,6 @@ object SparkEntry {
       KsDrift.oracles, EditDistance.oracles, PowerIteration.oracles,
       RandIndex.oracles, Mmr.oracles, Assortativity.oracles,
       Dispersion.oracles, Winnowing.oracles, InterArrival.oracles,
-      PathMining.oracles, Holdout.oracles, RobustRange.oracles
+      PathMining.oracles, Holdout.oracles, RobustRange.oracles, Distinctive.oracles, Wilson.oracles
     ).reduce(_ ++ _)
 }

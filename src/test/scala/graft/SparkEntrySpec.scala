@@ -89,7 +89,8 @@ class SparkEntrySpec extends SparkSpec {
       "Winnowing" -> Winnowing.queries,
       "InterArrival" -> InterArrival.queries,
       "PathMining" -> PathMining.queries, "Holdout" -> Holdout.queries,
-      "RobustRange" -> RobustRange.queries)
+      "RobustRange" -> RobustRange.queries,
+      "Distinctive" -> Distinctive.queries, "Wilson" -> Wilson.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
