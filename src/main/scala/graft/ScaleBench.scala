@@ -175,7 +175,12 @@ object ScaleBench {
       },
       "x123_degree_assortativity" -> (d => graft.ops.Assortativity
         .assortativityOf(graft.ops.Triangles.edgesOf(d))),
-      "x125_winnowing_match" -> (d => graft.ops.Winnowing.matchOf(d)))
+      "x125_winnowing_match" -> (d => graft.ops.Winnowing.matchOf(d)),
+      "x128_coordinated_holdout" -> (d => graft.ops.Holdout.holdoutOf(d)),
+      "x130_distinctive_terms" ->
+        (d => graft.ops.Distinctive.distinctiveTermsOf(d)),
+      "x131_dup_rate_wilson" ->
+        (d => graft.ops.Wilson.dupRateWilsonOf(d)))
     // section filter for partial re-runs (e.g. the memory-heavy hot-corpus
     // recall section alone under a bigger heap):
     // generic | simjoin | hot | events | vectors | pit
@@ -325,7 +330,9 @@ object ScaleBench {
       "x124_activity_dispersion" ->
         (d => graft.ops.Dispersion.dispersionOf(d)),
       "x126_cadence_profile" ->
-        (d => graft.ops.InterArrival.cadenceOf(d)))
+        (d => graft.ops.InterArrival.cadenceOf(d)),
+      "x127_top_path_trigrams" ->
+        (d => graft.ops.PathMining.pathTrigramsOf(d)))
     evQueries.filter(q => selected(q._1)).foreach { case (name, q) =>
       val t1 = timed(q(spark.read.parquet(ev1))
         .write.format("noop").mode("overwrite").save())
@@ -429,7 +436,10 @@ object ScaleBench {
             Assign.centroidAssignOf(d).select(
               col("nearest_label").as("k"), col("label").as("c")))
         },
-        "x122_mmr_rerank" -> (d => graft.ops.Mmr.mmrOf(d)))
+        "x122_mmr_rerank" -> (d => graft.ops.Mmr.mmrOf(d)),
+        // per-dim windows deepen 10×, never widen (D fixed)
+        "x129_dim_robust_range" ->
+          (d => graft.ops.RobustRange.robustRangeOf(d)))
       emQueries.filter(q => selected(q._1)).foreach { case (name, q) =>
         val t1 = timed(q(spark.read.parquet(em1))
           .write.format("noop").mode("overwrite").save())

@@ -229,7 +229,18 @@ object ScaleVerify {
         // winnowing over the 10× corpus: matches stay block-local
         // (disjoint vocabularies), so output grows linearly
         "x125_winnowing_match" -> SparkEntry.queries("x125_winnowing_match"),
-        "x126_cadence_profile" -> SparkEntry.queries("x126_cadence_profile"))
+        "x126_cadence_profile" -> SparkEntry.queries("x126_cadence_profile"),
+        "x127_top_path_trigrams" ->
+          SparkEntry.queries("x127_top_path_trigrams"),
+        "x128_coordinated_holdout" ->
+          SparkEntry.queries("x128_coordinated_holdout"),
+        "x129_dim_robust_range" ->
+          SparkEntry.queries("x129_dim_robust_range"),
+        // per-block vocab ⇒ the term table grows 10× — the worst case
+        "x130_distinctive_terms" ->
+          SparkEntry.queries("x130_distinctive_terms"),
+        "x131_dup_rate_wilson" ->
+          SparkEntry.queries("x131_dup_rate_wilson"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -57,7 +57,8 @@ object SparkEntry {
       RandIndex.queries, Mmr.queries, Assortativity.queries,
       Dispersion.queries, Winnowing.queries, InterArrival.queries,
       PathMining.queries, Holdout.queries, RobustRange.queries,
-      Distinctive.queries, Wilson.queries
+      Distinctive.queries, Wilson.queries, PackSweep.queries,
+      LaggedXcorr.queries
     ).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -97,6 +98,8 @@ object SparkEntry {
       KsDrift.oracles, EditDistance.oracles, PowerIteration.oracles,
       RandIndex.oracles, Mmr.oracles, Assortativity.oracles,
       Dispersion.oracles, Winnowing.oracles, InterArrival.oracles,
-      PathMining.oracles, Holdout.oracles, RobustRange.oracles, Distinctive.oracles, Wilson.oracles
+      PathMining.oracles, Holdout.oracles, RobustRange.oracles,
+      Distinctive.oracles, Wilson.oracles, PackSweep.oracles,
+      LaggedXcorr.oracles
     ).reduce(_ ++ _)
 }

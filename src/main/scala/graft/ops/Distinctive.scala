@@ -41,9 +41,14 @@ object Distinctive {
   val K = 10
   val MinDf = 5L
 
-  def distinctiveTerms(spark: SparkSession, dir: String): DataFrame = {
+  def distinctiveTerms(spark: SparkSession, dir: String): DataFrame =
+    distinctiveTermsOf(Tables.documents(spark, dir))
+
+  /** Core of X130 over any (source, doc_id, text) frame; ScaleBench
+    * seam. */
+  private[graft] def distinctiveTermsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
     val cells = docs
       .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
       .select($"source", $"doc_id",

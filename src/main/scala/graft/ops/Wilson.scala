@@ -43,9 +43,15 @@ object Wilson {
   val Z = 1.96
   val Z2 = 3.8416
 
-  def dupRateWilson(spark: SparkSession, dir: String): DataFrame = {
+  def dupRateWilson(spark: SparkSession, dir: String): DataFrame =
+    dupRateWilsonOf(Tables.documents(spark, dir))
+
+  /** Core of X131 over any (source, doc_id, text) frame; ScaleBench
+    * seam. */
+  private[graft] def dupRateWilsonOf(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
+    val docs = documents
       .select($"source", $"doc_id", md5($"text").as("h"))
     val dupHashes = docs.groupBy($"h").agg(count(lit(1)).as("cnt"))
     val flagged = docs.join(dupHashes, Seq("h"))
