@@ -180,7 +180,8 @@ object ScaleBench {
       "x130_distinctive_terms" ->
         (d => graft.ops.Distinctive.distinctiveTermsOf(d)),
       "x131_dup_rate_wilson" ->
-        (d => graft.ops.Wilson.dupRateWilsonOf(d)))
+        (d => graft.ops.Wilson.dupRateWilsonOf(d)),
+      "x132_packing_sweep" -> (d => graft.ops.PackSweep.packingSweepOf(d)))
     // section filter for partial re-runs (e.g. the memory-heavy hot-corpus
     // recall section alone under a bigger heap):
     // generic | simjoin | hot | events | vectors | pit
@@ -332,7 +333,10 @@ object ScaleBench {
       "x126_cadence_profile" ->
         (d => graft.ops.InterArrival.cadenceOf(d)),
       "x127_top_path_trigrams" ->
-        (d => graft.ops.PathMining.pathTrigramsOf(d)))
+        (d => graft.ops.PathMining.pathTrigramsOf(d)),
+      "x133_lagged_xcorr" ->
+        (d => graft.ops.LaggedXcorr.xcorrOf(d,
+          graft.ops.LaggedXcorr.TypeX, graft.ops.LaggedXcorr.TypeY)))
     evQueries.filter(q => selected(q._1)).foreach { case (name, q) =>
       val t1 = timed(q(spark.read.parquet(ev1))
         .write.format("noop").mode("overwrite").save())

@@ -240,7 +240,9 @@ object ScaleVerify {
         "x130_distinctive_terms" ->
           SparkEntry.queries("x130_distinctive_terms"),
         "x131_dup_rate_wilson" ->
-          SparkEntry.queries("x131_dup_rate_wilson"))
+          SparkEntry.queries("x131_dup_rate_wilson"),
+        "x132_packing_sweep" -> SparkEntry.queries("x132_packing_sweep"),
+        "x133_lagged_xcorr" -> SparkEntry.queries("x133_lagged_xcorr"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
