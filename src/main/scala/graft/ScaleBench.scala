@@ -181,7 +181,12 @@ object ScaleBench {
         (d => graft.ops.Distinctive.distinctiveTermsOf(d)),
       "x131_dup_rate_wilson" ->
         (d => graft.ops.Wilson.dupRateWilsonOf(d)),
-      "x132_packing_sweep" -> (d => graft.ops.PackSweep.packingSweepOf(d)))
+      "x132_packing_sweep" -> (d => graft.ops.PackSweep.packingSweepOf(d)),
+      "x134_kmv_distinct" -> { d =>
+        import org.apache.spark.sql.functions.col
+        graft.ops.Kmv.kmvOf(d.select(col("source").as("grp"),
+          col("text").as("v")))
+      })
     // section filter for partial re-runs (e.g. the memory-heavy hot-corpus
     // recall section alone under a bigger heap):
     // generic | simjoin | hot | events | vectors | pit

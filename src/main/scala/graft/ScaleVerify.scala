@@ -242,7 +242,9 @@ object ScaleVerify {
         "x131_dup_rate_wilson" ->
           SparkEntry.queries("x131_dup_rate_wilson"),
         "x132_packing_sweep" -> SparkEntry.queries("x132_packing_sweep"),
-        "x133_lagged_xcorr" -> SparkEntry.queries("x133_lagged_xcorr"))
+        "x133_lagged_xcorr" -> SparkEntry.queries("x133_lagged_xcorr"),
+        // per-block suffixed texts: distinct contents grow 10×, k fixed
+        "x134_kmv_distinct" -> SparkEntry.queries("x134_kmv_distinct"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -91,7 +91,8 @@ class SparkEntrySpec extends SparkSpec {
       "PathMining" -> PathMining.queries, "Holdout" -> Holdout.queries,
       "RobustRange" -> RobustRange.queries,
       "Distinctive" -> Distinctive.queries, "Wilson" -> Wilson.queries,
-      "PackSweep" -> PackSweep.queries, "LaggedXcorr" -> LaggedXcorr.queries)
+      "PackSweep" -> PackSweep.queries, "LaggedXcorr" -> LaggedXcorr.queries,
+      "Kmv" -> Kmv.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
