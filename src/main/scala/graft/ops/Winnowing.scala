@@ -115,10 +115,14 @@ object Winnowing {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
-      .join(broadcast(perDoc.select($"doc_id".as("doc_a"),
-        $"nf".as("nf_a"))), "doc_a")
-      .join(broadcast(perDoc.select($"doc_id".as("doc_b"),
-        $"nf".as("nf_b"))), "doc_b")
+      // perDoc is DOC-cardinality (one row per document) — never hint
+      // broadcast on it: at 100× it is the whole corpus's doc list on
+      // the driver. Unhinted, AQE broadcasts at toy scale and shuffles
+      // at real scale; the pair stream is already keyed by doc_a/doc_b.
+      .join(perDoc.select($"doc_id".as("doc_a"),
+        $"nf".as("nf_a")), "doc_a")
+      .join(perDoc.select($"doc_id".as("doc_b"),
+        $"nf".as("nf_b")), "doc_b")
       .filter($"n_shared" >= 2 &&
         $"n_shared" * 2 >= least($"nf_a", $"nf_b"))
       .select($"doc_a", $"doc_b", $"n_shared", $"nf_a", $"nf_b")
