@@ -126,24 +126,32 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] sentinel dump failed: ${e.getMessage}")
     }
-    // Per-query sentinel IN the bench line (round-9 verdict item 7):
-    // inlining all 146 slots would overflow the driver's 2000-char tail
-    // capture (the line is already ~1800 chars), so the line carries the
-    // slots that MATTER — the hot ones (≥1.5× median), keyed by the same
-    // query ids as `queries` — and BENCH_SENTINEL.json keeps every slot.
-    // A verdict reads contention per-query directly: a regressed query
-    // id present in sent.hot was measured under a busy box; one absent
-    // was measured quiet. The length guard drops the hot map (never the
-    // queries) if a pathological round would overflow the capture.
-    def line(withHot: Boolean): String = {
-      val hotJson = if (withHot)
-        s""","hot":${hot.map { case (k, v) => "\"" + shortId(k) + "\":" + sec(v) }
-          .mkString("{", ",", "}")}"""
-      else ""
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"stat":"med","sent":{"med":${sec(sentMed)},"max":${sec(sentMax)},"nhot":${hot.size}$hotJson},"queries":$qs,"sf":"$sfDir"}"""
+    // The driver captures only the LAST 2000 chars of stdout and JSON-
+    // parses the bench line from that tail. At 188 queries even the
+    // short-id 2-decimal per-query dict overflows it — BENCH_r10.json
+    // recorded parsed:null because the tail window started MID-line.
+    // So the per-query map (and the full per-slot sentinel detail)
+    // always goes to a FILE the driver's end-of-round commit picks up,
+    // and the LAST stdout line is guaranteed to fit: it inlines the
+    // query map only when the whole line stays under the capture, and
+    // otherwise carries just the totals + sentinel summary + the
+    // detail file's name.
+    val hotJson = hot.map { case (k, v) => "\"" + shortId(k) + "\":" + sec(v) }
+      .mkString("{", ",", "}")
+    val detailFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL_OUT",
+      "BENCH_QUERIES.json")
+    val detailJson =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n":${results.size},"reps":$reps,"stat":"med","sent":{"med":${sec(sentMed)},"max":${sec(sentMax)},"nhot":${hot.size},"hot":$hotJson},"queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(detailFile), detailJson + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail dump failed: ${e.getMessage}")
     }
-    val full = line(withHot = true)
-    println(if (full.length <= 1900) full else line(withHot = false))
+    val inlined =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n":${results.size},"reps":$reps,"stat":"med","sent":{"med":${sec(sentMed)},"max":${sec(sentMax)},"nhot":${hot.size},"hot":$hotJson},"detail":"$detailFile","queries":$qs,"sf":"$sfDir"}"""
+    val compact =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n":${results.size},"reps":$reps,"stat":"med","sent":{"med":${sec(sentMed)},"max":${sec(sentMax)},"nhot":${hot.size}},"detail":"$detailFile","sf":"$sfDir"}"""
+    println(if (inlined.length <= 1900) inlined else compact)
     spark.stop()
   }
 }
