@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Containment, Dedup, PrefixJoin, Winnowing}
+
+/** Candidate-pair growth evidence for the near-dup join family's scale
+  * posture (round-10 verdict item 2): measure, per scale factor, the
+  * cardinality of the CANDIDATE streams — the frames whose size IS the
+  * x62/x63/x125 scale cost — plus end-to-end wall, with the caps in
+  * their deployed posture (maxCandDf = 1000 via the [[ops.ScaleCaps]]
+  * seam for x62/x63; x125's built-in MaxDf = 64). Lossless counts are
+  * also recorded where the factor keeps them tractable, so the table
+  * shows both what the capped posture costs AND what it protects
+  * against.
+  *
+  * Replicas are the established disjoint-vocab construction
+  * (ScaleVerify/ScaleBench): each block re-suffixes every word, so the
+  * corpus grows with NEW content and the vocabulary grows with it —
+  * the "organic growth" model. Under it candidate counts must grow
+  * LINEARLY in the factor for the design to hold; superlinear growth
+  * here would mean the blocking discipline itself is wrong.
+  *
+  * Usage: `sbt "runMain graft.CandGrowth [baseSfDir] [outDir]"` →
+  * prints one JSON line per (factor, query) and writes the aggregate
+  * to CAND_GROWTH.json. Factors: 1, 10, 30.
+  */
+object CandGrowth {
+
+  val Cap = 1000L
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("target/cand_growth")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def replicaDocs(blocks: Int): DataFrame = {
+      if (blocks == 1) return Tables.documents(spark, baseDir)
+      val path = s"$outDir/x$blocks/documents.parquet"
+      if (!Files.exists(Paths.get(path))) {
+        Tables.documents(spark, baseDir)
+          .crossJoin(spark.range(blocks).toDF("block"))
+          .select(
+            ($"doc_id" + $"block" * 10000000L).as("doc_id"),
+            array_join(transform(split(trim(lower($"text")), "\\s+"),
+              w => concat(w, lit("_"), $"block")), " ").as("text"),
+            $"lang", $"source")
+          .withColumn("n_chars", length($"text"))
+          .repartition(8 * blocks)
+          .write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(path)
+    }
+
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+    def record(factor: Int, q: String, mode: String, nCand: Long,
+        nResult: Long, wall: Double): Unit = {
+      val line = f"""{"factor":$factor,"query":"$q","mode":"$mode",""" +
+        f""""n_cand":$nCand,"n_result":$nResult,"wall_sec":$wall%.2f}"""
+      println(line)
+      rows += line
+    }
+
+    for (factor <- Seq(1, 10, 30)) {
+      val docs = replicaDocs(factor)
+      val tok = Dedup.shinglesOf(docs).cache()
+      tok.count() // materialize the shared shingle index once per factor
+
+      // x62 / x63 — capped posture, plus lossless where tractable
+      val modes: Seq[(String, Long)] =
+        Seq("capped" -> Cap) ++
+          (if (factor <= 10) Seq("lossless" -> Long.MaxValue) else Nil)
+      for ((mode, cap) <- modes) {
+        val (nc62, _) = timed(PrefixJoin.candidatesSh(tok, cap).count())
+        val (nr62, w62) = timed(
+          PrefixJoin.prefixSimJoinSh(tok, cap).count())
+        record(factor, "x62_setsim_prefix_join", mode, nc62, nr62, w62)
+        val (nc63, _) = timed(Containment.candidatesSh(tok, cap).count())
+        val (nr63, w63) = timed(
+          Containment.containmentJoinSh(tok, cap).count())
+        record(factor, "x63_containment_join", mode, nc63, nr63, w63)
+      }
+      tok.unpersist()
+
+      // x125 — MaxDf = 64 is the operator's built-in (always-on) cap
+      val fp = Winnowing.keptFingerprintsOf(docs)
+      val (nc125, _) = timed(Winnowing.candidatePairsFromFp(fp).count())
+      val (nr125, w125) = timed(Winnowing.matchOf(docs).count())
+      record(factor, "x125_winnowing_match", "capped", nc125, nr125, w125)
+      fp.unpersist()
+      spark.catalog.clearCache()
+    }
+
+    Files.writeString(Paths.get("CAND_GROWTH.json"),
+      rows.mkString("[", ",\n ", "]\n"))
+    spark.stop()
+  }
+}

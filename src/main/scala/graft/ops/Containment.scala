@@ -39,7 +39,7 @@ object Containment {
   private[graft] val minInnerShingles = 5L
 
   def containmentJoin(spark: SparkSession, dir: String): DataFrame =
-    containmentJoinSh(CorpusIndex.shingles(spark, dir), Long.MaxValue)
+    containmentJoinSh(CorpusIndex.shingles(spark, dir), ScaleCaps.maxCandDf)
 
   /** Core of X63 over any (doc_id, text, …) frame; test/scale seam. */
   def containmentJoinOf(docs: DataFrame): DataFrame =
@@ -68,6 +68,33 @@ object Containment {
   private[graft] def containmentJoinSh(tok: DataFrame, maxCandDf: Long): DataFrame = {
     val spark = tok.sparkSession
     import spark.implicits._
+    val cand = candidatesSh(tok, maxCandDf)
+
+    cand
+      .join(tok.select($"doc_id".as("doc_inner"), $"sh"), Seq("doc_inner"))
+      .join(tok.select($"doc_id".as("doc_outer"), $"sh"),
+        Seq("doc_outer", "sh"))
+      .groupBy($"doc_inner", $"doc_outer")
+      .agg(max($"n_sh_inner").as("n_sh_inner"),
+        max($"n_sh_outer").as("n_sh_outer"),
+        count(lit(1)).as("n_common"))
+      .where(lit(4) * $"n_common" >= lit(3) * $"n_sh_inner")
+      .select($"doc_inner", $"doc_outer", $"n_sh_inner", $"n_sh_outer",
+        $"n_common",
+        ($"n_common".cast("double") / $"n_sh_inner".cast("double"))
+          .as("containment"))
+      .orderBy($"doc_inner", $"doc_outer")
+  }
+
+  /** The verified-candidate stream of [[containmentJoinSh]] — the frame
+    * whose cardinality is the join's scale cost (the directed
+    * Σ_sh df_prefix·df_outer factor; ≤ maxCandDf² per shingle capped).
+    * Factored out for the pair-count growth evidence (graft.CandGrowth
+    * → SCALE.md), measuring exactly what the registered query executes.
+    */
+  private[graft] def candidatesSh(tok: DataFrame, maxCandDf: Long): DataFrame = {
+    val spark = tok.sparkSession
+    import spark.implicits._
 
     val df = tok.groupBy($"sh").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy($"doc_id")
@@ -92,28 +119,13 @@ object Containment {
     // positions in BOTH orders, so overlap ≤ min(n_in−pos_in,
     // n_out−pos_out)+1; a true containment (i ≥ ⌈3n_in/4⌉) always
     // passes through its smallest common shingle — lossless pruning
-    val cand = innerPrefix.join(outerFull, Seq("sh"))
+    innerPrefix.join(outerFull, Seq("sh"))
       .where($"doc_inner" =!= $"doc_outer" &&
         $"n_sh_outer" * 4 >= $"n_sh_inner" * 3 &&
         (least($"n_sh_inner" - $"pos_in", $"n_sh_outer" - $"pos_out") + 1)
           * 4 >= $"n_sh_inner" * 3)
       .select($"doc_inner", $"doc_outer", $"n_sh_inner", $"n_sh_outer")
       .distinct()
-
-    cand
-      .join(tok.select($"doc_id".as("doc_inner"), $"sh"), Seq("doc_inner"))
-      .join(tok.select($"doc_id".as("doc_outer"), $"sh"),
-        Seq("doc_outer", "sh"))
-      .groupBy($"doc_inner", $"doc_outer")
-      .agg(max($"n_sh_inner").as("n_sh_inner"),
-        max($"n_sh_outer").as("n_sh_outer"),
-        count(lit(1)).as("n_common"))
-      .where(lit(4) * $"n_common" >= lit(3) * $"n_sh_inner")
-      .select($"doc_inner", $"doc_outer", $"n_sh_inner", $"n_sh_outer",
-        $"n_common",
-        ($"n_common".cast("double") / $"n_sh_inner".cast("double"))
-          .as("containment"))
-      .orderBy($"doc_inner", $"doc_outer")
   }
 
   /** Pure all-pairs brute force — proving the asymmetric pruning

@@ -38,7 +38,7 @@ import graft.Tables
 object PrefixJoin {
 
   def prefixSimJoin(spark: SparkSession, dir: String): DataFrame =
-    prefixSimJoinSh(CorpusIndex.shingles(spark, dir), Long.MaxValue)
+    prefixSimJoinSh(CorpusIndex.shingles(spark, dir), ScaleCaps.maxCandDf)
 
   /** Core of X62 over any (doc_id, text, …) frame; test/scale seam. */
   def prefixSimJoinOf(docs: DataFrame): DataFrame =
@@ -72,6 +72,31 @@ object PrefixJoin {
   private[graft] def prefixSimJoinSh(tok: DataFrame, maxCandDf: Long): DataFrame = {
     val spark = tok.sparkSession
     import spark.implicits._
+    val cand = candidatesSh(tok, maxCandDf)
+
+    cand
+      .join(tok.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
+      .join(tok.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(max($"n_sh_a").as("n_sh_a"), max($"n_sh_b").as("n_sh_b"),
+        count(lit(1)).as("n_common"))
+      .where(lit(2) * $"n_common" >= $"n_sh_a" + $"n_sh_b" - $"n_common")
+      .select($"doc_a", $"doc_b", $"n_sh_a", $"n_sh_b", $"n_common",
+        ($"n_common".cast("double") /
+          ($"n_sh_a" + $"n_sh_b" - $"n_common").cast("double"))
+          .as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The verified-candidate stream of [[prefixSimJoinSh]] — the frame
+    * whose cardinality IS the join's scale cost (Σ_sh df_prefix²
+    * lossless, ≤ maxCandDf² per shingle capped). Factored out so the
+    * pair-count-vs-SF growth evidence (graft.CandGrowth → SCALE.md)
+    * measures exactly what the registered query executes.
+    */
+  private[graft] def candidatesSh(tok: DataFrame, maxCandDf: Long): DataFrame = {
+    val spark = tok.sparkSession
+    import spark.implicits._
 
     val df = tok.groupBy($"sh").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy($"doc_id")
@@ -90,7 +115,7 @@ object PrefixJoin {
     // matched positions, so overlap ≤ min(n_a−pos_a, n_b−pos_b)+1 — the
     // smallest common shingle always passes when J ≥ τ (lossless), and
     // most spurious prefix collisions die before the verify joins
-    val cand = prefix.select($"doc_id".as("doc_a"), $"sh",
+    prefix.select($"doc_id".as("doc_a"), $"sh",
         $"n".as("n_sh_a"), $"pos".as("pos_a"))
       .join(prefix.select($"doc_id".as("doc_b"), $"sh",
         $"n".as("n_sh_b"), $"pos".as("pos_b")), Seq("sh"))
@@ -99,19 +124,6 @@ object PrefixJoin {
         (least($"n_sh_a" - $"pos_a", $"n_sh_b" - $"pos_b") + 1) * 3 >=
           $"n_sh_a" + $"n_sh_b")
       .select($"doc_a", $"doc_b", $"n_sh_a", $"n_sh_b").distinct()
-
-    cand
-      .join(tok.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
-      .join(tok.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
-      .groupBy($"doc_a", $"doc_b")
-      .agg(max($"n_sh_a").as("n_sh_a"), max($"n_sh_b").as("n_sh_b"),
-        count(lit(1)).as("n_common"))
-      .where(lit(2) * $"n_common" >= $"n_sh_a" + $"n_sh_b" - $"n_common")
-      .select($"doc_a", $"doc_b", $"n_sh_a", $"n_sh_b", $"n_common",
-        ($"n_common".cast("double") /
-          ($"n_sh_a" + $"n_sh_b" - $"n_common").cast("double"))
-          .as("jaccard"))
-      .orderBy($"doc_a", $"doc_b")
   }
 
   /** Pure all-pairs brute force — proving the prefix filter lossless. */

@@ -1,0 +1,32 @@
+package graft.ops
+
+/** Declared scale posture for the lossless near-dup joins (x62/x63).
+  *
+  * Their REGISTERED forms are lossless by default — the driver's
+  * brute-force DuckDB oracles demand it, and losslessness is the
+  * operator contract at test scale. But the lossless candidate factor
+  * (`Σ_sh df_prefix(sh)·df(sh)`) grows with the corpus even for
+  * moderately common shingles, so at open scale the candidate-df cap is
+  * the posture you deploy with: shingles hotter than the cap leave the
+  * CANDIDATE indexes (verify joins stay exact), making candidate
+  * cardinality linear in vocabulary size with declared recall
+  * (CapRecallSpec pins exactly what a cap drops; SCALE.md carries the
+  * measured pair-count growth at 1×/10×/30×).
+  *
+  * This seam wires that posture through the registered queries
+  * themselves: set `SPARK_GRAFT_MAX_CAND_DF` (env, cluster submit) or
+  * `graft.maxCandDf` (JVM property, tests) and x62/x63 run capped
+  * everywhere — Verify, Bench, ScaleVerify, user code — with no
+  * call-site changes. Unset ⇒ `Long.MaxValue`, which keeps the filter
+  * out of the plan entirely (bit-equal to the lossless join).
+  */
+object ScaleCaps {
+
+  /** Read at query-construction time, property first so tests can
+    * toggle it per-case.
+    */
+  def maxCandDf: Long =
+    sys.props.get("graft.maxCandDf")
+      .orElse(sys.env.get("SPARK_GRAFT_MAX_CAND_DF"))
+      .map(_.toLong).getOrElse(Long.MaxValue)
+}

@@ -105,16 +105,9 @@ object Winnowing {
   private[graft] def matchOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val fpAll = fingerprintsOf(docs)
-      .select($"doc_id", $"h").distinct()
-    val rare = fpAll.groupBy($"h").agg(count(lit(1)).as("df"))
-      .filter($"df" <= MaxDf)
-    val fp = fpAll.join(rare.select($"h"), Seq("h")).cache()
+    val fp = keptFingerprintsOf(docs)
     val perDoc = fp.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
-    fp.as("a").join(fp.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
+    candidatePairsFromFp(fp)
       // perDoc is DOC-cardinality (one row per document) — never hint
       // broadcast on it: at 100× it is the whole corpus's doc list on
       // the driver. Unhinted, AQE broadcasts at toy scale and shuffles
@@ -128,6 +121,30 @@ object Winnowing {
       .select($"doc_a", $"doc_b", $"n_shared", $"nf_a", $"nf_b")
       .orderBy($"doc_a", $"doc_b")
   }
+
+  /** Post-MaxDf fingerprint set (doc_id, h), cached — the match join's
+    * build input.
+    */
+  private[graft] def keptFingerprintsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fpAll = fingerprintsOf(docs)
+      .select($"doc_id", $"h").distinct()
+    val rare = fpAll.groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" <= MaxDf)
+    fpAll.join(rare.select($"h"), Seq("h")).cache()
+  }
+
+  /** The candidate pair stream of [[matchOf]] — cardinality bounded by
+    * MaxDf²·|distinct kept h| (the MOSS common-code elimination is what
+    * keeps it linear in corpus size). Factored out for the pair-count
+    * growth evidence (graft.CandGrowth → SCALE.md).
+    */
+  private[graft] def candidatePairsFromFp(fp: DataFrame): DataFrame =
+    fp.as("a").join(fp.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
 
   val winnowingMatchSql: String = {
     val h = sqlMd5Long40(s"substr(t, CAST(p AS INTEGER), $K)")
