@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// CapSeamSpec toggles the JVM-global `graft.maxCandDf` property that the
+// registered x62/x63 queries read at plan-construction time; suites in
+// the forked test JVM must run sequentially (sbt's default, pinned here)
+// or the lossless-oracle suites sharing that property would go flaky.
+Test / testForkedParallel := false
 run / fork := true
 // pass the forked program's stdout straight through instead of routing it
 // via sbt's logger: the driver parses graft.Bench's single JSON line, and

@@ -23,10 +23,23 @@ package graft.ops
 object ScaleCaps {
 
   /** Read at query-construction time, property first so tests can
-    * toggle it per-case.
+    * toggle it per-case. An empty value is treated as unset (a common
+    * shell accident: `export SPARK_GRAFT_MAX_CAND_DF=`); a malformed
+    * non-empty value aborts with a message NAMING the setting — a
+    * silently-ignored typo'd cap would deploy the lossless join at
+    * open scale, which is exactly what the posture exists to prevent.
     */
-  def maxCandDf: Long =
-    sys.props.get("graft.maxCandDf")
+  def maxCandDf: Long = {
+    val raw = sys.props.get("graft.maxCandDf")
       .orElse(sys.env.get("SPARK_GRAFT_MAX_CAND_DF"))
-      .map(_.toLong).getOrElse(Long.MaxValue)
+      .map(_.trim).filter(_.nonEmpty)
+    raw match {
+      case None => Long.MaxValue
+      case Some(s) => s.toLongOption.filter(_ > 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft.maxCandDf / SPARK_GRAFT_MAX_CAND_DF must be a positive " +
+            s"long, got '$s' — unset it for the lossless join or pass the " +
+            "candidate-df cap as a number"))
+    }
+  }
 }

@@ -102,10 +102,17 @@ object Winnowing {
     * nearly every pair shares a few boilerplate grams), with a ≥ 2
     * absolute floor against single-collision noise.
     */
-  private[graft] def matchOf(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  private[graft] def matchOf(docs: DataFrame): DataFrame =
+    matchFromFp(keptFingerprintsOf(docs))
+
+  /** [[matchOf]] from an already-materialized kept-fingerprint frame —
+    * the seam CandGrowth times so the match reuses the cached
+    * fingerprints instead of re-paying fingerprinting (which would make
+    * w125 incomparable to the warm-cache candidate timing).
+    */
+  private[graft] def matchFromFp(fp: DataFrame): DataFrame = {
+    val spark = fp.sparkSession
     import spark.implicits._
-    val fp = keptFingerprintsOf(docs)
     val perDoc = fp.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
     candidatePairsFromFp(fp)
       // perDoc is DOC-cardinality (one row per document) — never hint

@@ -27,19 +27,33 @@ class BroadcastLintSpec extends AnyFunSuite {
       .getOrElse(fail("BROADCAST_INVENTORY.md not found from " + cand))
   }
 
-  /** Code-line `broadcast(` sites per file (scaladoc/comment mentions
-    * excluded), relative to the repo root.
+  /** `broadcast(` call sites per file — OCCURRENCES, not lines (two
+    * hints on one line count twice), with comment-only lines and
+    * trailing `//` comments stripped so a prose mention never counts.
+    * String literals could still overcount in principle, but no graft
+    * source embeds "broadcast(" in a literal — and an overcount fails
+    * loudly here rather than letting a real hint hide. Relative to the
+    * repo root.
     */
   private def actualCounts(root: Path): Map[String, Int] = {
     val srcRoot = root.resolve("src/main/scala")
-    val files = Files.walk(srcRoot).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala")).toVector
+    val walk = Files.walk(srcRoot)
+    val files =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala")).toVector
+      finally walk.close()
     files.flatMap { p =>
-      val n = Files.readAllLines(p).asScala.count { line =>
+      val n = Files.readAllLines(p).asScala.map { line =>
         val t = line.trim
-        t.contains("broadcast(") &&
-          !t.startsWith("*") && !t.startsWith("//") && !t.startsWith("/*")
-      }
+        if (t.startsWith("*") || t.startsWith("//") || t.startsWith("/*")) 0
+        else {
+          val code = t.indexOf("//") match {
+            case -1 => t
+            case i => t.substring(0, i)
+          }
+          "broadcast\\(".r.findAllIn(code).length
+        }
+      }.sum
       if (n > 0) Some(root.relativize(p).toString -> n) else None
     }.toMap
   }
@@ -83,5 +97,15 @@ class BroadcastLintSpec extends AnyFunSuite {
     val badClasses = classes.filterNot(allowedClasses.contains)
     assert(badClasses.isEmpty,
       s"bound classes outside the allowed set: $badClasses")
+
+    // the prose total must agree with the table sum — round 11 shipped
+    // "84 hinted sites" over an 85-row table and nothing caught it
+    val tableSum = decl.values.sum
+    val statedTotal = Files.readAllLines(
+      root.resolve("BROADCAST_INVENTORY.md")).asScala
+      .collectFirst { case l if l.matches("^\\d+ hinted sites.*") =>
+        l.takeWhile(_.isDigit).toInt }
+    assert(statedTotal.contains(tableSum),
+      s"inventory prose total $statedTotal != call-site table sum $tableSum")
   }
 }
