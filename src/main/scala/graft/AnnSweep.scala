@@ -135,5 +135,13 @@ object AnnSweep {
         top5Of(Vector.ivfPqProbe(ivf, pq, np, ck)),
         Vector.ivfPqCandidates(ivf, pq, np, ck).count())
     }
+    // round-11 stretch: reverse-probe symmetrized IVF-PQ — does the
+    // X87 un-squared-reciprocity argument buy recall at half the
+    // nprobe? (adoption decision recorded in ANN_SWEEP.md)
+    Seq((2, 48), (4, 48), (8, 128)).foreach { case (np, ck) =>
+      row("IVF-PQ-sym", s"nprobe=$np,candK=$ck",
+        top5Of(Vector.ivfPqProbeSym(ivf, pq, np, ck)),
+        Vector.ivfPqCandidatesSym(ivf, pq, np, ck).count())
+    }
   }
 }

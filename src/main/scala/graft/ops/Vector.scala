@@ -678,6 +678,79 @@ object Vector {
         cosQ(dotQ($"embedding", $"qe"), $"nq", $"qnq").as("cos_sim"))
   }
 
+  /** Round-11 stretch (verdict item 6): X87's residual symmetrization
+    * applied to X79's candidate stage. A vector enters a query's pool
+    * if the query probes the vector's cell (forward — the plain form)
+    * OR the query's own home cell is among the VECTOR's `nprobe`
+    * nearest cells (reverse). Near a cell boundary the two criteria
+    * disagree — forward misses v exactly when v's cell is outside the
+    * query's probe list even though v itself sits close to the
+    * query's cell — so the union loses a neighbor only when BOTH
+    * directions miss, the same un-squared reciprocity argument as
+    * [[ivfDirectedKnnSym]].
+    *
+    * Cost shape at scale: the reverse lists (each vector's `nprobe`
+    * nearest cells) are an index-side artifact — the standard
+    * multi-probe-assignment layout, built once per corpus by the same
+    * distance pass that assigns home cells — so probe time pays one
+    * extra keyed join of those lists against the query's single home
+    * cell plus a distinct on the unioned pair stream; the ADC scan and
+    * the exact rerank stay candK-bounded per query exactly as in the
+    * plain form. Measured (ANN_SWEEP.md): never worse than plain at
+    * any of the nine measured dials, up to +0.14 recall@5 at the same
+    * rerank budget (sf0.01 nprobe=2: 0.33 → 0.47; sf0.1 nprobe=4:
+    * 0.47 → 0.60) — but sym at nprobe=4 does NOT reach plain
+    * nprobe=8 (0.73 vs 0.93 at sf0.01), so the reverse pool is a
+    * cheap recall supplement, not a probe-halving substitute. The
+    * registered x79 stays the plain form (its probed-cell containment
+    * contract is part of its pinned semantics); this seam carries the
+    * measured alternative for deployments that want the extra recall
+    * at one more keyed join.
+    */
+  private[graft] def ivfPqProbeSym(ivf: IvfIndex, pq: PqIndex,
+      nprobe: Int, candK: Int): DataFrame =
+    rerankTop5(ivfPqCandidatesSym(ivf, pq, nprobe, candK))
+
+  private[graft] def ivfPqCandidatesSym(ivf: IvfIndex, pq: PqIndex,
+      nprobe: Int, candK: Int): DataFrame = {
+    val spark = ivf.assigned.sparkSession
+    import spark.implicits._
+    // forward: the query probes the vector's home cell
+    val fwd = ivf.assigned.select($"vec_id", $"cell")
+      .join(broadcast(ivfProbedCells(ivf, nprobe)
+        .select($"cell", $"query_id")), Seq("cell"))
+      .select($"query_id", $"vec_id")
+    // reverse: the vector's nprobe nearest cells include the query's
+    // home cell (index-side multi-assignment lists in production)
+    val byDist = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"dist2".asc, $"cell".asc)
+    val vprobes = ivf.assigned.select($"vec_id", $"embedding")
+      .crossJoin(broadcast(ivf.centroids))
+      .withColumn("dist2", aggregate(
+        zip_with($"embedding", $"centroid", (x, c) => {
+          val d = x.cast("double") - c; d * d
+        }),
+        lit(0.0), (acc, t) => acc + t))
+      .withColumn("rn", row_number().over(byDist))
+      .filter($"rn" <= nprobe)
+      .select($"vec_id", $"cell")
+    val qhome = ivf.assigned.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"cell")
+    val rev = vprobes.join(broadcast(qhome), Seq("cell"))
+      .select($"query_id", $"vec_id")
+    val byAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"approx_d2".asc, $"vec_id".asc)
+    fwd.union(rev).distinct()
+      .filter($"vec_id" =!= $"query_id")
+      .join(pq.encoded, Seq("vec_id"))
+      .join(broadcast(pqLuts(pq)), Seq("query_id"))
+      .withColumn("approx_d2", adcExpr)
+      .withColumn("arn", row_number().over(byAdc))
+      .filter($"arn" <= candK)
+      .select($"query_id", $"vec_id",
+        cosQ(dotQ($"embedding", $"qe"), $"nq", $"qnq").as("cos_sim"))
+  }
+
   /** X51 — hard-negative mining: for each query vector, the [[NegK]]
     * most-similar vectors with a DIFFERENT label — the contrastive-
     * training data build (hard negatives are what make the loss

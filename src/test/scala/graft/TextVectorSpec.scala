@@ -239,6 +239,56 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("X79-sym: reverse-probe symmetrization admits a superset pool, " +
+    "stays candK-bounded, and never loses recall at the registered dial") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Hashing.{cosQ, dotQ}
+    val ivf = VecOps.ivfIndex(spark, sfDir)
+    val pq = VecOps.pqIndex(spark, sfDir)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val np = VecOps.IvfPqNprobe
+    // pool containment: with the candK cut disabled (huge candK) the sym
+    // pair pool contains every forward pair — reverse edges only ADD
+    val big = 1000000
+    val fwdPool = pairs(VecOps.ivfPqCandidates(ivf, pq, np, big))
+    val symPool = pairs(VecOps.ivfPqCandidatesSym(ivf, pq, np, big))
+    assert(fwdPool.subsetOf(symPool),
+      "sym pool must contain every forward-probed pair")
+    // per-query rerank bound survives the union
+    val perQ = VecOps.ivfPqCandidatesSym(ivf, pq, np, VecOps.IvfPqCandK)
+      .groupBy(col("query_id")).count().collect().map(_.getLong(1))
+    assert(perQ.forall(_ <= VecOps.IvfPqCandK),
+      "sym rerank candidates must be candK-bounded per query")
+    // recall vs full brute-force truth: sym never loses to plain at the
+    // registered dial (measured ANN_SWEEP invariant, pinned here on the
+    // deterministic spec corpus)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        dotQ(col("embedding"), col("embedding")).as("nq"))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nq").as("qnq"))
+    val byQ = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("vec_id").asc)
+    val brute = pairs(e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosQ(dotQ(col("embedding"), col("qe")), col("nq"), col("qnq"))
+          .as("c"))
+      .withColumn("rnk", row_number().over(byQ))
+      .filter(col("rnk") <= 5))
+    val plainR = (pairs(VecOps.ivfPqProbe(ivf, pq, np, VecOps.IvfPqCandK))
+      & brute).size.toDouble / brute.size
+    val symR = (pairs(VecOps.ivfPqProbeSym(ivf, pq, np, VecOps.IvfPqCandK))
+      & brute).size.toDouble / brute.size
+    info(f"IVF-PQ recall@5 at nprobe=$np: plain $plainR%.2f, sym $symR%.2f")
+    assert(symR >= plainR - 1e-9,
+      s"sym recall ($symR) lost to plain ($plainR) at the registered dial")
+  }
+
   test("X21: multi-probe candidates strictly contain the single-bucket " +
     "set and recall is monotone in probes") {
     import org.apache.spark.sql.functions._
