@@ -11,7 +11,7 @@
 #   sfBench   testdata dir for the bench         (default /root/testdata/sf0.1)
 #
 # Artifacts written (repo root unless noted):
-#   REPLAY_TESTS.log          full sbt test output
+#   REPLAY_TESTS.log          sbt test summary (full log in /tmp)
 #   /tmp/replay_verify/…      per-query parquet dumps + oracle_sql.json
 #   REPLAY_ORACLE.log         check_oracle per-query PASS/FAIL lines
 #   BENCH_LOCAL_replay.json   the bench JSON line
@@ -30,9 +30,13 @@ export TMPDIR="${TMPDIR:-/tmp/replay_duckdb_tmp}"
 mkdir -p "$TMPDIR"
 
 echo "== [1/5] sbt test =="
-sbt -batch test > REPLAY_TESTS.log 2>&1 \
-  || { tail -30 REPLAY_TESTS.log; echo "TESTS RED — stopping"; exit 1; }
-grep -E "Tests: succeeded|All tests passed" REPLAY_TESTS.log | tail -2
+sbt -batch test > /tmp/replay_tests_full.log 2>&1 \
+  || { tail -30 /tmp/replay_tests_full.log; echo "TESTS RED — stopping"; exit 1; }
+# commit-sized summary: suite-level results + totals (full log in /tmp)
+{ echo "replay at $(git rev-parse --short HEAD) $(date -u +%FT%TZ)";
+  grep -E "^\[info\] (Run completed|Total number|Suites:|Tests:|All tests)" \
+    /tmp/replay_tests_full.log | tail -5; } > REPLAY_TESTS.log
+cat REPLAY_TESTS.log
 
 echo "== [2/5] oracle dress rehearsal ($SF_VERIFY) =="
 rm -rf /tmp/replay_verify
