@@ -112,6 +112,54 @@ object CandGrowth {
       spark.catalog.clearCache()
     }
 
+    // Boilerplate-hot corpus (ScaleBench's recall protocol): the
+    // corpus-wide phrase every document shares (df = |corpus| — the
+    // naive superlinear term, which the PREFIX FILTER itself turns out
+    // to neutralize: rare-half indexing never admits it), plus the
+    // df = 1200 injected small-doc cluster at 10×/30× whose C(1200,2)
+    // pair clique has nothing but hot shingles in its prefixes — THE
+    // mid-frequency pathology the cap exists for. Lossless runs
+    // through 10× so the capped-vs-lossless delta exhibits the clique
+    // being dropped exactly; at 30× only the capped posture runs (a
+    // production-sized clique squares — the measured point stands in
+    // for it).
+    val hotPhrase = " the quick brown fox jumps over it"
+    def hotDocs(factor: Int): DataFrame = {
+      val organic = replicaDocs(factor)
+        .select($"doc_id", concat($"text", lit(hotPhrase)).as("text"))
+      if (factor == 1) organic
+      else organic.unionByName(spark.range(1200L).select(
+        ($"id" + 900000000L).as("doc_id"),
+        concat(lit("uniq"), $"id",
+          lit(" lorem ipsum dolor sit amet consectetur adipiscing"))
+          .as("text")))
+    }
+    for (factor <- Seq(1, 10, 30)) {
+      val tok = Dedup.shinglesOf(hotDocs(factor)).cache()
+      tok.count()
+      val modes: Seq[(String, Long)] =
+        Seq("hot-capped" -> Cap) ++
+          (if (factor <= 10) Seq("hot-lossless" -> Long.MaxValue) else Nil)
+      for ((mode, cap) <- modes) {
+        val (nc62, _) = timed(PrefixJoin.candidatesSh(tok, cap).count())
+        val (nr62, w62) = timed(
+          PrefixJoin.prefixSimJoinSh(tok, cap).count())
+        record(factor, "x62_setsim_prefix_join", mode, nc62, nr62, w62)
+        val (nc63, _) = timed(Containment.candidatesSh(tok, cap).count())
+        val (nr63, w63) = timed(
+          Containment.containmentJoinSh(tok, cap).count())
+        record(factor, "x63_containment_join", mode, nc63, nr63, w63)
+      }
+      tok.unpersist()
+      val fp = Winnowing.keptFingerprintsOf(hotDocs(factor))
+      val (nc125, _) = timed(Winnowing.candidatePairsFromFp(fp).count())
+      val (nr125, w125) = timed(Winnowing.matchFromFp(fp).count())
+      record(factor, "x125_winnowing_match", "hot-capped",
+        nc125, nr125, w125)
+      fp.unpersist()
+      spark.catalog.clearCache()
+    }
+
     Files.writeString(Paths.get("CAND_GROWTH.json"),
       rows.mkString("[", ",\n ", "]\n"))
     spark.stop()
