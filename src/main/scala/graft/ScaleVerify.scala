@@ -244,7 +244,11 @@ object ScaleVerify {
         "x132_packing_sweep" -> SparkEntry.queries("x132_packing_sweep"),
         "x133_lagged_xcorr" -> SparkEntry.queries("x133_lagged_xcorr"),
         // per-block suffixed texts: distinct contents grow 10×, k fixed
-        "x134_kmv_distinct" -> SparkEntry.queries("x134_kmv_distinct"))
+        "x134_kmv_distinct" -> SparkEntry.queries("x134_kmv_distinct"),
+        // 10× rows per source, sample stays K per source; the est
+        // columns re-derive from the replica's own bottom-k hashes
+        "x135_quantile_sketch" ->
+          SparkEntry.queries("x135_quantile_sketch"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

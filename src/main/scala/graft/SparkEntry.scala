@@ -58,7 +58,7 @@ object SparkEntry {
       Dispersion.queries, Winnowing.queries, InterArrival.queries,
       PathMining.queries, Holdout.queries, RobustRange.queries,
       Distinctive.queries, Wilson.queries, PackSweep.queries,
-      LaggedXcorr.queries, Kmv.queries
+      LaggedXcorr.queries, Kmv.queries, QuantileSketch.queries
     ).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -100,6 +100,6 @@ object SparkEntry {
       Dispersion.oracles, Winnowing.oracles, InterArrival.oracles,
       PathMining.oracles, Holdout.oracles, RobustRange.oracles,
       Distinctive.oracles, Wilson.oracles, PackSweep.oracles,
-      LaggedXcorr.oracles, Kmv.oracles
+      LaggedXcorr.oracles, Kmv.oracles, QuantileSketch.oracles
     ).reduce(_ ++ _)
 }

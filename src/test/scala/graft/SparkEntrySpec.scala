@@ -92,7 +92,8 @@ class SparkEntrySpec extends SparkSpec {
       "RobustRange" -> RobustRange.queries,
       "Distinctive" -> Distinctive.queries, "Wilson" -> Wilson.queries,
       "PackSweep" -> PackSweep.queries, "LaggedXcorr" -> LaggedXcorr.queries,
-      "Kmv" -> Kmv.queries)
+      "Kmv" -> Kmv.queries,
+      "QuantileSketch" -> QuantileSketch.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
