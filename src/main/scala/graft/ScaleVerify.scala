@@ -248,7 +248,10 @@ object ScaleVerify {
         // 10× rows per source, sample stays K per source; the est
         // columns re-derive from the replica's own bottom-k hashes
         "x135_quantile_sketch" ->
-          SparkEntry.queries("x135_quantile_sketch"))
+          SparkEntry.queries("x135_quantile_sketch"),
+        // 10× rows per source; counters stay R per source and the
+        // replica's suffixed texts re-hash into fresh signs
+        "x136_ams_f2" -> SparkEntry.queries("x136_ams_f2"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

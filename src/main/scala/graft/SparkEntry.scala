@@ -58,7 +58,8 @@ object SparkEntry {
       Dispersion.queries, Winnowing.queries, InterArrival.queries,
       PathMining.queries, Holdout.queries, RobustRange.queries,
       Distinctive.queries, Wilson.queries, PackSweep.queries,
-      LaggedXcorr.queries, Kmv.queries, QuantileSketch.queries
+      LaggedXcorr.queries, Kmv.queries, QuantileSketch.queries,
+      AmsF2.queries
     ).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -100,6 +101,7 @@ object SparkEntry {
       Dispersion.oracles, Winnowing.oracles, InterArrival.oracles,
       PathMining.oracles, Holdout.oracles, RobustRange.oracles,
       Distinctive.oracles, Wilson.oracles, PackSweep.oracles,
-      LaggedXcorr.oracles, Kmv.oracles, QuantileSketch.oracles
+      LaggedXcorr.oracles, Kmv.oracles, QuantileSketch.oracles,
+      AmsF2.oracles
     ).reduce(_ ++ _)
 }
