@@ -251,7 +251,11 @@ object ScaleVerify {
           SparkEntry.queries("x135_quantile_sketch"),
         // 10× rows per source; counters stay R per source and the
         // replica's suffixed texts re-hash into fresh signs
-        "x136_ams_f2" -> SparkEntry.queries("x136_ams_f2"))
+        "x136_ams_f2" -> SparkEntry.queries("x136_ams_f2"),
+        // per-block suffixed shingles: each source's distinct-shingle
+        // universe grows 10×, the pair matrix stays C(|S|,2), and the
+        // K-row sketches go (further) above capacity
+        "x137_theta_overlap" -> SparkEntry.queries("x137_theta_overlap"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

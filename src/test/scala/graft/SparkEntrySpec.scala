@@ -94,7 +94,8 @@ class SparkEntrySpec extends SparkSpec {
       "PackSweep" -> PackSweep.queries, "LaggedXcorr" -> LaggedXcorr.queries,
       "Kmv" -> Kmv.queries,
       "QuantileSketch" -> QuantileSketch.queries,
-      "AmsF2" -> AmsF2.queries)
+      "AmsF2" -> AmsF2.queries,
+      "ThetaOverlap" -> ThetaOverlap.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
