@@ -255,7 +255,11 @@ object ScaleVerify {
         // per-block suffixed shingles: each source's distinct-shingle
         // universe grows 10×, the pair matrix stays C(|S|,2), and the
         // K-row sketches go (further) above capacity
-        "x137_theta_overlap" -> SparkEntry.queries("x137_theta_overlap"))
+        "x137_theta_overlap" -> SparkEntry.queries("x137_theta_overlap"),
+        // 10× distinct contents per fine group; every grain goes
+        // (further) above the K=16 capacity, the rollup stays
+        // K·|fine| rows
+        "x138_sketch_rollup" -> SparkEntry.queries("x138_sketch_rollup"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
