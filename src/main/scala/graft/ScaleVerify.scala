@@ -259,7 +259,11 @@ object ScaleVerify {
         // 10× distinct contents per fine group; every grain goes
         // (further) above the K=16 capacity, the rollup stays
         // K·|fine| rows
-        "x138_sketch_rollup" -> SparkEntry.queries("x138_sketch_rollup"))
+        "x138_sketch_rollup" -> SparkEntry.queries("x138_sketch_rollup"),
+        // 10× distinct contents per source through the bounded
+        // aggregator; buffers stay K slots, partials merge by the
+        // bottom-k union law
+        "x139_kmv_agg" -> SparkEntry.queries("x139_kmv_agg"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

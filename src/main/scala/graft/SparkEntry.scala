@@ -59,7 +59,8 @@ object SparkEntry {
       PathMining.queries, Holdout.queries, RobustRange.queries,
       Distinctive.queries, Wilson.queries, PackSweep.queries,
       LaggedXcorr.queries, Kmv.queries, QuantileSketch.queries,
-      AmsF2.queries, ThetaOverlap.queries, SketchRollup.queries
+      AmsF2.queries, ThetaOverlap.queries, SketchRollup.queries,
+      KmvAgg.queries
     ).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -102,6 +103,7 @@ object SparkEntry {
       PathMining.oracles, Holdout.oracles, RobustRange.oracles,
       Distinctive.oracles, Wilson.oracles, PackSweep.oracles,
       LaggedXcorr.oracles, Kmv.oracles, QuantileSketch.oracles,
-      AmsF2.oracles, ThetaOverlap.oracles, SketchRollup.oracles
+      AmsF2.oracles, ThetaOverlap.oracles, SketchRollup.oracles,
+      KmvAgg.oracles
     ).reduce(_ ++ _)
 }

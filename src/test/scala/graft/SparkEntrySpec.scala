@@ -96,7 +96,8 @@ class SparkEntrySpec extends SparkSpec {
       "QuantileSketch" -> QuantileSketch.queries,
       "AmsF2" -> AmsF2.queries,
       "ThetaOverlap" -> ThetaOverlap.queries,
-      "SketchRollup" -> SketchRollup.queries)
+      "SketchRollup" -> SketchRollup.queries,
+      "KmvAgg" -> KmvAgg.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
