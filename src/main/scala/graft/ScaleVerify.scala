@@ -263,7 +263,11 @@ object ScaleVerify {
         // 10× distinct contents per source through the bounded
         // aggregator; buffers stay K slots, partials merge by the
         // bottom-k union law
-        "x139_kmv_agg" -> SparkEntry.queries("x139_kmv_agg"))
+        "x139_kmv_agg" -> SparkEntry.queries("x139_kmv_agg"),
+        // 10× distinct contents per source; still 64 registers per
+        // source, the max-merge absorbs the new hashes, and the
+        // estimate must track the 10× exact audit inside the band
+        "x140_hll_registers" -> SparkEntry.queries("x140_hll_registers"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -97,7 +97,8 @@ class SparkEntrySpec extends SparkSpec {
       "AmsF2" -> AmsF2.queries,
       "ThetaOverlap" -> ThetaOverlap.queries,
       "SketchRollup" -> SketchRollup.queries,
-      "KmvAgg" -> KmvAgg.queries)
+      "KmvAgg" -> KmvAgg.queries,
+      "Hll" -> Hll.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
