@@ -267,7 +267,12 @@ object ScaleVerify {
         // 10× distinct contents per source; still 64 registers per
         // source, the max-merge absorbs the new hashes, and the
         // estimate must track the 10× exact audit inside the band
-        "x140_hll_registers" -> SparkEntry.queries("x140_hll_registers"))
+        "x140_hll_registers" -> SparkEntry.queries("x140_hll_registers"),
+        // 10× docs per source; the spine stays value-bounded (length
+        // universe unchanged), counts scale, the decimal numerator
+        // re-derives exactly
+        "x141_wasserstein_drift" ->
+          SparkEntry.queries("x141_wasserstein_drift"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

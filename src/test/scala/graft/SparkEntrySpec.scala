@@ -98,7 +98,8 @@ class SparkEntrySpec extends SparkSpec {
       "ThetaOverlap" -> ThetaOverlap.queries,
       "SketchRollup" -> SketchRollup.queries,
       "KmvAgg" -> KmvAgg.queries,
-      "Hll" -> Hll.queries)
+      "Hll" -> Hll.queries,
+      "Wasserstein" -> Wasserstein.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
