@@ -272,7 +272,12 @@ object ScaleVerify {
         // universe unchanged), counts scale, the decimal numerator
         // re-derives exactly
         "x141_wasserstein_drift" ->
-          SparkEntry.queries("x141_wasserstein_drift"))
+          SparkEntry.queries("x141_wasserstein_drift"),
+        // 10× docs and tokens; the bucket models stay B = 4096 rows,
+        // the weight table re-derives from the replica's own counts,
+        // and per-doc scores stay exact i64 sums
+        "x142_importance_weights" ->
+          SparkEntry.queries("x142_importance_weights"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

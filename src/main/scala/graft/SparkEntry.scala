@@ -60,7 +60,8 @@ object SparkEntry {
       Distinctive.queries, Wilson.queries, PackSweep.queries,
       LaggedXcorr.queries, Kmv.queries, QuantileSketch.queries,
       AmsF2.queries, ThetaOverlap.queries, SketchRollup.queries,
-      KmvAgg.queries, Hll.queries, Wasserstein.queries
+      KmvAgg.queries, Hll.queries, Wasserstein.queries,
+      Importance.queries
     ).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -104,6 +105,7 @@ object SparkEntry {
       Distinctive.oracles, Wilson.oracles, PackSweep.oracles,
       LaggedXcorr.oracles, Kmv.oracles, QuantileSketch.oracles,
       AmsF2.oracles, ThetaOverlap.oracles, SketchRollup.oracles,
-      KmvAgg.oracles, Hll.oracles, Wasserstein.oracles
+      KmvAgg.oracles, Hll.oracles, Wasserstein.oracles,
+      Importance.oracles
     ).reduce(_ ++ _)
 }

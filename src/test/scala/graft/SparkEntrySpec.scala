@@ -99,7 +99,8 @@ class SparkEntrySpec extends SparkSpec {
       "SketchRollup" -> SketchRollup.queries,
       "KmvAgg" -> KmvAgg.queries,
       "Hll" -> Hll.queries,
-      "Wasserstein" -> Wasserstein.queries)
+      "Wasserstein" -> Wasserstein.queries,
+      "Importance" -> Importance.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
