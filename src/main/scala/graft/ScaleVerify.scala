@@ -277,7 +277,11 @@ object ScaleVerify {
         // the weight table re-derives from the replica's own counts,
         // and per-doc scores stay exact i64 sums
         "x142_importance_weights" ->
-          SparkEntry.queries("x142_importance_weights"))
+          SparkEntry.queries("x142_importance_weights"),
+        // 10× rows per source through the bounded payload-carrying
+        // aggregator; buffers stay K triples, partials merge by the
+        // bottom-k union law, output bit-equal to the window form
+        "x144_sample_agg" -> SparkEntry.queries("x144_sample_agg"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

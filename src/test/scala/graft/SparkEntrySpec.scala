@@ -100,7 +100,8 @@ class SparkEntrySpec extends SparkSpec {
       "KmvAgg" -> KmvAgg.queries,
       "Hll" -> Hll.queries,
       "Wasserstein" -> Wasserstein.queries,
-      "Importance" -> Importance.queries)
+      "Importance" -> Importance.queries,
+      "SampleAgg" -> SampleAgg.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
