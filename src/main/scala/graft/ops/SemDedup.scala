@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Hashing._
+
+/** X145 — SemDeDup: cluster-then-dedupe semantic deduplication (Abbas
+  * et al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+  * semantic deduplication"). Embedding-space near-duplicates are found
+  * WITHIN k-means cells only — the cells make the quadratic pair search
+  * tractable (pairs are C(cell,2), never C(corpus,2)) — then each
+  * duplicate group keeps its LEAST centroid-like member (lowest cosine
+  * to the cell centroid, the paper's keep-low-similarity diversity
+  * rule) and drops the rest.
+  *
+  * How this differs from the other embedding dedups: X20 blocks pairs
+  * by the DECLARED label and keeps no one (it only labels clusters);
+  * X145 blocks by the COMPUTED nearest-centroid cell (X70's E-step —
+  * no labels consulted at decision time) and emits the keep/drop
+  * verdict. The oracle stays fully deterministic because the cells are
+  * the label-SEEDED centroids (X70's hash-green chain, reused verbatim:
+  * same centroid means, same quantized distance, same (dist_q, c_label)
+  * argmin); X19's learned-IVF path is the same shape with trained
+  * cells, declared rows-only for exactly the float-order reason this
+  * op avoids.
+  *
+  * Exactness: every similarity is the engine-portable quantized cosine
+  * (cosQ over exact-i64 dotQ operands — the X4 float license), the
+  * keep rule's argmin key (cos_cent, vec_id) is total, and the
+  * duplicate groups are connected components over the within-cell
+  * threshold pairs (Dedup.connectedComponents; oracle = the X20
+  * unrolled recursive-reach replay, cluster id = least member).
+  *
+  * Scale shape: centroids are ONE mergeable (label, dim) aggregate
+  * broadcast at |cells| rows (X36/X70 discipline); assignment is a
+  * map-only pass finished by a partial-aggregable struct-min argmin;
+  * the pair search is an equi-join keyed on cell — in production k
+  * grows with the corpus (the paper runs ~10⁵ cells) so cell sizes
+  * stay bounded and the pair volume stays ~|corpus|·cell_size; the
+  * keep rule is one per-cluster window over the (tiny) clustered
+  * subset. No all-pairs anywhere (ops/Dedup.scala:20 contract).
+  *
+  * Reference scope: no semantic dedup in the reference; engine
+  * extension (SURVEY §2.5, the X2/X18/X20 dedup-decision family).
+  */
+object SemDedup {
+
+  /** Within-cell near-duplicate threshold (X20's corpus-calibrated τ). */
+  val Tau = 0.35
+
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    semOf(Tables.embeddings(spark, dir))
+
+  /** Core of X145 over any (vec_id, label, embedding) frame. */
+  private[graft] def semOf(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val cent = Assign.centroidArrays(e)
+      .withColumn("nq_c", dotQ($"c", $"c"))
+    // X70's E-step, carrying the embedding and the cosine pieces
+    // through the argmin ((dist_q, c_label) is total — the X71 trick)
+    val best = e.crossJoin(broadcast(cent))
+      .select($"vec_id", $"c_label", $"embedding",
+        dotQ($"embedding", $"embedding").as("nq"),
+        dotQ($"embedding", $"c").as("dvc"), $"nq_c",
+        (dotQ($"embedding", $"embedding")
+          - lit(2.0) * dotQ($"embedding", $"c")
+          + dotQ($"c", $"c")).as("dist_q"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"dist_q", $"c_label", $"embedding",
+        $"nq", $"dvc", $"nq_c")).as("b"))
+      .select($"vec_id", $"b.c_label".as("cell"),
+        $"b.embedding".as("e"), $"b.nq".as("nq"),
+        cosQ($"b.dvc", $"b.nq", $"b.nq_c").as("cos_cent"))
+    val pairs = best.as("x").join(best.as("y"),
+        col("x.cell") === col("y.cell") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .filter(cosQ(dotQ(col("x.e"), col("y.e")),
+        col("x.nq"), col("y.nq")) >= Tau)
+      .select(col("x.vec_id").as("doc_a"), col("y.vec_id").as("doc_b"))
+    val labels = Dedup.connectedComponents(pairs)
+      .select($"doc", $"label".as("cc_label"))
+    val byCluster = Window.partitionBy($"cluster_id")
+    best
+      .join(labels, $"vec_id" === $"doc", "left")
+      .select($"vec_id", $"cell", $"cos_cent",
+        coalesce($"cc_label", $"vec_id").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .withColumn("keeper", min(struct($"cos_cent", $"vec_id")).over(byCluster))
+      .select($"vec_id", $"cell", $"cluster_id", $"cluster_size",
+        ($"keeper.vec_id" === $"vec_id").as("keep"))
+      .orderBy($"vec_id")
+  }
+
+  val semDedupSql: String = {
+    val dxy = sqlDotQ("x.e", "y.e")
+    s"""WITH RECURSIVE ${Assign.centCtes},
+       |centn AS (
+       |  SELECT c_label, c, ${sqlDotQ("c", "c")} AS nq_c FROM cent),
+       |bestd AS (
+       |  SELECT vec_id, embedding,
+       |         ${sqlDotQ("embedding", "embedding")} AS nq, c_label
+       |  FROM rk WHERE rk = 1),
+       |best AS (
+       |  SELECT b.vec_id, b.c_label AS cell, b.embedding AS e, b.nq,
+       |         ${sqlCosQ(sqlDotQ("b.embedding", "cn.c"), "b.nq", "cn.nq_c")}
+       |           AS cos_cent
+       |  FROM bestd b JOIN centn cn ON b.c_label = cn.c_label),
+       |pairs AS (
+       |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+       |  FROM best x JOIN best y
+       |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE ${sqlCosQ(dxy, "x.nq", "y.nq")} >= $Tau),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+       |comp AS (
+       |  SELECT a AS doc, least(a, min(b)) AS cluster_id
+       |  FROM reach GROUP BY a),
+       |clustered AS (
+       |  SELECT best.vec_id, best.cell, best.cos_cent,
+       |         coalesce(comp.cluster_id, best.vec_id) AS cluster_id
+       |  FROM best LEFT JOIN comp ON best.vec_id = comp.doc)
+       |SELECT vec_id, cell, cluster_id,
+       |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |       (row_number() OVER (PARTITION BY cluster_id
+       |          ORDER BY cos_cent ASC, vec_id ASC) = 1) AS keep
+       |FROM clustered
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x145_semdedup" -> semDedup _)
+
+  val oracles: Map[String, String] = Map(
+    "x145_semdedup" -> semDedupSql)
+}

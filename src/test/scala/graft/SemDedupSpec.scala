@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SemDedup
+
+/** X145 — SemDeDup: hand fixture (identical pair dedups, keeper is the
+  * lower id; distant vector survives), structural laws on the corpus
+  * (exactly one keeper per cluster, clusters are cell-contained,
+  * singletons all keep), and partition invariance.
+  */
+class SemDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("X145: identical pair collapses to one keeper; distant vector kept") {
+    // one label block seeds one centroid, so all three share a cell;
+    // v1 == v2 are exact duplicates, v3 is near-orthogonal
+    val e = Seq(
+      (1L, "a", Array(1.0f, 0.0f, 0.0f, 0.1f)),
+      (2L, "a", Array(1.0f, 0.0f, 0.0f, 0.1f)),
+      (3L, "a", Array(0.0f, 1.0f, 0.0f, -0.1f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = SemDedup.semOf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toList
+    // identical vectors tie on cos_cent -> keeper is the lower vec_id
+    assert(out == List((1L, 1L, 2L, true), (2L, 1L, 2L, false),
+      (3L, 3L, 1L, true)))
+  }
+
+  test("X145: exactly one keeper per cluster; singletons all keep") {
+    val out = SemDedup.semDedup(spark, sfDir)
+    val perCluster = out.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"keep", 1L).otherwise(0L)).as("keepers"))
+      .collect()
+    assert(perCluster.nonEmpty)
+    perCluster.foreach { r =>
+      assert(r.getAs[Long]("keepers") == 1L,
+        s"cluster ${r.get(0)}: ${r.get(2)} keepers")
+    }
+    // the corpus must actually exercise multi-member clusters
+    assert(perCluster.exists(_.getAs[Long]("n") > 1L),
+      "fixture corpus produced no semantic duplicates — τ miscalibrated")
+  }
+
+  test("X145: clusters never span cells") {
+    val cellsPerCluster = SemDedup.semDedup(spark, sfDir)
+      .groupBy($"cluster_id")
+      .agg(countDistinct($"cell").as("n_cells")).collect()
+    cellsPerCluster.foreach(r =>
+      assert(r.getAs[Long]("n_cells") == 1L,
+        s"cluster ${r.get(0)} spans ${r.get(1)} cells"))
+  }
+
+  test("X145: partition-count invariance") {
+    val e = Tables.embeddings(spark, sfDir)
+    val one = SemDedup.semOf(e).collect().map(_.toString).toSeq
+    val many = SemDedup.semOf(e.repartition(13)).collect()
+      .map(_.toString).toSeq
+    assert(one == many)
+  }
+}

@@ -101,7 +101,8 @@ class SparkEntrySpec extends SparkSpec {
       "Hll" -> Hll.queries,
       "Wasserstein" -> Wasserstein.queries,
       "Importance" -> Importance.queries,
-      "SampleAgg" -> SampleAgg.queries)
+      "SampleAgg" -> SampleAgg.queries,
+      "SemDedup" -> SemDedup.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
