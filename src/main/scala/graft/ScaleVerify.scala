@@ -281,7 +281,11 @@ object ScaleVerify {
         // 10× rows per source through the bounded payload-carrying
         // aggregator; buffers stay K triples, partials merge by the
         // bottom-k union law, output bit-equal to the window form
-        "x144_sample_agg" -> SparkEntry.queries("x144_sample_agg"))
+        "x144_sample_agg" -> SparkEntry.queries("x144_sample_agg"),
+        // 10× docs: the probe slice and truth join scale with the
+        // replica, the LSH candidate stage re-derives, and the banded
+        // recall fractions re-compute from the replica's own pairs
+        "x146_dedup_recall" -> SparkEntry.queries("x146_dedup_recall"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

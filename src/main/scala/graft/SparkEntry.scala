@@ -61,7 +61,8 @@ object SparkEntry {
       LaggedXcorr.queries, Kmv.queries, QuantileSketch.queries,
       AmsF2.queries, ThetaOverlap.queries, SketchRollup.queries,
       KmvAgg.queries, Hll.queries, Wasserstein.queries,
-      Importance.queries, SampleAgg.queries, SemDedup.queries
+      Importance.queries, SampleAgg.queries, SemDedup.queries,
+      DedupRecall.queries
     ).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -106,6 +107,7 @@ object SparkEntry {
       LaggedXcorr.oracles, Kmv.oracles, QuantileSketch.oracles,
       AmsF2.oracles, ThetaOverlap.oracles, SketchRollup.oracles,
       KmvAgg.oracles, Hll.oracles, Wasserstein.oracles,
-      Importance.oracles, SampleAgg.oracles, SemDedup.oracles
+      Importance.oracles, SampleAgg.oracles, SemDedup.oracles,
+      DedupRecall.oracles
     ).reduce(_ ++ _)
 }

@@ -102,7 +102,8 @@ class SparkEntrySpec extends SparkSpec {
       "Wasserstein" -> Wasserstein.queries,
       "Importance" -> Importance.queries,
       "SampleAgg" -> SampleAgg.queries,
-      "SemDedup" -> SemDedup.queries)
+      "SemDedup" -> SemDedup.queries,
+      "DedupRecall" -> DedupRecall.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
