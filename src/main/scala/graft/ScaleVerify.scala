@@ -285,7 +285,10 @@ object ScaleVerify {
         // 10× docs: the probe slice and truth join scale with the
         // replica, the LSH candidate stage re-derives, and the banded
         // recall fractions re-compute from the replica's own pairs
-        "x146_dedup_recall" -> SparkEntry.queries("x146_dedup_recall"))
+        "x146_dedup_recall" -> SparkEntry.queries("x146_dedup_recall"),
+        // 10× vectors through the matrix-free map-only projection;
+        // hash signs recompute identically, sums stay exact i64
+        "x147_jl_projection" -> SparkEntry.queries("x147_jl_projection"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -103,7 +103,8 @@ class SparkEntrySpec extends SparkSpec {
       "Importance" -> Importance.queries,
       "SampleAgg" -> SampleAgg.queries,
       "SemDedup" -> SemDedup.queries,
-      "DedupRecall" -> DedupRecall.queries)
+      "DedupRecall" -> DedupRecall.queries,
+      "JlProjection" -> JlProjection.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
