@@ -186,7 +186,56 @@ object ScaleBench {
         import org.apache.spark.sql.functions.col
         graft.ops.Kmv.kmvOf(d.select(col("source").as("grp"),
           col("text").as("v")))
-      })
+      },
+      // round-12 sketch wave: window form vs bounded-aggregator form on
+      // the SAME replica (x139/x144 carry their exact audits like the
+      // registered queries do; the *_noaudit rows are the pure-sketch
+      // production paths — the aggregator's ≤K-per-partition partials
+      // vs the window's full distinct-stream shuffle)
+      "x139_kmv_agg" -> { d =>
+        import org.apache.spark.sql.functions.col
+        graft.ops.KmvAgg.aggOf(d.select(col("source").as("grp"),
+          col("text").as("v")))
+      },
+      "kmv_noaudit_agg" -> (d => graft.stream.StreamKmv.sourceKmv(d)),
+      "x135_quantile_sketch" -> { d =>
+        import org.apache.spark.sql.functions.{col, length}
+        graft.ops.QuantileSketch.sketchOf(d.select(col("source").as("grp"),
+          col("doc_id").as("id"), length(col("text")).cast("long").as("v")))
+      },
+      "x144_sample_agg" -> { d =>
+        import org.apache.spark.sql.functions.{col, length}
+        graft.ops.SampleAgg.aggOf(d.select(col("source").as("grp"),
+          col("doc_id").as("id"), length(col("text")).cast("long").as("v")))
+      },
+      "sample_stage_window" -> { d =>
+        import org.apache.spark.sql.functions.{col, length}
+        graft.ops.QuantileSketch.sampleOf(d.select(col("source").as("grp"),
+          col("doc_id").as("id"), length(col("text")).cast("long").as("v")))
+      },
+      "sample_stage_agg" -> { d =>
+        import org.apache.spark.sql.functions.{col, length}
+        graft.ops.SampleAgg.sampleFromAgg(d.select(col("source").as("grp"),
+          col("doc_id").as("id"), length(col("text")).cast("long").as("v")))
+      },
+      "x140_hll_registers" -> { d =>
+        import org.apache.spark.sql.functions.col
+        graft.ops.Hll.hllOf(d.select(col("source").as("grp"),
+          col("text").as("v")))
+      },
+      "hll_noaudit_agg" -> (d => graft.stream.StreamHll.sourceHll(d)),
+      "x141_wasserstein_drift" -> { d =>
+        import org.apache.spark.sql.functions.{col, length}
+        graft.ops.Wasserstein.w1Of(d.select(col("source").as("grp"),
+          length(col("text")).cast("long").as("v")))
+      },
+      "x142_importance_weights" -> { d =>
+        import org.apache.spark.sql.functions.col
+        graft.ops.Importance.weightsOf(
+          d.select(col("doc_id"), col("lang"), col("text")))
+      },
+      "x146_dedup_recall" -> (d =>
+        graft.ops.DedupRecall.recallOf(Dedup.shinglesOf(d))))
     // section filter for partial re-runs (e.g. the memory-heavy hot-corpus
     // recall section alone under a bigger heap):
     // generic | simjoin | hot | events | vectors | pit
