@@ -288,7 +288,12 @@ object ScaleVerify {
         "x146_dedup_recall" -> SparkEntry.queries("x146_dedup_recall"),
         // 10× vectors through the matrix-free map-only projection;
         // hash signs recompute identically, sums stay exact i64
-        "x147_jl_projection" -> SparkEntry.queries("x147_jl_projection"))
+        "x147_jl_projection" -> SparkEntry.queries("x147_jl_projection"),
+        // 10× distinct contents per source in BOTH snapshots; sketches
+        // stay K longs, the union merge re-derives, est branches flip
+        // to the formula side everywhere
+        "x148_sketch_novelty" ->
+          SparkEntry.queries("x148_sketch_novelty"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

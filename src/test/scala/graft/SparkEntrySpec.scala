@@ -104,7 +104,8 @@ class SparkEntrySpec extends SparkSpec {
       "SampleAgg" -> SampleAgg.queries,
       "SemDedup" -> SemDedup.queries,
       "DedupRecall" -> DedupRecall.queries,
-      "JlProjection" -> JlProjection.queries)
+      "JlProjection" -> JlProjection.queries,
+      "SketchNovelty" -> SketchNovelty.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
