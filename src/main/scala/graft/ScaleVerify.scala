@@ -293,7 +293,12 @@ object ScaleVerify {
         // stay K longs, the union merge re-derives, est branches flip
         // to the formula side everywhere
         "x148_sketch_novelty" ->
-          SparkEntry.queries("x148_sketch_novelty"))
+          SparkEntry.queries("x148_sketch_novelty"),
+        // 10× rows through the one-pass contract aggregate; the
+        // replica's suffixed texts stay non-empty and key-unique, so
+        // every expectation re-verifies green at scale
+        "x149_expectations_audit" ->
+          SparkEntry.queries("x149_expectations_audit"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -62,7 +62,8 @@ object SparkEntry {
       AmsF2.queries, ThetaOverlap.queries, SketchRollup.queries,
       KmvAgg.queries, Hll.queries, Wasserstein.queries,
       Importance.queries, SampleAgg.queries, SemDedup.queries,
-      DedupRecall.queries, JlProjection.queries, SketchNovelty.queries
+      DedupRecall.queries, JlProjection.queries, SketchNovelty.queries,
+      Expectations.queries
     ).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,6 +109,7 @@ object SparkEntry {
       AmsF2.oracles, ThetaOverlap.oracles, SketchRollup.oracles,
       KmvAgg.oracles, Hll.oracles, Wasserstein.oracles,
       Importance.oracles, SampleAgg.oracles, SemDedup.oracles,
-      DedupRecall.oracles, JlProjection.oracles, SketchNovelty.oracles
+      DedupRecall.oracles, JlProjection.oracles, SketchNovelty.oracles,
+      Expectations.oracles
     ).reduce(_ ++ _)
 }

@@ -105,7 +105,8 @@ class SparkEntrySpec extends SparkSpec {
       "SemDedup" -> SemDedup.queries,
       "DedupRecall" -> DedupRecall.queries,
       "JlProjection" -> JlProjection.queries,
-      "SketchNovelty" -> SketchNovelty.queries)
+      "SketchNovelty" -> SketchNovelty.queries,
+      "Expectations" -> Expectations.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
