@@ -67,6 +67,24 @@ class SketchNoveltySpec extends SparkSpec {
     }
   }
 
+  test("X148: a source present in only one snapshot still reports") {
+    // a brand-new feed: in A, absent from B entirely
+    val a = frame((1L to 15L).map(i => (i, "newfeed", s"doc-$i")) ++
+      (100L to 110L).map(i => (i, "old", s"stable-$i")))
+    val b = frame((100L to 110L).map(i => (i, "old", s"stable-$i")))
+    val rows = SketchNovelty.noveltyOf(a, b).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val nf = rows("newfeed")
+    assert(nf.getAs[Long]("n_b") == 0L)
+    assert(nf.getAs[Long]("exact_new") == 15L)
+    assert(nf.getAs[Long]("exact_removed") == 0L)
+    assert(nf.getAs[Long]("k_u") == 15L,
+      "the union sketch must be A's sketch when B is empty")
+    val old = rows("old")
+    assert(old.getAs[Long]("exact_new") == 0L)
+    assert(old.getAs[Double]("est_new") == 0.0)
+  }
+
   test("X148: partition-count invariance") {
     val docs = Tables.documents(spark, sfDir)
       .select($"doc_id", $"source", $"text")
