@@ -45,13 +45,17 @@ object Expectations {
       count(lit(1)).as("n_rows"),
       sum(when($"doc_id".isNull, 1L).otherwise(0L)).as("v_null_id"),
       countDistinct($"doc_id").as("n_ids"),
-      sum(when(!$"lang".isin(LangDomain: _*), 1L).otherwise(0L))
-        .as("v_lang"),
+      // NULL is a violation, not a pass: `NOT IN`/`rlike` over NULL is
+      // NULL, which `otherwise(0)` would count as clean — a quality
+      // gate that greenlights null categorical/key-format columns
+      // (round-12 advice). The isNull arm makes the contract total.
+      sum(when($"lang".isNull || !$"lang".isin(LangDomain: _*), 1L)
+        .otherwise(0L)).as("v_lang"),
       sum(when($"n_chars" <= 0L, 1L).otherwise(0L)).as("v_chars"),
       sum(when(length(trim($"text")) === 0, 1L).otherwise(0L))
         .as("v_text"),
-      sum(when(!$"source".rlike("^src[0-9]+$"), 1L).otherwise(0L))
-        .as("v_src"))
+      sum(when($"source".isNull || !$"source".rlike("^src[0-9]+$"), 1L)
+        .otherwise(0L)).as("v_src"))
     agg
       .select($"n_rows", expr(
         """stack(6,
@@ -77,14 +81,15 @@ object Expectations {
        |         CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
        |           AS BIGINT) AS v_null_id,
        |         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
-       |         CAST(sum(CASE WHEN lang NOT IN ($langs) THEN 1 ELSE 0
-       |           END) AS BIGINT) AS v_lang,
+       |         CAST(sum(CASE WHEN lang IS NULL OR lang NOT IN ($langs)
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
        |         CAST(sum(CASE WHEN n_chars <= 0 THEN 1 ELSE 0 END)
        |           AS BIGINT) AS v_chars,
        |         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1
        |           ELSE 0 END) AS BIGINT) AS v_text,
-       |         CAST(sum(CASE WHEN NOT regexp_matches(source,
-       |           '^src[0-9]+$$') THEN 1 ELSE 0 END) AS BIGINT) AS v_src
+       |         CAST(sum(CASE WHEN source IS NULL OR NOT regexp_matches(
+       |           source, '^src[0-9]+$$') THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS v_src
        |  FROM documents),
        |s AS (
        |  SELECT 'doc_id_not_null' AS expectation, n_rows,

@@ -29,17 +29,30 @@ object ScaleCaps {
     * silently-ignored typo'd cap would deploy the lossless join at
     * open scale, which is exactly what the posture exists to prevent.
     */
-  def maxCandDf: Long = {
-    val raw = sys.props.get("graft.maxCandDf")
-      .orElse(sys.env.get("SPARK_GRAFT_MAX_CAND_DF"))
+  def maxCandDf: Long = cap("graft.maxCandDf", "SPARK_GRAFT_MAX_CAND_DF")
+
+  /** Per-cell size bound for x145 SemDeDup's within-cell pair search
+    * (round-12 verdict item 1). The registered oracle pins label-seeded
+    * cells whose COUNT is fixed, so within-cell pair volume grows
+    * quadratically with the corpus; at open scale a deployment sets
+    * this bound and cells above it are hash-split into ceil(n/bound)
+    * sub-cells — the SemDeDup paper's own k-grows-with-corpus recipe,
+    * applied below the fixed cell layer — making pair volume linear
+    * (~n·bound/2 per cell). Unset ⇒ `Long.MaxValue`, bit-equal to the
+    * lossless within-cell join the oracle gates.
+    */
+  def maxCellSize: Long =
+    cap("graft.maxCellSize", "SPARK_GRAFT_MAX_CELL_SIZE")
+
+  private def cap(prop: String, env: String): Long = {
+    val raw = sys.props.get(prop).orElse(sys.env.get(env))
       .map(_.trim).filter(_.nonEmpty)
     raw match {
       case None => Long.MaxValue
       case Some(s) => s.toLongOption.filter(_ > 0).getOrElse(
         throw new IllegalArgumentException(
-          s"graft.maxCandDf / SPARK_GRAFT_MAX_CAND_DF must be a positive " +
-            s"long, got '$s' — unset it for the lossless join or pass the " +
-            "candidate-df cap as a number"))
+          s"$prop / $env must be a positive long, got '$s' — unset it " +
+            "for the lossless form or pass the cap as a number"))
     }
   }
 }

@@ -37,11 +37,21 @@ import graft.functions.Hashing._
   * Scale shape: centroids are ONE mergeable (label, dim) aggregate
   * broadcast at |cells| rows (X36/X70 discipline); assignment is a
   * map-only pass finished by a partial-aggregable struct-min argmin;
-  * the pair search is an equi-join keyed on cell — in production k
-  * grows with the corpus (the paper runs ~10⁵ cells) so cell sizes
-  * stay bounded and the pair volume stays ~|corpus|·cell_size; the
-  * keep rule is one per-cluster window over the (tiny) clustered
-  * subset. No all-pairs anywhere (ops/Dedup.scala:20 contract).
+  * the pair search is an equi-join keyed on cell. The registered
+  * oracle pins label-SEEDED cells, whose count is FIXED — so within-
+  * cell pair volume grows quadratically with the corpus. At open scale
+  * a deployment sets [[ScaleCaps.maxCellSize]] (env
+  * `SPARK_GRAFT_MAX_CELL_SIZE`) and cells above the bound are
+  * hash-split into ceil(n/bound) sub-cells before the pair join — the
+  * paper's own k-grows-with-corpus recipe (~10⁵ cells at web scale)
+  * applied below the fixed cell layer, making pair volume linear
+  * (~n·bound/2 per cell; CAND_GROWTH.json carries the measured
+  * counts). Unset ⇒ bit-equal to the lossless within-cell join the
+  * oracle gates (no size aggregate, no sub column in the plan). The
+  * keep rule windows ONLY the clustered subset (cc_label hits —
+  * bounded by dup volume); singletons union back untouched with
+  * keep=true, so the full corpus is never exchanged or sorted for the
+  * verdict. No all-pairs anywhere (ops/Dedup.scala:20 contract).
   *
   * Reference scope: no semantic dedup in the reference; engine
   * extension (SURVEY §2.5, the X2/X18/X20 dedup-decision family).
@@ -52,17 +62,22 @@ object SemDedup {
   val Tau = 0.35
 
   def semDedup(spark: SparkSession, dir: String): DataFrame =
-    semOf(Tables.embeddings(spark, dir))
+    semOf(Tables.embeddings(spark, dir), ScaleCaps.maxCellSize)
 
-  /** Core of X145 over any (vec_id, label, embedding) frame. */
-  private[graft] def semOf(e: DataFrame): DataFrame = {
+  /** The nearest-cell assignment carrying the cosine pieces: X70's
+    * E-step with the embedding threaded through the argmin ((dist_q,
+    * c_label) is total — the X71 trick). */
+  private[graft] def bestOf(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val cent = Assign.centroidArrays(e)
       .withColumn("nq_c", dotQ($"c", $"c"))
-    // X70's E-step, carrying the embedding and the cosine pieces
-    // through the argmin ((dist_q, c_label) is total — the X71 trick)
-    val best = e.crossJoin(broadcast(cent))
+    // explicit not-null (vec_id is a key): the clustered branch's inner
+    // join infers isnotnull(vec_id) into ITS scan while the anti branch
+    // doesn't — without this filter the two best subtrees canonicalize
+    // differently and the corpus-side exchange is computed twice
+    // instead of once via ReusedExchange
+    e.filter($"vec_id".isNotNull).crossJoin(broadcast(cent))
       .select($"vec_id", $"c_label", $"embedding",
         dotQ($"embedding", $"embedding").as("nq"),
         dotQ($"embedding", $"c").as("dvc"), $"nq_c",
@@ -75,24 +90,68 @@ object SemDedup {
       .select($"vec_id", $"b.c_label".as("cell"),
         $"b.embedding".as("e"), $"b.nq".as("nq"),
         cosQ($"b.dvc", $"b.nq", $"b.nq_c").as("cos_cent"))
-    val pairs = best.as("x").join(best.as("y"),
+  }
+
+  /** The within-cell candidate pair stream, pre-threshold — the frame
+    * whose cardinality IS x145's scale cost (CandGrowth counts it).
+    * Lossless (`maxCell == Long.MaxValue`): the plain cell equi-join,
+    * byte-identical to the oracle-gated form. Capped: cells above
+    * `maxCell` are hash-split into ceil(n/bound) sub-cells and pairs
+    * are found within sub-cells only — pair volume turns linear in the
+    * corpus at declared recall (a dup pair is missed only when the
+    * split separates it; the x62/x63 cap philosophy one layer down).
+    */
+  private[graft] def candidatePairsOf(best: DataFrame,
+      maxCell: Long): DataFrame = {
+    val spark = best.sparkSession
+    import spark.implicits._
+    if (maxCell == Long.MaxValue) {
+      best.as("x").join(best.as("y"),
         col("x.cell") === col("y.cell") &&
           col("x.vec_id") < col("y.vec_id"))
+    } else {
+      // |cells| rows — broadcast back so sub-cell assignment is map-only
+      val sizes = best.groupBy($"cell").agg(count(lit(1)).as("n_cell"))
+      val sub = best.join(broadcast(sizes), Seq("cell"))
+        .withColumn("sub", pmod(md5Long40($"vec_id".cast("string")),
+          greatest(ceil($"n_cell".cast("double") / maxCell.toDouble)
+            .cast("long"), lit(1L))))
+        .drop("n_cell")
+      sub.as("x").join(sub.as("y"),
+        col("x.cell") === col("y.cell") &&
+          col("x.sub") === col("y.sub") &&
+          col("x.vec_id") < col("y.vec_id"))
+    }
+  }
+
+  /** Core of X145 over any (vec_id, label, embedding) frame. */
+  private[graft] def semOf(e: DataFrame,
+      maxCell: Long = Long.MaxValue): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val best = bestOf(e)
+    val pairs = candidatePairsOf(best, maxCell)
       .filter(cosQ(dotQ(col("x.e"), col("y.e")),
         col("x.nq"), col("y.nq")) >= Tau)
       .select(col("x.vec_id").as("doc_a"), col("y.vec_id").as("doc_b"))
     val labels = Dedup.connectedComponents(pairs)
       .select($"doc", $"label".as("cc_label"))
     val byCluster = Window.partitionBy($"cluster_id")
-    best
-      .join(labels, $"vec_id" === $"doc", "left")
+    // keep verdict: window ONLY the clustered subset (bounded by dup
+    // volume); singletons never enter an exchange or sort — they are
+    // their own keeper by definition
+    val clustered = best.join(labels, $"vec_id" === $"doc")
       .select($"vec_id", $"cell", $"cos_cent",
-        coalesce($"cc_label", $"vec_id").as("cluster_id"))
+        $"cc_label".as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(byCluster))
-      .withColumn("keeper", min(struct($"cos_cent", $"vec_id")).over(byCluster))
+      .withColumn("keeper",
+        min(struct($"cos_cent", $"vec_id")).over(byCluster))
       .select($"vec_id", $"cell", $"cluster_id", $"cluster_size",
         ($"keeper.vec_id" === $"vec_id").as("keep"))
-      .orderBy($"vec_id")
+    val singletons = best.join(labels, $"vec_id" === $"doc", "left_anti")
+      .select($"vec_id", $"cell", $"vec_id".as("cluster_id"),
+        lit(1L).as("cluster_size"), lit(true).as("keep"))
+    clustered.unionByName(singletons).orderBy($"vec_id")
   }
 
   val semDedupSql: String = {

@@ -76,11 +76,18 @@ object SketchNovelty {
       .join(sketchOf(b, "b"), Seq("grp"), "full_outer")
       .join(newCnt, Seq("grp"), "left")
       .join(remCnt, Seq("grp"), "left")
+      // a source present in only ONE snapshot carries a null sketch out
+      // of the full_outer join; coalesce to the EMPTY sketch before any
+      // size/est math — size(null) is null under ANSI, so est_a/est_b
+      // would go null and greatest(null, 0.0) would report est_new =
+      // 0.0 for a brand-new feed, the opposite of the truth (round-12
+      // advice). An empty sketch estimates 0.0 (k = 0 < K ⇒ exact).
+      .withColumn("ks_a", coalesce($"ks_a", typedLit(Seq.empty[Long])))
+      .withColumn("ks_b", coalesce($"ks_b", typedLit(Seq.empty[Long])))
       // union sketch from the two stored sketches ALONE: bottom-K of
       // the deduped merge (the X138 law; arrays are already sorted)
-      .withColumn("ks_u", slice(array_sort(array_union(
-        coalesce($"ks_a", typedLit(Seq.empty[Long])),
-        coalesce($"ks_b", typedLit(Seq.empty[Long])))), 1, K))
+      .withColumn("ks_u",
+        slice(array_sort(array_union($"ks_a", $"ks_b")), 1, K))
       .select($"grp",
         coalesce($"n_a", lit(0L)).as("n_a"),
         coalesce($"n_b", lit(0L)).as("n_b"),
@@ -142,19 +149,25 @@ object SketchNovelty {
        |  FROM hb b LEFT JOIN ha a ON a.grp = b.grp AND a.h = b.h
        |  WHERE a.h IS NULL GROUP BY b.grp),
        |est0 AS (
-       |  SELECT sa.grp,
+       |  -- su covers every source present in EITHER snapshot (it is
+       |  -- built from the union stream), so driving from su with LEFT
+       |  -- joins keeps single-snapshot sources; a missing side's k
+       |  -- coalesces to 0 (< K ⇒ est 0.0 — the Scala empty-sketch
+       |  -- convention; its kth branch is then never taken)
+       |  SELECT su.grp,
        |         coalesce(sa.n_a, 0) AS n_a, coalesce(sb.n_b, 0) AS n_b,
        |         coalesce(xn.exact_new, 0) AS exact_new,
        |         coalesce(xr.exact_removed, 0) AS exact_removed,
-       |         sa.k_a, sb.k_b, su.k_u,
-       |         ${est("sa.k_a", "sa.kth_a")} AS est_a,
-       |         ${est("sb.k_b", "sb.kth_b")} AS est_b,
+       |         coalesce(sa.k_a, 0) AS k_a, coalesce(sb.k_b, 0) AS k_b,
+       |         su.k_u,
+       |         ${est("coalesce(sa.k_a, 0)", "sa.kth_a")} AS est_a,
+       |         ${est("coalesce(sb.k_b, 0)", "sb.kth_b")} AS est_b,
        |         ${est("su.k_u", "su.kth_u")} AS est_u
-       |  FROM sa
-       |  FULL OUTER JOIN sb ON sa.grp = sb.grp
-       |  JOIN su ON sa.grp = su.grp
-       |  LEFT JOIN xn ON sa.grp = xn.grp
-       |  LEFT JOIN xr ON sa.grp = xr.grp)
+       |  FROM su
+       |  LEFT JOIN sa ON su.grp = sa.grp
+       |  LEFT JOIN sb ON su.grp = sb.grp
+       |  LEFT JOIN xn ON su.grp = xn.grp
+       |  LEFT JOIN xr ON su.grp = xr.grp)
        |SELECT grp, n_a, n_b, exact_new, exact_removed, k_a, k_b, k_u,
        |       est_a, est_b, est_u,
        |       greatest(est_u - est_b, 0.0) AS est_new,

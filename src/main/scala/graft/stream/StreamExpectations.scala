@@ -48,12 +48,17 @@ object StreamExpectations {
       .agg(
         count(lit(1)).as("n_rows"),
         sum(when($"doc_id".isNull, 1L).otherwise(0L)).as("v_null_id"),
-        sum(when(!$"lang".isin(Expectations.LangDomain: _*), 1L)
+        // NULL counts as a violation (X149's contract — see
+        // Expectations.auditOf): NOT IN / rlike over NULL would
+        // otherwise greenlight null categorical/key-format columns
+        sum(when($"lang".isNull ||
+          !$"lang".isin(Expectations.LangDomain: _*), 1L)
           .otherwise(0L)).as("v_lang"),
         sum(when($"n_chars" <= 0L, 1L).otherwise(0L)).as("v_chars"),
         sum(when(length(trim($"text")) === 0, 1L).otherwise(0L))
           .as("v_text"),
-        sum(when(!$"source".rlike("^src[0-9]+$"), 1L).otherwise(0L))
+        sum(when($"source".isNull ||
+          !$"source".rlike("^src[0-9]+$"), 1L).otherwise(0L))
           .as("v_src"),
         kmv($"hid").as("ks"))
       .select($"n_rows", $"v_null_id", $"v_lang", $"v_chars",

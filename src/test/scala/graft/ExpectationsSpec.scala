@@ -48,6 +48,24 @@ class ExpectationsSpec extends SparkSpec {
     assert(n.nonEmpty)
   }
 
+  test("X149: NULL lang/source count as violations, not passes") {
+    // NOT IN / rlike over NULL is NULL — without the explicit isNull
+    // arm the audit would greenlight null categorical/key columns
+    // (round-12 advice)
+    val rows = Seq(
+      (Some(1L), Some("en"), 10L, "fine text", Some("src1")), // clean
+      (Some(2L), None: Option[String], 10L, "fine text", Some("src2")),
+      (Some(3L), Some("en"), 10L, "fine text", None: Option[String]))
+      .toDF("doc_id", "lang", "n_chars", "text", "source")
+    val out = Expectations.auditOf(rows).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_violations")).toMap
+    assert(out("lang_in_domain") == 1L,
+      "a NULL lang must be a domain violation")
+    assert(out("source_format") == 1L,
+      "a NULL source must be a format violation")
+    assert(out("doc_id_not_null") == 0L)
+  }
+
   test("X149: partition-count invariance") {
     val docs = Tables.documents(spark, sfDir)
     val one = Expectations.auditOf(docs).collect().map(_.toString).toSeq

@@ -61,4 +61,42 @@ class SemDedupSpec extends SparkSpec {
       .map(_.toString).toSeq
     assert(one == many)
   }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("X145: unset cap seam — registered query is bit-equal lossless") {
+    sys.props.remove("graft.maxCellSize")
+    assert(graft.ops.ScaleCaps.maxCellSize == Long.MaxValue)
+    val e = Tables.embeddings(spark, sfDir)
+    assert(rows(SparkEntry.queries("x145_semdedup")(spark, sfDir))
+      == rows(SemDedup.semOf(e, Long.MaxValue)))
+  }
+
+  test("X145: set cap seam — cells split, candidates shrink, laws hold") {
+    sys.props("graft.maxCellSize") = "4"
+    try {
+      val e = Tables.embeddings(spark, sfDir)
+      // the REGISTERED query responds to the posture setting
+      assert(rows(SparkEntry.queries("x145_semdedup")(spark, sfDir))
+        == rows(SemDedup.semOf(e, 4L)))
+      // capped candidate pairs are a strict subset of lossless pairs
+      // (cells here are far larger than 4, so the split must bite)
+      val best = SemDedup.bestOf(e)
+      def pairSet(cap: Long) =
+        SemDedup.candidatePairsOf(best, cap)
+          .select(col("x.vec_id"), col("y.vec_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val capped = pairSet(4L)
+      val lossless = pairSet(Long.MaxValue)
+      assert(capped.subsetOf(lossless))
+      assert(capped.size < lossless.size,
+        "a cap of 4 must drop candidates at this corpus")
+      // the capped verdict still has exactly one keeper per cluster
+      val perCluster = SemDedup.semOf(e, 4L).groupBy($"cluster_id")
+        .agg(sum(when($"keep", 1L).otherwise(0L)).as("keepers"))
+        .collect()
+      perCluster.foreach(r => assert(r.getAs[Long]("keepers") == 1L))
+    } finally sys.props.remove("graft.maxCellSize")
+  }
 }

@@ -80,9 +80,36 @@ class SketchNoveltySpec extends SparkSpec {
     assert(nf.getAs[Long]("exact_removed") == 0L)
     assert(nf.getAs[Long]("k_u") == 15L,
       "the union sketch must be A's sketch when B is empty")
+    // the estimate columns must report the novelty, not null-coalesce
+    // it away: a brand-new feed's est_new is the whole union estimate
+    // (empty B sketch ⇒ est_b = 0.0 — round-12 advice fix)
+    assert(nf.getAs[Long]("k_b") == 0L)
+    assert(nf.getAs[Double]("est_b") == 0.0)
+    assert(nf.getAs[Double]("est_new") == nf.getAs[Double]("est_u"),
+      "new-feed est_new must equal est_u (est_b is the empty sketch)")
+    assert(nf.getAs[Double]("est_new") == 15.0)
+    assert(nf.getAs[Double]("est_removed") == 0.0)
     val old = rows("old")
     assert(old.getAs[Long]("exact_new") == 0L)
     assert(old.getAs[Double]("est_new") == 0.0)
+  }
+
+  test("X148: a vanished feed reports its removal estimate") {
+    // present only in B (yesterday's feed that stopped): est_removed
+    // must be est_u, not 0.0
+    val a = frame((100L to 110L).map(i => (i, "old", s"stable-$i")))
+    val b = frame((1L to 12L).map(i => (i, "gone", s"doc-$i")) ++
+      (100L to 110L).map(i => (i, "old", s"stable-$i")))
+    val rows = SketchNovelty.noveltyOf(a, b).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val g = rows("gone")
+    assert(g.getAs[Long]("n_a") == 0L)
+    assert(g.getAs[Long]("exact_removed") == 12L)
+    assert(g.getAs[Long]("k_a") == 0L)
+    assert(g.getAs[Double]("est_a") == 0.0)
+    assert(g.getAs[Double]("est_removed") == g.getAs[Double]("est_u"))
+    assert(g.getAs[Double]("est_removed") == 12.0)
+    assert(g.getAs[Double]("est_new") == 0.0)
   }
 
   test("X148: partition-count invariance") {
