@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Containment, Dedup, PrefixJoin, Winnowing}
+import graft.ops.{Containment, Dedup, PrefixJoin, SemDedup, Winnowing}
 
 /** Candidate-pair growth evidence for the near-dup join family's scale
   * posture (round-10 verdict item 2): measure, per scale factor, the
@@ -157,6 +157,44 @@ object CandGrowth {
       record(factor, "x125_winnowing_match", "hot-capped",
         nc125, nr125, w125)
       fp.unpersist()
+      spark.catalog.clearCache()
+    }
+
+    // x145 SemDeDup — the round-12 verdict's named pathology: the
+    // oracle pins label-seeded cells whose COUNT is fixed, so the
+    // lossless within-cell pair volume grows QUADRATICALLY in the
+    // factor (each cell's population multiplies, pairs square). The
+    // replica keeps vec_ids fresh and the label/embedding distribution
+    // intact — exactly how a corpus grows under a fixed clustering.
+    // Capped posture: SPARK_GRAFT_MAX_CELL_SIZE=200 (the base cell
+    // size), under which pair volume must turn LINEAR in the factor.
+    val CellCap = 200L
+    def replicaEmb(blocks: Int): DataFrame = {
+      if (blocks == 1) return Tables.embeddings(spark, baseDir)
+      val path = s"$outDir/emb_x$blocks/embeddings.parquet"
+      if (!Files.exists(Paths.get(path))) {
+        Tables.embeddings(spark, baseDir)
+          .crossJoin(spark.range(blocks).toDF("block"))
+          .select(($"vec_id" + $"block" * 10000000L).as("vec_id"),
+            $"embedding", $"label")
+          .repartition(8 * blocks)
+          .write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(path)
+    }
+    for (factor <- Seq(1, 10, 30)) {
+      val e = replicaEmb(factor)
+      val best = SemDedup.bestOf(e).cache()
+      best.count()
+      val modes: Seq[(String, Long)] =
+        Seq("capped" -> CellCap) ++
+          (if (factor <= 10) Seq("lossless" -> Long.MaxValue) else Nil)
+      for ((mode, cap) <- modes) {
+        val (nc, _) = timed(SemDedup.candidatePairsOf(best, cap).count())
+        val (nr, w) = timed(SemDedup.semOf(e, cap).count())
+        record(factor, "x145_semdedup", mode, nc, nr, w)
+      }
+      best.unpersist()
       spark.catalog.clearCache()
     }
 

@@ -497,7 +497,15 @@ object ScaleBench {
         "x122_mmr_rerank" -> (d => graft.ops.Mmr.mmrOf(d)),
         // per-dim windows deepen 10×, never widen (D fixed)
         "x129_dim_robust_range" ->
-          (d => graft.ops.RobustRange.robustRangeOf(d)))
+          (d => graft.ops.RobustRange.robustRangeOf(d)),
+        // the verdict-named quadratic: cells are the fixed label space,
+        // so the lossless within-cell pair join SQUARES at 10× — the
+        // wall row that motivates the cap...
+        "x145_semdedup" -> (d => graft.ops.SemDedup.semOf(d)),
+        // ...and the deployed posture (cell cap 200 = base cell size),
+        // whose pair volume and wall must grow ~linearly instead
+        "x145_semdedup_capped" ->
+          (d => graft.ops.SemDedup.semOf(d, 200L)))
       emQueries.filter(q => selected(q._1)).foreach { case (name, q) =>
         val t1 = timed(q(spark.read.parquet(em1))
           .write.format("noop").mode("overwrite").save())

@@ -298,7 +298,11 @@ object ScaleVerify {
         // replica's suffixed texts stay non-empty and key-unique, so
         // every expectation re-verifies green at scale
         "x149_expectations_audit" ->
-          SparkEntry.queries("x149_expectations_audit"))
+          SparkEntry.queries("x149_expectations_audit"),
+        "x154_zipf_fit" -> SparkEntry.queries("x154_zipf_fit"),
+        "x155_benford_audit" -> SparkEntry.queries("x155_benford_audit"),
+        "x156_embedding_outliers" ->
+          SparkEntry.queries("x156_embedding_outliers"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

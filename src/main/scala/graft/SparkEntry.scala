@@ -63,7 +63,8 @@ object SparkEntry {
       KmvAgg.queries, Hll.queries, Wasserstein.queries,
       Importance.queries, SampleAgg.queries, SemDedup.queries,
       DedupRecall.queries, JlProjection.queries, SketchNovelty.queries,
-      Expectations.queries
+      Expectations.queries, CurationMix.queries, Zipf.queries,
+      Benford.queries, Outlier.queries
     ).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -110,6 +111,7 @@ object SparkEntry {
       KmvAgg.oracles, Hll.oracles, Wasserstein.oracles,
       Importance.oracles, SampleAgg.oracles, SemDedup.oracles,
       DedupRecall.oracles, JlProjection.oracles, SketchNovelty.oracles,
-      Expectations.oracles
+      Expectations.oracles, CurationMix.oracles, Zipf.oracles,
+      Benford.oracles, Outlier.oracles
     ).reduce(_ ++ _)
 }

@@ -703,10 +703,17 @@ object Vector {
     * nprobe=8 (0.73 vs 0.93 at sf0.01), so the reverse pool is a
     * cheap recall supplement, not a probe-halving substitute. The
     * registered x79 stays the plain form (its probed-cell containment
-    * contract is part of its pinned semantics); this seam carries the
-    * measured alternative for deployments that want the extra recall
-    * at one more keyed join.
+    * contract is part of its pinned semantics); the sym form is
+    * REGISTERED as its own query, x151 (round-12 verdict item 3 —
+    * leave no measured win unregistered), rows-only for x79's exact
+    * trained-cells reason, with the superset-pool / candK-bound /
+    * never-worse-recall contracts pinned in TextVectorSpec.
     */
+  /** X151 — the symmetrized IVF-PQ probe at x79's registered dial. */
+  def annIvfPqSymTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfPqProbeSym(ivfIndex(spark, dir), pqIndex(spark, dir),
+      IvfPqNprobe, IvfPqCandK)
+
   private[graft] def ivfPqProbeSym(ivf: IvfIndex, pq: PqIndex,
       nprobe: Int, candK: Int): DataFrame =
     rerankTop5(ivfPqCandidatesSym(ivf, pq, nprobe, candK))
@@ -989,7 +996,8 @@ object Vector {
     "x31_ann_pq_topk" -> annPqTopK _,
     "x51_hard_negatives" -> hardNegatives _,
     "x79_ann_ivfpq_topk" -> annIvfPqTopK _,
-    "x87_mutual_knn" -> mutualKnn _)
+    "x87_mutual_knn" -> mutualKnn _,
+    "x151_ann_ivfpq_sym_topk" -> annIvfPqSymTopK _)
 
   val oracles: Map[String, String] = Map(
     "x03_cosine_topk" -> cosineTopKSql,

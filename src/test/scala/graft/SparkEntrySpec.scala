@@ -106,7 +106,9 @@ class SparkEntrySpec extends SparkSpec {
       "DedupRecall" -> DedupRecall.queries,
       "JlProjection" -> JlProjection.queries,
       "SketchNovelty" -> SketchNovelty.queries,
-      "Expectations" -> Expectations.queries)
+      "Expectations" -> Expectations.queries,
+      "CurationMix" -> CurationMix.queries, "Zipf" -> Zipf.queries,
+      "Benford" -> Benford.queries, "Outlier" -> Outlier.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
@@ -118,7 +120,7 @@ class SparkEntrySpec extends SparkSpec {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set(
       "b11_approx_distinct", "x19_ann_ivf_topk", "x31_ann_pq_topk",
-      "x79_ann_ivfpq_topk"),
+      "x79_ann_ivfpq_topk", "x151_ann_ivfpq_sym_topk"),
       s"unexpected oracle-less queries: $noOracle")
   }
 }

@@ -287,6 +287,12 @@ class TextVectorSpec extends SparkSpec {
     info(f"IVF-PQ recall@5 at nprobe=$np: plain $plainR%.2f, sym $symR%.2f")
     assert(symR >= plainR - 1e-9,
       s"sym recall ($symR) lost to plain ($plainR) at the registered dial")
+    // the sym form is REGISTERED as x151 at exactly this dial (round-12
+    // verdict item 3) — the gated query must be this probe, verbatim
+    val reg = SparkEntry.queries("x151_ann_ivfpq_sym_topk")(spark, sfDir)
+    assert(pairs(reg) ==
+      pairs(VecOps.ivfPqProbeSym(ivf, pq, np, VecOps.IvfPqCandK)),
+      "registered x151 must be the sym probe at the registered dial")
   }
 
   test("X21: multi-probe candidates strictly contain the single-bucket " +
