@@ -302,7 +302,10 @@ object ScaleVerify {
         "x154_zipf_fit" -> SparkEntry.queries("x154_zipf_fit"),
         "x155_benford_audit" -> SparkEntry.queries("x155_benford_audit"),
         "x156_embedding_outliers" ->
-          SparkEntry.queries("x156_embedding_outliers"))
+          SparkEntry.queries("x156_embedding_outliers"),
+        "x157_boilerplate_phrases" ->
+          SparkEntry.queries("x157_boilerplate_phrases"),
+        "x158_heaps_fit" -> SparkEntry.queries("x158_heaps_fit"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

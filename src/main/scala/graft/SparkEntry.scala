@@ -64,7 +64,8 @@ object SparkEntry {
       Importance.queries, SampleAgg.queries, SemDedup.queries,
       DedupRecall.queries, JlProjection.queries, SketchNovelty.queries,
       Expectations.queries, CurationMix.queries, Zipf.queries,
-      Benford.queries, Outlier.queries
+      Benford.queries, Outlier.queries, Boilerplate.queries,
+      Heaps.queries
     ).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -112,6 +113,7 @@ object SparkEntry {
       Importance.oracles, SampleAgg.oracles, SemDedup.oracles,
       DedupRecall.oracles, JlProjection.oracles, SketchNovelty.oracles,
       Expectations.oracles, CurationMix.oracles, Zipf.oracles,
-      Benford.oracles, Outlier.oracles
+      Benford.oracles, Outlier.oracles, Boilerplate.oracles,
+      Heaps.oracles
     ).reduce(_ ++ _)
 }

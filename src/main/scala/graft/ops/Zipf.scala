@@ -15,16 +15,17 @@ import graft.Tables
   * X98's bigram surprisal (sequence plausibility) — X154 reads the
   * SHAPE of the frequency law itself.
   *
-  * Exactness (the round6+decimal discipline): term frequencies and
-  * ranks are exact i64 (rank total-ordered by freq DESC, word ASC);
-  * ln() is the one libm call, absorbed by round(·, 6) on each VALUE
-  * (lx = round6(ln rank), ly = round6(ln freq)) — both engines then
-  * hold bit-identical DECIMAL(12,6) operands; every OLS sum (Σx, Σy,
-  * Σxy, Σx²) runs in decimal (products are exact at 12 dp — no float
-  * sum anywhere, so partition order cannot matter), and the closed-form
-  * slope/intercept are fixed-order double expressions of those exact
-  * sums. Degenerate sources (one distinct term ⇒ zero x-variance)
-  * report NULL slope via explicit guard in both engines.
+  * Exactness (the Spearman integer mechanism, [[olsFit]]): term
+  * frequencies and ranks are exact i64 (rank total-ordered by freq
+  * DESC, word ASC); ln() is the one libm call, absorbed by quantizing
+  * each VALUE to i64 at 1e6 (round(ln·10⁶) — both engines then hold
+  * bit-identical integers); every OLS sum runs in exact decimal, and
+  * the closed forms n·Σxy − ΣxΣy / n·Σx² − (Σx)² are exact
+  * decimal-integer arithmetic — no float sum and no a·b − c·d double
+  * expression anywhere (the pattern FMA-capable evaluators round
+  * differently across engines), with one final round6'd division.
+  * Degenerate sources (zero x-variance) report NULL slope via
+  * explicit guard in both engines.
   *
   * Scale shape: tokenize/explode row-local (X6's doc-keyed shape); the
   * (source, word) count is map-side combined and vocab-bounded; the
@@ -58,27 +59,95 @@ object Zipf {
       .withColumn("rank", row_number().over(byFreq).cast("long"))
       .filter($"rank" <= R)
       .select($"source",
-        round(log($"rank".cast("double")), 6).cast("decimal(12,6)")
-          .as("lx"),
-        round(log($"freq".cast("double")), 6).cast("decimal(12,6)")
-          .as("ly"))
-    head
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_terms"),
-        sum($"lx").cast("double").as("sx"),
-        sum($"ly").cast("double").as("sy"),
-        sum($"lx" * $"ly").cast("double").as("sxy"),
-        sum($"lx" * $"lx").cast("double").as("sxx"))
-      .withColumn("slope",
-        when($"n_terms" * $"sxx" - $"sx" * $"sx" === 0.0, lit(null))
-          .otherwise(($"n_terms" * $"sxy" - $"sx" * $"sy") /
-            ($"n_terms" * $"sxx" - $"sx" * $"sx")))
-      .withColumn("intercept",
-        when($"slope".isNull, lit(null)).otherwise(
-          ($"sy" - $"slope" * $"sx") / $"n_terms".cast("double")))
-      .select($"source", $"n_terms", $"slope", $"intercept")
-      .orderBy($"source")
+        round(log($"rank".cast("double")) * 1e6).cast("long").as("x"),
+        round(log($"freq".cast("double")) * 1e6).cast("long").as("y"))
+    olsFit(head, "n_terms").orderBy($"source")
   }
+
+  /** The integer-exact OLS core, shared with X158 (Heaps fit): from
+    * (source, x, y) points — x/y already ln-values quantized to i64 at
+    * 1e6 (round(ln·1e6), the Spearman mechanism: the closed forms
+    * n·Σxy − ΣxΣy and n·Σx² − (Σx)² run in EXACT decimal-integer
+    * arithmetic, so no float sum and no a·b − c·d double expression —
+    * the pattern FMA-capable evaluators rounded differently across
+    * engines at 10× before this rewrite). The 1e-12 quantization
+    * factors cancel in the slope ratio; one round6 absorbs the final
+    * double ops (division; the intercept's one multiply-subtract).
+    * Zero x-variance ⇒ NULL.
+    */
+  private[graft] def olsFit(pts: DataFrame, nName: String): DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    pts
+      .groupBy($"source")
+      .agg(count(lit(1)).as(nName),
+        // per-row products are i64-safe (|x|,|y| ≤ ~2.2e7 ⇒ ≤ 4.9e14);
+        // the sums run in decimal so ANY point count stays exact
+        sum($"x".cast("decimal(19,0)")).as("sx_i"),
+        sum($"y".cast("decimal(19,0)")).as("sy_i"),
+        sum(($"x" * $"y").cast("decimal(28,0)")).as("sxy_i"),
+        sum(($"x" * $"x").cast("decimal(28,0)")).as("sxx_i"))
+      // (9,0)×(28,0) and (19,0)×(19,0) stay ≤ 38 digits in BOTH
+      // engines' decimal rules; the (37,0) casts keep the subtraction
+      // inside width 38
+      .withColumn("num",
+        (col(nName).cast("decimal(9,0)") *
+          $"sxy_i".cast("decimal(28,0)")).cast("decimal(37,0)") -
+          ($"sx_i".cast("decimal(19,0)") *
+            $"sy_i".cast("decimal(19,0)")).cast("decimal(37,0)"))
+      .withColumn("den",
+        (col(nName).cast("decimal(9,0)") *
+          $"sxx_i".cast("decimal(28,0)")).cast("decimal(37,0)") -
+          ($"sx_i".cast("decimal(19,0)") *
+            $"sx_i".cast("decimal(19,0)")).cast("decimal(37,0)"))
+      .withColumn("slope",
+        when($"den" === lit(0), lit(null)).otherwise(
+          round($"num".cast("double") / $"den".cast("double"), 6)))
+      .withColumn("intercept",
+        when($"slope".isNull, lit(null)).otherwise(round(
+          ($"sy_i".cast("double") / (col(nName).cast("double") * 1e6))
+            - $"slope" * ($"sx_i".cast("double") /
+              (col(nName).cast("double") * 1e6)), 6)))
+      .select($"source", col(nName), $"slope", $"intercept")
+  }
+
+  /** The matching oracle tail: OLS CTE + final select over a CTE
+    * `<pts>` holding (source, x, y) — integer ln·1e6 points. */
+  private[graft] def olsSqlTail(pts: String, nName: String): String =
+    s"""s AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS $nName,
+       |         sum(CAST(x AS DECIMAL(19,0))) AS sx_i,
+       |         sum(CAST(y AS DECIMAL(19,0))) AS sy_i,
+       |         sum(CAST(x * y AS DECIMAL(28,0))) AS sxy_i,
+       |         sum(CAST(x * x AS DECIMAL(28,0))) AS sxx_i
+       |  FROM $pts GROUP BY source),
+       |nd AS (
+       |  SELECT source, $nName, sx_i, sy_i,
+       |         CAST(CAST($nName AS DECIMAL(9,0))
+       |             * CAST(sxy_i AS DECIMAL(28,0)) AS DECIMAL(37,0))
+       |           - CAST(CAST(sx_i AS DECIMAL(19,0))
+       |             * CAST(sy_i AS DECIMAL(19,0)) AS DECIMAL(37,0))
+       |           AS num,
+       |         CAST(CAST($nName AS DECIMAL(9,0))
+       |             * CAST(sxx_i AS DECIMAL(28,0)) AS DECIMAL(37,0))
+       |           - CAST(CAST(sx_i AS DECIMAL(19,0))
+       |             * CAST(sx_i AS DECIMAL(19,0)) AS DECIMAL(37,0))
+       |           AS den
+       |  FROM s)
+       |SELECT source, $nName,
+       |       CASE WHEN den = 0 THEN NULL
+       |            ELSE round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE),
+       |                       6) END AS slope,
+       |       CASE WHEN den = 0 THEN NULL
+       |            ELSE round((CAST(sy_i AS DOUBLE)
+       |                          / (CAST($nName AS DOUBLE) * 1e6))
+       |                   - round(CAST(num AS DOUBLE)
+       |                             / CAST(den AS DOUBLE), 6)
+       |                     * (CAST(sx_i AS DOUBLE)
+       |                          / (CAST($nName AS DOUBLE) * 1e6)), 6)
+       |            END AS intercept
+       |FROM nd
+       |ORDER BY source""".stripMargin
 
   val zipfFitSql: String =
     s"""WITH tf AS (
@@ -91,30 +160,14 @@ object Zipf {
        |  GROUP BY 1, 2),
        |hd AS (
        |  SELECT source,
-       |         CAST(round(ln(rank), 6) AS DECIMAL(12,6)) AS lx,
-       |         CAST(round(ln(freq), 6) AS DECIMAL(12,6)) AS ly
+       |         CAST(round(ln(rank) * 1000000) AS BIGINT) AS x,
+       |         CAST(round(ln(freq) * 1000000) AS BIGINT) AS y
        |  FROM (SELECT source, freq,
        |               row_number() OVER (PARTITION BY source
        |                 ORDER BY freq DESC, word ASC) AS rank
        |        FROM tf)
        |  WHERE rank <= $R),
-       |s AS (
-       |  SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
-       |         CAST(sum(lx) AS DOUBLE) AS sx,
-       |         CAST(sum(ly) AS DOUBLE) AS sy,
-       |         CAST(sum(lx * ly) AS DOUBLE) AS sxy,
-       |         CAST(sum(lx * lx) AS DOUBLE) AS sxx
-       |  FROM hd GROUP BY source)
-       |SELECT source, n_terms,
-       |       CASE WHEN n_terms * sxx - sx * sx = 0.0 THEN NULL
-       |            ELSE (n_terms * sxy - sx * sy)
-       |                   / (n_terms * sxx - sx * sx) END AS slope,
-       |       CASE WHEN n_terms * sxx - sx * sx = 0.0 THEN NULL
-       |            ELSE (sy - (n_terms * sxy - sx * sy)
-       |                    / (n_terms * sxx - sx * sx) * sx)
-       |                   / CAST(n_terms AS DOUBLE) END AS intercept
-       |FROM s
-       |ORDER BY source""".stripMargin
+       |${olsSqlTail("hd", "n_terms")}""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x154_zipf_fit" -> zipfFit _)

@@ -108,7 +108,8 @@ class SparkEntrySpec extends SparkSpec {
       "SketchNovelty" -> SketchNovelty.queries,
       "Expectations" -> Expectations.queries,
       "CurationMix" -> CurationMix.queries, "Zipf" -> Zipf.queries,
-      "Benford" -> Benford.queries, "Outlier" -> Outlier.queries)
+      "Benford" -> Benford.queries, "Outlier" -> Outlier.queries,
+      "Boilerplate" -> Boilerplate.queries, "Heaps" -> Heaps.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
