@@ -46,11 +46,11 @@ sbt -batch "runMain graft.Verify $SF_VERIFY /tmp/replay_verify" \
 python3 tools/check_oracle.py "$SF_VERIFY" /tmp/replay_verify \
   > REPLAY_ORACLE.log 2>&1 || true
 tail -1 REPLAY_ORACLE.log
-# 4 rows-only ids (b11/x19/x31/x79) are EXPECTED non-pass; anything
-# else failing is a real red
+# 5 rows-only ids (b11/x19/x31/x79/x151) are EXPECTED non-pass;
+# anything else failing is a real red
 if grep "^FAIL" REPLAY_ORACLE.log \
-    | grep -vE "b11_|x19_|x31_|x79_" | grep -q .; then
-  grep "^FAIL" REPLAY_ORACLE.log | grep -vE "b11_|x19_|x31_|x79_"
+    | grep -vE "b11_|x19_|x31_|x79_|x151_" | grep -q .; then
+  grep "^FAIL" REPLAY_ORACLE.log | grep -vE "b11_|x19_|x31_|x79_|x151_"
   echo "ORACLE RED — stopping"; exit 1
 fi
 
@@ -60,6 +60,11 @@ SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.Bench" \
   || { tail -30 /tmp/replay_bench.log; echo "BENCH RED"; exit 1; }
 grep '"metric"' /tmp/replay_bench.log | tail -1 > BENCH_LOCAL_replay.json
 cat BENCH_LOCAL_replay.json
+# keep the _replay artifact trio n-consistent (round-12 verdict item 5:
+# a reader pairing BENCH_LOCAL_replay with a stale per-query map from a
+# mid-round subset run gets a different query count)
+cp BENCH_QUERIES.json BENCH_QUERIES_replay.json
+cp BENCH_SENTINEL.json BENCH_SENTINEL_replay.json
 
 echo "== [4/5] plan audit =="
 sbt -batch "runMain graft.PlanAudit" > /tmp/replay_plans.log 2>&1 \
