@@ -305,7 +305,10 @@ object ScaleVerify {
           SparkEntry.queries("x156_embedding_outliers"),
         "x157_boilerplate_phrases" ->
           SparkEntry.queries("x157_boilerplate_phrases"),
-        "x158_heaps_fit" -> SparkEntry.queries("x158_heaps_fit"))
+        "x158_heaps_fit" -> SparkEntry.queries("x158_heaps_fit"),
+        "x159_join_size_ams" -> SparkEntry.queries("x159_join_size_ams"),
+        "x160_centroid_drift" ->
+          SparkEntry.queries("x160_centroid_drift"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -109,7 +109,9 @@ class SparkEntrySpec extends SparkSpec {
       "Expectations" -> Expectations.queries,
       "CurationMix" -> CurationMix.queries, "Zipf" -> Zipf.queries,
       "Benford" -> Benford.queries, "Outlier" -> Outlier.queries,
-      "Boilerplate" -> Boilerplate.queries, "Heaps" -> Heaps.queries)
+      "Boilerplate" -> Boilerplate.queries, "Heaps" -> Heaps.queries,
+      "JoinSize" -> JoinSize.queries,
+      "CentroidDrift" -> CentroidDrift.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
