@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.stream.{StreamAms, StreamCentroid, StreamDrift}
+
+/** Round-13 streaming-monitor throughput + state-bound evidence, the
+  * StreamMetricsBench protocol applied to the three new monitors:
+  * X152 (drift: bounded reservoir per source), X161 (AMS: 32 linear
+  * counters per source), X162 (centroids: one [n, s₀…s_D] buffer per
+  * label). Generation is setup, not timed; the timed section is the
+  * AvailableNow drain through each monitor into a noop sink, complete
+  * mode; state_rows is read from the engine's own stateOperators
+  * accounting — the measured form of the bounded-state claims the
+  * specs pin functionally.
+  *
+  * Usage: `sbt "runMain graft.StreamMonitorBench [nRows]"`.
+  */
+object StreamMonitorBench {
+
+  val Sources = 20L
+  val Labels = 10L
+  val Dims = 64
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val work = Files.createTempDirectory("graft-streammon-")
+
+    def drain(name: String, srcDir: String, schema: StructType,
+        expectState: Long)(
+        monitor: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+      val t0 = System.nanoTime()
+      val query = monitor(stream)
+        .writeStream.outputMode("complete").format("noop")
+        .option("checkpointLocation", s"$work/ckpt-$name")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val stateRows = query.recentProgress.flatMap(p =>
+        Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+        .lastOption.getOrElse(-1L)
+      println(f"""{"metric":"${name}_rows_per_sec","value":${n / sec}%.0f,"unit":"rows/sec","rows":$n,"seconds":$sec%.2f,"state_rows":$stateRows,"expected_state":$expectState}""")
+    }
+
+    // X152 — documents-shaped stream; reference = shifted lengths
+    val docs = spark.range(n).select(
+      concat(lit("src"), $"id" % Sources).as("source"),
+      $"id".as("doc_id"),
+      (($"id" * 31L) % 2000L + 20L).as("n_chars"))
+    val docsDir = s"$work/docs"
+    docs.repartition(cpus.toInt).write.mode("overwrite").parquet(docsDir)
+    val ref152 = StreamDrift.refSamples(
+      spark.read.parquet(docsDir).limit(100000)
+        .withColumn("n_chars", $"n_chars" + 7L)).cache()
+    ref152.count()
+    drain("stream_drift", docsDir, docs.schema, Sources)(
+      StreamDrift.driftMonitor(_, ref152))
+
+    // X161 — (grp, v) stream; reference sketch from a 100k batch
+    val kv = spark.range(n).select(
+      concat(lit("src"), $"id" % Sources).as("grp"),
+      concat(lit("content-"), ($"id" * 17L) % 250000L).as("v"))
+    val kvDir = s"$work/kv"
+    kv.repartition(cpus.toInt).write.mode("overwrite").parquet(kvDir)
+    val ref161 = StreamAms.refSketch(
+      spark.read.parquet(kvDir).limit(100000)).cache()
+    ref161.count()
+    drain("stream_ams", kvDir, kv.schema, Sources)(
+      StreamAms.amsMonitor(_, ref161))
+
+    // X162 — (label, embedding) stream at 64 dims (fewer rows: the
+    // per-row payload is 64 floats, so nVec rows ≈ n in field count)
+    val nVec = math.max(n / 16L, 10000L)
+    val emb = spark.range(nVec).select(
+      ($"id" % Labels).as("label"),
+      expr(s"transform(sequence(1, $Dims), d -> " +
+        "CAST(pmod(id * 37 + d * 101, 2000) AS FLOAT) / 1000.0 - 1.0)")
+        .as("embedding"))
+    val embDir = s"$work/emb"
+    emb.repartition(cpus.toInt).write.mode("overwrite").parquet(embDir)
+    val ref162 = StreamCentroid.refCentroids(
+      spark.read.parquet(embDir).limit(20000)).cache()
+    ref162.count()
+    val streamEmb = spark.readStream.schema(emb.schema).parquet(embDir)
+    val t0 = System.nanoTime()
+    val q162 = StreamCentroid.centroidMonitor(streamEmb, ref162)
+      .writeStream.outputMode("complete").format("noop")
+      .option("checkpointLocation", s"$work/ckpt-centroid")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q162.awaitTermination()
+    val sec162 = (System.nanoTime() - t0) / 1e9
+    val state162 = q162.recentProgress.flatMap(p =>
+      Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+      .lastOption.getOrElse(-1L)
+    println(f"""{"metric":"stream_centroid_rows_per_sec","value":${nVec / sec162}%.0f,"unit":"rows/sec","rows":$nVec,"seconds":$sec162%.2f,"state_rows":$state162,"expected_state":$Labels}""")
+
+    spark.stop()
+  }
+}
