@@ -308,7 +308,9 @@ object ScaleVerify {
         "x158_heaps_fit" -> SparkEntry.queries("x158_heaps_fit"),
         "x159_join_size_ams" -> SparkEntry.queries("x159_join_size_ams"),
         "x160_centroid_drift" ->
-          SparkEntry.queries("x160_centroid_drift"))
+          SparkEntry.queries("x160_centroid_drift"),
+        "x163_psi_drift" -> SparkEntry.queries("x163_psi_drift"),
+        "x164_user_entropy" -> SparkEntry.queries("x164_user_entropy"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

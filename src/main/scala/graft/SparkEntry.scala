@@ -65,7 +65,8 @@ object SparkEntry {
       DedupRecall.queries, JlProjection.queries, SketchNovelty.queries,
       Expectations.queries, CurationMix.queries, Zipf.queries,
       Benford.queries, Outlier.queries, Boilerplate.queries,
-      Heaps.queries, JoinSize.queries, CentroidDrift.queries
+      Heaps.queries, JoinSize.queries, CentroidDrift.queries,
+      Psi.queries, Entropy.queries
     ).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -114,6 +115,7 @@ object SparkEntry {
       DedupRecall.oracles, JlProjection.oracles, SketchNovelty.oracles,
       Expectations.oracles, CurationMix.oracles, Zipf.oracles,
       Benford.oracles, Outlier.oracles, Boilerplate.oracles,
-      Heaps.oracles, JoinSize.oracles, CentroidDrift.oracles
+      Heaps.oracles, JoinSize.oracles, CentroidDrift.oracles,
+      Psi.oracles, Entropy.oracles
     ).reduce(_ ++ _)
 }

@@ -111,7 +111,8 @@ class SparkEntrySpec extends SparkSpec {
       "Benford" -> Benford.queries, "Outlier" -> Outlier.queries,
       "Boilerplate" -> Boilerplate.queries, "Heaps" -> Heaps.queries,
       "JoinSize" -> JoinSize.queries,
-      "CentroidDrift" -> CentroidDrift.queries)
+      "CentroidDrift" -> CentroidDrift.queries, "Psi" -> Psi.queries,
+      "Entropy" -> Entropy.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
