@@ -310,7 +310,8 @@ object ScaleVerify {
         "x160_centroid_drift" ->
           SparkEntry.queries("x160_centroid_drift"),
         "x163_psi_drift" -> SparkEntry.queries("x163_psi_drift"),
-        "x164_user_entropy" -> SparkEntry.queries("x164_user_entropy"))
+        "x164_user_entropy" -> SparkEntry.queries("x164_user_entropy"),
+        "x165_fd_audit" -> SparkEntry.queries("x165_fd_audit"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -66,7 +66,7 @@ object SparkEntry {
       Expectations.queries, CurationMix.queries, Zipf.queries,
       Benford.queries, Outlier.queries, Boilerplate.queries,
       Heaps.queries, JoinSize.queries, CentroidDrift.queries,
-      Psi.queries, Entropy.queries
+      Psi.queries, Entropy.queries, FdAudit.queries
     ).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -116,6 +116,6 @@ object SparkEntry {
       Expectations.oracles, CurationMix.oracles, Zipf.oracles,
       Benford.oracles, Outlier.oracles, Boilerplate.oracles,
       Heaps.oracles, JoinSize.oracles, CentroidDrift.oracles,
-      Psi.oracles, Entropy.oracles
+      Psi.oracles, Entropy.oracles, FdAudit.oracles
     ).reduce(_ ++ _)
 }
