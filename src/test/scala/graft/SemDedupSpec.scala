@@ -99,4 +99,42 @@ class SemDedupSpec extends SparkSpec {
       perCluster.foreach(r => assert(r.getAs[Long]("keepers") == 1L))
     } finally sys.props.remove("graft.maxCellSize")
   }
+
+  test("X145: the cap drops EXACTLY the pairs the hash split separates") {
+    // the CapRecallSpec discipline applied to the cell cap: replay the
+    // sub-cell assignment driver-side (same hash, same ceil(n/cap)
+    // modulus) and demand SET equality with the engine's capped and
+    // lossless candidate streams — the cap's loss mode is then a
+    // theorem about the split, not an observation about counts
+    val cap = 4L
+    val best = SemDedup.bestOf(Tables.embeddings(spark, sfDir))
+    val rows = best.select($"vec_id", $"cell",
+        graft.functions.Hashing.md5Long40($"vec_id".cast("string"))
+          .as("h"))
+      .collect()
+      .map(r => (r.getAs[Number]("vec_id").longValue,
+        r.getAs[Number]("cell").longValue,
+        r.getAs[Number]("h").longValue))
+    val byCell = rows.groupBy(_._2)
+    def pairsOf(groups: Iterable[Seq[(Long, Long, Long)]]) =
+      groups.flatMap { ms =>
+        for (a <- ms; b <- ms if a._1 < b._1) yield (a._1, b._1)
+      }.toSet
+    val losslessExp = pairsOf(byCell.values.map(_.toSeq))
+    val cappedExp = pairsOf(byCell.values.flatMap { ms =>
+      val nsub = math.max(
+        math.ceil(ms.length.toDouble / cap).toLong, 1L)
+      ms.groupBy(m => java.lang.Math.floorMod(m._3, nsub))
+        .values.map(_.toSeq)
+    })
+    def got(c: Long) = SemDedup.candidatePairsOf(best, c)
+      .select(col("x.vec_id"), col("y.vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got(Long.MaxValue) == losslessExp)
+    assert(got(cap) == cappedExp,
+      "capped candidates must be exactly the within-(cell, sub) pairs")
+    assert(cappedExp.subsetOf(losslessExp))
+    assert((losslessExp -- cappedExp).nonEmpty,
+      "the fixture must actually exercise the split")
+  }
 }
