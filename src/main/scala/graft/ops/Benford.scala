@@ -46,7 +46,13 @@ object Benford {
       .select(col("o_orderpriority").as("grp"),
         col("o_totalprice").as("v")))
 
-  /** Core of X155 over any (grp, v > 1) frame; test seam. */
+  /** Core of X155 over any (grp, v) frame; test seam. Rows with
+    * v < 1 (no leading digit 1–9: zero, negative, sub-unit fractions)
+    * are excluded BEFORE counting — enforced in the plan, not left as a
+    * doc-comment contract, so n is exactly Σ d1..d9 and the χ²
+    * expectations n·p(d) stay calibrated to the observed digit counts
+    * on any input the seam receives (round-13 advice item).
+    */
   private[graft] def benfordOf(rows: DataFrame): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
@@ -56,6 +62,7 @@ object Benford {
       sum(when(digit === d, 1L).otherwise(0L)).as(s"d$d"))
     val aggs = count(lit(1)).as("n") +: obs
     val counted = rows
+      .filter($"v" >= 1)
       .groupBy($"grp")
       .agg(aggs.head, aggs.tail: _*)
     // χ² = Σ (obs − n·p)²/(n·p): each term is a fixed-order double of
@@ -94,7 +101,8 @@ object Benford {
       s"abs(CAST(d$d AS DOUBLE) / CAST(n AS DOUBLE) - ${P(d - 1)})"
     }.reduce((a, b) => s"greatest($a, $b)")
     s"""WITH c AS (
-       |  SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders),
+       |  SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders
+       |  WHERE o_totalprice >= 1),
        |a AS (
        |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
        |         $obs

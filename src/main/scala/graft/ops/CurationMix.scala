@@ -53,25 +53,36 @@ object CurationMix {
     val spark = docs.sparkSession
     import spark.implicits._
     val langs = Expectations.LangDomain
+    // NULL-total gate (round-13 advice item — the Expectations.auditOf
+    // discipline): a NULL text or n_chars makes the raw conjunction
+    // NULL, which would put the row in n_raw but in NO funnel bucket,
+    // breaking funnel conservation (n_gate_fail + n_low_quality + n_dup
+    // + n_kept = n_raw) on dirty corpora. coalesce(·, false) makes
+    // every three-valued outcome a hard verdict.
     val gated = docs
       .select($"doc_id", $"lang",
-        ($"doc_id".isNotNull &&
+        coalesce($"doc_id".isNotNull &&
           $"lang".isNotNull && $"lang".isin(langs: _*) &&
           $"n_chars" > 0L && length(trim($"text")) > 0 &&
-          $"source".isNotNull && $"source".rlike("^src[0-9]+$"))
+          $"source".isNotNull && $"source".rlike("^src[0-9]+$"),
+          lit(false))
           .as("gate_ok"))
     val verdicts = verdictLedger.select($"doc_id", $"verdict")
-    val funnel = gated.join(verdicts, Seq("doc_id"))
+    // LEFT join: a row the ledger never saw (NULL doc_id, or a doc_id
+    // the curation snapshot predates) must not vanish from n_raw — it
+    // buckets as a gate failure (no verdict ⇒ not certifiable as kept)
+    val funnel = gated.join(verdicts, Seq("doc_id"), "left")
+      .withColumn("ok", $"gate_ok" && $"verdict".isNotNull)
       .groupBy($"lang")
       .agg(
         count(lit(1)).as("n_raw"),
-        sum(when(!$"gate_ok", 1L).otherwise(0L)).as("n_gate_fail"),
-        sum(when($"gate_ok" && $"verdict" === "low_quality", 1L)
+        sum(when(!$"ok", 1L).otherwise(0L)).as("n_gate_fail"),
+        sum(when($"ok" && $"verdict" === "low_quality", 1L)
           .otherwise(0L)).as("n_low_quality"),
-        sum(when($"gate_ok" &&
+        sum(when($"ok" &&
           $"verdict".isin("exact_dup", "near_dup"), 1L)
           .otherwise(0L)).as("n_dup"),
-        sum(when($"gate_ok" && $"verdict" === "kept", 1L)
+        sum(when($"ok" && $"verdict" === "kept", 1L)
           .otherwise(0L)).as("n_kept"))
       // X46's parity mechanism verbatim: p^α truncated to DECIMAL(27,6)
       // before any ratio (identical decimal operands ⇒ identical IEEE
@@ -98,16 +109,17 @@ object CurationMix {
        |${Curation.verdictCtes},
        |g AS (
        |  SELECT doc_id, lang,
-       |         (doc_id IS NOT NULL AND lang IS NOT NULL
+       |         coalesce(doc_id IS NOT NULL AND lang IS NOT NULL
        |          AND lang IN ($langs) AND n_chars > 0
        |          AND length(trim(text)) > 0 AND source IS NOT NULL
-       |          AND regexp_matches(source, '^src[0-9]+$$')) AS gate_ok
+       |          AND regexp_matches(source, '^src[0-9]+$$'), false)
+       |           AS gate_ok
        |  FROM documents),
        |f AS (
        |  SELECT g.lang,
        |         CAST(count(*) AS BIGINT) AS n_raw,
-       |         CAST(sum(CASE WHEN NOT gate_ok THEN 1 ELSE 0 END)
-       |           AS BIGINT) AS n_gate_fail,
+       |         CAST(sum(CASE WHEN NOT gate_ok OR v.verdict IS NULL
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_gate_fail,
        |         CAST(sum(CASE WHEN gate_ok AND v.verdict = 'low_quality'
        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
        |         CAST(sum(CASE WHEN gate_ok AND v.verdict IN
@@ -115,7 +127,7 @@ object CurationMix {
        |           AS BIGINT) AS n_dup,
        |         CAST(sum(CASE WHEN gate_ok AND v.verdict = 'kept'
        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-       |  FROM g JOIN verdicts v ON g.doc_id = v.doc_id
+       |  FROM g LEFT JOIN verdicts v ON g.doc_id = v.doc_id
        |  GROUP BY 1),
        |f6 AS (
        |  SELECT *, CAST(pow(n_kept, ${Mixing.TempAlpha})

@@ -44,7 +44,15 @@ object StreamAms {
   }
 
   /** Per-source live F2 + join-size-vs-reference estimates over a
-    * (streaming or batch) (grp, v) frame. */
+    * (streaming or batch) (grp, v) frame.
+    *
+    * The reference sketch is joined LEFT from the live side (round-13
+    * advice item): a brand-new feed with no calibration row must still
+    * emit its live F2 — the quadratic-blow-up alarm works without a
+    * reference — flagged has_ref=false with ref_rows=0 and a NULL
+    * est_join_ref (no sketch, no overlap estimate; NULL is honest where
+    * 0 would read as "measured disjoint").
+    */
   def amsMonitor(rows: DataFrame, ref: DataFrame): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
@@ -58,11 +66,14 @@ object StreamAms {
     val refDot = (0 until R).map(r => col(s"x$r") * col(s"r$r"))
       .reduce(_ + _)
     signed.groupBy($"grp").agg(sums.head, sums.tail: _*)
-      .join(ref, Seq("grp"))
+      .join(ref, Seq("grp"), "left")
+      .withColumn("has_ref", $"ref_rows".isNotNull)
       .withColumn("ss", selfDot)
       .withColumn("rs", refDot)
-      .select($"grp", $"n_rows", $"ref_rows",
+      .select($"grp", $"n_rows",
+        coalesce($"ref_rows", lit(0L)).as("ref_rows"), $"has_ref",
         expr(s"ss div $R").as("est_f2"),
-        expr(s"rs div $R").as("est_join_ref"))
+        when($"has_ref", expr(s"rs div $R")).otherwise(lit(null))
+          .cast("long").as("est_join_ref"))
   }
 }

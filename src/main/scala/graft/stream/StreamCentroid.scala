@@ -44,7 +44,13 @@ object StreamCentroid {
   }
 
   /** Per-label live centroid + drift vs the static reference, over a
-    * (streaming or batch) (label, embedding) frame. */
+    * (streaming or batch) (label, embedding) frame.
+    *
+    * The reference is joined LEFT from the live side (round-13 advice
+    * item): a label the calibration never saw must still emit its live
+    * row — flagged has_ref=false with NULL drift columns (no reference
+    * centroid, no drift; the flag is the alarm).
+    */
   def centroidMonitor(e: DataFrame, ref: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
@@ -59,12 +65,16 @@ object StreamCentroid {
         expr("transform(slice(b, 2, size(b) - 1), s -> " +
           s"CAST(CAST(s AS DOUBLE) / element_at(b, 1) " +
           s"/ ${Centroids.Scale} AS FLOAT))").as("c"))
-      .join(ref, Seq("label"))
-      .select($"label", $"n_vecs",
+      .join(ref, Seq("label"), "left")
+      .withColumn("has_ref", $"rc".isNotNull)
+      .select($"label", $"n_vecs", $"has_ref",
         // dotQ quantizes per-term at 1e15 — divide back to real units
-        ((dotQ($"c", $"c") - lit(2.0) * dotQ($"c", $"rc")
-          + dotQ($"rc", $"rc")) / lit(1e15)).as("l2sq_drift"),
-        cosQ(dotQ($"c", $"rc"), dotQ($"c", $"c"), dotQ($"rc", $"rc"))
-          .as("cos_ref"))
+        when($"has_ref",
+          (dotQ($"c", $"c") - lit(2.0) * dotQ($"c", $"rc")
+            + dotQ($"rc", $"rc")) / lit(1e15))
+          .otherwise(lit(null)).cast("double").as("l2sq_drift"),
+        when($"has_ref",
+          cosQ(dotQ($"c", $"rc"), dotQ($"c", $"c"), dotQ($"rc", $"rc")))
+          .otherwise(lit(null)).cast("double").as("cos_ref"))
   }
 }

@@ -64,10 +64,19 @@ object StreamDrift {
   }
 
   /** Per-source drift of the live stream vs the static reference.
-    * Emits (source, n_cur, n_ref, ks_q, w1_q): ks_q = max CDF gap in
-    * [0,1], w1_q = earth-mover distance in value units — X117/X141's
-    * statistics over the two samples. Works identically on a batch
-    * frame (the spec's streamed ≡ batch law).
+    * Emits (source, n_cur, n_ref, has_ref, ks_q, w1_q): ks_q = max CDF
+    * gap in [0,1], w1_q = earth-mover distance in value units —
+    * X117/X141's statistics over the two samples. Works identically on
+    * a batch frame (the spec's streamed ≡ batch law).
+    *
+    * The reference is joined LEFT from the live side (round-13 advice
+    * item): a source the calibration never saw — the strongest drift
+    * signal a monitor exists to catch — must ALARM, not silently drop
+    * out of the output the way a stream-static inner join would drop
+    * it. No-reference rows emit the explicit convention has_ref=false,
+    * n_ref=0, ks_q=1.0 (a novel feed is maximal drift by definition),
+    * w1_q=0.0 (transport distance to an empty sample has no value
+    * scale — the has_ref flag, not a fake magnitude, is the signal).
     */
   def driftMonitor(docs: DataFrame, ref: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -88,7 +97,10 @@ object StreamDrift {
       .agg(sk($"h", $"id", $"v").as("ks"))
       .select($"source",
         expr("array_sort(transform(ks, x -> x._2))").as("cur"))
-      .join(ref, Seq("source"))
+      .join(ref, Seq("source"), "left")
+      .withColumn("has_ref", $"ref".isNotNull)
+      .withColumn("ref",
+        coalesce($"ref", array().cast("array<bigint>")))
       .withColumn("n_cur", size($"cur").cast("long"))
       .withColumn("n_ref", size($"ref").cast("long"))
       .withColumn("spine", expr("array_sort(array_union(cur, ref))"))
@@ -103,12 +115,14 @@ object StreamDrift {
           " + (element_at(spine, i + 1) - element_at(spine, i))" +
           s" * ${gapAt.replace("x <= t", "x <= element_at(spine, i)")})" +
           " END"))
-      .select($"source", $"n_cur", $"n_ref",
-        when($"n_cur" * $"n_ref" === 0, lit(0.0)).otherwise(
-          $"ks_num".cast("double") /
-            ($"n_cur" * $"n_ref").cast("double")).as("ks_q"),
-        when($"n_cur" * $"n_ref" === 0, lit(0.0)).otherwise(
-          $"w1_num".cast("double") /
-            ($"n_cur" * $"n_ref").cast("double")).as("w1_q"))
+      .select($"source", $"n_cur", $"n_ref", $"has_ref",
+        when(!$"has_ref", lit(1.0)).otherwise(
+          when($"n_cur" * $"n_ref" === 0, lit(0.0)).otherwise(
+            $"ks_num".cast("double") /
+              ($"n_cur" * $"n_ref").cast("double"))).as("ks_q"),
+        when(!$"has_ref", lit(0.0)).otherwise(
+          when($"n_cur" * $"n_ref" === 0, lit(0.0)).otherwise(
+            $"w1_num".cast("double") /
+              ($"n_cur" * $"n_ref").cast("double"))).as("w1_q"))
   }
 }

@@ -33,6 +33,24 @@ class BenfordSpec extends SparkSpec {
     assert(total == 6L, "every row lands in exactly one digit bucket")
   }
 
+  test("X155: sub-unit and negative values are excluded before counting") {
+    // v < 1 has no leading digit 1–9: if such rows counted in n but in
+    // no bucket, every expectation n·p(d) would inflate (advice item).
+    // The guard must drop them from n, keeping n = Σ d1..d9 exactly.
+    val rows = Seq(("g", 0.42), ("g", -7.0), ("g", 0.0), ("g", 1.7),
+      ("g", 19.99), ("g", 9.01))
+      .toDF("grp", "v")
+    val r = Benford.benfordOf(rows).collect()(0)
+    assert(r.getAs[Long]("n") == 3L,
+      "rows with v < 1 must not count in n")
+    val total = (1 to 9).map(d => r.getAs[Long](s"d$d")).sum
+    assert(total == r.getAs[Long]("n"))
+    // an all-excluded group emits no row at all (no digits to audit)
+    val none = Benford.benfordOf(
+      Seq(("z", 0.5), ("z", -3.0)).toDF("grp", "v")).collect()
+    assert(none.isEmpty)
+  }
+
   test("X155: log-uniform data passes, uniform data fails") {
     // log-uniform over [1, 10^6): exp of uniform — Benford-distributed
     // by construction (deterministic low-discrepancy sequence, no RNG)

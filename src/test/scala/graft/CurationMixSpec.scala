@@ -78,6 +78,40 @@ class CurationMixSpec extends SparkSpec {
     assert(draws <= Mixing.DrawBudget)
   }
 
+  test("X153: NULL fields and unledgered rows conserve the funnel") {
+    // round-13 advice item: a NULL text or n_chars used to make gate_ok
+    // NULL (in n_raw, in NO bucket); a NULL or unledgered doc_id used to
+    // vanish from n_raw entirely via the inner ledger join. Both must
+    // now bucket as gate failures, keeping the funnel conservation law
+    // on genuinely dirty corpora.
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), "good text here", "en", "src1",
+        java.lang.Long.valueOf(14L)),
+      (java.lang.Long.valueOf(2L), null, "en", "src1",
+        java.lang.Long.valueOf(9L)),                  // NULL text
+      (java.lang.Long.valueOf(3L), "no length meta", "en", "src1",
+        null),                                        // NULL n_chars
+      (null, "orphan no key doc", "en", "src1",
+        java.lang.Long.valueOf(17L)),                 // NULL doc_id
+      (java.lang.Long.valueOf(9L), "not in ledger ok", "en", "src1",
+        java.lang.Long.valueOf(16L)))                 // unledgered
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ledger = Seq(1L, 2L, 3L).toDF("doc_id")
+      .withColumn("verdict", lit("kept"))
+    val out = CurationMix.mixOf(docs, ledger).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert(en.getAs[Long]("n_raw") == 5L,
+      "NULL-key and unledgered rows must still count in n_raw")
+    assert(en.getAs[Long]("n_gate_fail") == 4L,
+      "NULL text, NULL n_chars, NULL doc_id, unledgered ⇒ gate failures")
+    assert(en.getAs[Long]("n_kept") == 1L)
+    assert(en.getAs[Long]("n_raw") ==
+      en.getAs[Long]("n_gate_fail") + en.getAs[Long]("n_low_quality") +
+        en.getAs[Long]("n_dup") + en.getAs[Long]("n_kept"),
+      "funnel conservation must hold on the dirty corpus")
+  }
+
   test("X153: partition-count invariance") {
     val docs = Tables.documents(spark, sfDir)
     val ledger = CorpusIndex.curationVerdicts(spark, sfDir)

@@ -58,6 +58,29 @@ class StreamAmsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("a source absent from the reference alarms instead of vanishing") {
+    // round-13 advice item: the old stream-static INNER join silently
+    // dropped any source without a calibration row — the novel feed a
+    // monitor exists to catch. The left join must emit it flagged.
+    val ref = StreamAms.refSketch(Seq(("known", "x")).toDF("grp", "v"))
+    val out = StreamAms.amsMonitor(
+        Seq(("known", "x"), ("novel", "y"), ("novel", "z"))
+          .toDF("grp", "v"), ref)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(out.contains("novel"), "the novel source must emit a row")
+    val n = out("novel")
+    assert(!n.getAs[Boolean]("has_ref"))
+    assert(n.getAs[Long]("ref_rows") == 0L)
+    assert(n.getAs[Long]("n_rows") == 2L,
+      "the live F2 side must still be maintained for a novel source")
+    assert(n.isNullAt(n.fieldIndex("est_join_ref")),
+      "no reference sketch ⇒ no overlap estimate (NULL, not fake 0)")
+    val k = out("known")
+    assert(k.getAs[Boolean]("has_ref") &&
+      k.getAs[Long]("ref_rows") == 1L &&
+      !k.isNullAt(k.fieldIndex("est_join_ref")))
+  }
+
   test("the live cross estimate is X159's inner product on the same integers") {
     // two sources, reference = source b's rows only; the monitor's
     // est_join_ref for source a must equal X159's batch pair estimate

@@ -69,6 +69,27 @@ class StreamCentroidSpec extends SparkSpec {
     assert(math.abs(out.getAs[Double]("cos_ref")) < 1e-12)
   }
 
+  test("a label absent from the reference alarms instead of vanishing") {
+    // round-13 advice item: the inner join dropped never-calibrated
+    // labels. The left join must emit the live row flagged, NULL drift.
+    val ref = StreamCentroid.refCentroids(
+      Seq((1L, Array(1.0f, 0.0f))).toDF("label", "embedding"))
+    val out = StreamCentroid.centroidMonitor(
+        Seq((1L, Array(1.0f, 0.0f)), (7L, Array(0.5f, 0.5f)),
+          (7L, Array(0.5f, 0.5f))).toDF("label", "embedding"), ref)
+      .collect().map(r => r.getAs[Long]("label") -> r).toMap
+    assert(out.contains(7L), "the novel label must emit a row")
+    val n = out(7L)
+    assert(!n.getAs[Boolean]("has_ref"))
+    assert(n.getAs[Long]("n_vecs") == 2L,
+      "the live state must still be maintained for a novel label")
+    assert(n.isNullAt(n.fieldIndex("l2sq_drift")) &&
+      n.isNullAt(n.fieldIndex("cos_ref")),
+      "no reference centroid ⇒ NULL drift, the flag is the alarm")
+    assert(out(1L).getAs[Boolean]("has_ref") &&
+      out(1L).getAs[Double]("l2sq_drift") == 0.0)
+  }
+
   test("VectorSumQ rejects ragged vectors loudly") {
     val e = Seq((1L, Array(1.0f, 2.0f)), (1L, Array(1.0f)))
       .toDF("label", "embedding")

@@ -62,6 +62,28 @@ class StreamDriftSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("a source absent from the reference alarms instead of vanishing") {
+    // round-13 advice item: the inner join dropped never-calibrated
+    // sources — the strongest drift signal there is. The left join must
+    // emit the row with the explicit no-reference convention.
+    val ref = StreamDrift.refSamples(
+      docsDF((1L to 20L).map(i => ("known", i, 10L))))
+    val out = StreamDrift.driftMonitor(
+        docsDF(Seq(("known", 1L, 10L), ("novel", 2L, 99L),
+          ("novel", 3L, 42L))), ref)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out.contains("novel"), "the novel source must emit a row")
+    val n = out("novel")
+    assert(!n.getAs[Boolean]("has_ref"))
+    assert(n.getAs[Long]("n_ref") == 0L)
+    assert(n.getAs[Long]("n_cur") == 2L)
+    assert(n.getAs[Double]("ks_q") == 1.0,
+      "a never-calibrated feed is maximal drift by convention")
+    assert(n.getAs[Double]("w1_q") == 0.0)
+    assert(out("known").getAs[Boolean]("has_ref") &&
+      out("known").getAs[Double]("ks_q") == 0.0)
+  }
+
   test("identical distributions report exactly zero drift") {
     val docs = (1L to 100L).map(i => ("s", i, 10L + i % 13))
     val ref = StreamDrift.refSamples(docsDF(docs))
