@@ -15,25 +15,33 @@ import graft.Tables
   * measures mass concentration). Gini = 0 all-equal, → 1 one doc
   * holds everything.
   *
-  * Exactness — the sorted-rank identity with ties handled by total
-  * order: with per-source ranks i = 1…n over (n_chars asc, doc_id asc)
-  * and x_i the i-th doc's length,
+  * Exactness — the sorted-rank identity computed in CLOSED FORM per
+  * tie block: with per-source ranks i = 1…n over (x asc, doc_id asc)
+  * and x_i the i-th doc's length, G = Σ (2i − n − 1)·x_i / (n·Σ x_i).
+  * Within a tie block (same x, count c, cum_before docs at smaller
+  * values) the weight sum telescopes exactly:
   *
-  *   G = Σ (2i − n − 1)·x_i  /  (n · Σ x_i)
+  *   Σ_{i=cum_before+1}^{cum_before+c} (2i − n − 1) = c·(2·cum_before + c − n)
   *
-  * Both sides are i64 sums (the rank tie-break by doc_id does not
-  * change the value: within a tie group Σ(2i−n−1) weights a constant
-  * x, and the weight sum over any contiguous rank block is
-  * tie-order-invariant), so the op emits `gini_num`/`gini_den` exactly
-  * plus ONE IEEE division (the b50/X99/X106 discipline). A one-doc or
-  * zero-mass source yields den > 0 with num = 0 — exactly G = 0, no
-  * special case.
+  * so gini_num = Σ_blocks x·c·(2·cum_before + c − n) — the same i64 the
+  * per-doc rank form produces (the tie-break by doc_id never mattered:
+  * weights within a block multiply a constant x). The op emits
+  * `gini_num`/`gini_den` exactly plus ONE IEEE division (the
+  * b50/X99/X106 discipline); the DuckDB oracle keeps the per-doc
+  * row_number form, so the hash gate IS the cross-engine proof of the
+  * block identity. A one-doc or zero-mass source yields den > 0 with
+  * num = 0 — exactly G = 0, no special case.
   *
-  * Scale shape: ranks are a per-SOURCE window (partitioned — the x89
-  * shape, never a global sort) over the doc-count-bounded source
-  * partition; one source-keyed aggregate after. At warehouse scale the
-  * same query runs per (source, day) with the window partitioned by
-  * both. Nothing global but the final ORDER BY.
+  * Scale shape (round-13 verdict item 3): the corpus pass is ONE
+  * map-side-combined aggregate to distinct (source, x) value blocks —
+  * length values are heavily duplicated and the VALUE domain saturates
+  * (n_chars is bounded), so the cumulative-count window runs over
+  * value-bounded rows, never corpus-bounded ones. The previous shape —
+  * per-source row_number over one row per DOCUMENT — was a fixed
+  * |sources|-way parallelism funnel: corpus/|sources| rows sorted in a
+  * single task at 100 TB. Now nothing downstream of the first
+  * aggregate scales with the corpus. At warehouse scale the same query
+  * runs per (source, day) with both keys in the window partition.
   *
   * Reference scope: no profiling in the reference; engine extension
   * (SURVEY §2.5, the X7/X25/X89/X107 profile family).
@@ -49,14 +57,21 @@ object Gini {
   private[graft] def giniOf(rows: DataFrame): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
-    val w = Window.partitionBy($"grp").orderBy($"x", $"doc_id")
-    rows
-      .withColumn("i", row_number().over(w).cast("long"))
+    // corpus → distinct-value blocks: the ONLY corpus-sized pass, and
+    // it is a map-side-combined aggregate, not a window
+    val blocks = rows.groupBy($"grp", $"x").agg(count(lit(1)).as("c"))
+    // cumulative doc count over distinct VALUES per source (exclusive),
+    // and the per-source total — both windows over value-bounded rows
+    val byVal = Window.partitionBy($"grp").orderBy($"x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    blocks
+      .withColumn("cum_before", coalesce(sum($"c").over(byVal), lit(0L)))
       .withColumn("n",
-        count(lit(1)).over(Window.partitionBy($"grp")).cast("long"))
+        sum($"c").over(Window.partitionBy($"grp")).cast("long"))
       .groupBy($"grp")
-      .agg(count(lit(1)).as("n_docs"), sum($"x").as("total"),
-        sum((lit(2L) * $"i" - $"n" - lit(1L)) * $"x").as("gini_num"))
+      .agg(sum($"c").as("n_docs"), sum($"x" * $"c").as("total"),
+        sum($"x" * $"c" * (lit(2L) * $"cum_before" + $"c" - $"n"))
+          .as("gini_num"))
       .select($"grp", $"n_docs", $"total",
         $"gini_num", ($"n_docs" * $"total").as("gini_den"),
         when($"total" === 0, lit(0.0)).otherwise(

@@ -31,11 +31,20 @@ import graft.Tables
   * Single-doc sources fit on one point ⇒ NULL by the shared
   * zero-variance guard.
   *
-  * Scale shape: tokenize/explode row-local; first-occurrence and
-  * per-doc counts are map-side-combined aggregates; the running sums
-  * window moves 3 longs per DOCUMENT (not per token) partitioned by
-  * source; the OLS is one |sources|-group aggregate over doc-count
-  * rows. Output is |sources| rows.
+  * Scale shape (round-13 verdict item 1): tokenize/explode row-local;
+  * first-occurrence and per-doc counts are map-side-combined
+  * aggregates. The running sums are X26's bucketed distributed prefix
+  * sum ([[Packing.packingCoreOf]]'s mechanism), NOT a
+  * `partitionBy(source)` window — that shape funnels corpus-linear
+  * per-document rows through |sources| single-task sorts at 100 TB.
+  * Here: a row-local bucket id from the doc_id range, per-(source,
+  * bucket) running sums in parallel windows, per-(source, bucket)
+  * totals joined triangularly into each bucket's starting offsets
+  * (|sources|·|buckets| scalar rows, broadcast back — `parallelism`
+  * bound class), and a row-local final add. The OLS is one
+  * |sources|-group aggregate over doc-count rows. Output is |sources|
+  * rows. The one driver fetch is the doc_id min/max scalar (parquet
+  * footer stats at cluster scale — the X26-documented exception).
   *
   * Reference scope: no text analytics in the reference; engine
   * extension (SURVEY §2.5, the X154/X107 vocabulary-statistics family).
@@ -49,6 +58,21 @@ object Heaps {
   private[graft] def heapsFitOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val parallelism = spark.sparkContext.defaultParallelism
+    // row-local, order-preserving bucket id from the doc_id range —
+    // X26's deterministic bucketing (pid asc, doc_id asc ⟺ doc_id asc
+    // within a source), anchored on one scalar min/max fetch
+    val bounds = docs.agg(
+      min($"doc_id").cast("long"), max($"doc_id").cast("long"))
+      .collect()(0)
+    if (bounds.isNullAt(0)) {
+      // empty input: no anchor for the bucket width; the fit is empty
+      return Zipf.olsFit(docs
+        .select($"source", lit(0L).as("x"), lit(0L).as("y"))
+        .where(lit(false)), "n_points").orderBy($"source")
+    }
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (mx - mn) / parallelism + 1L)
     val tok = docs
       .select($"source", $"doc_id",
         explode(split(lower($"text"), "\\s+")).as("word"))
@@ -61,19 +85,42 @@ object Heaps {
       .agg(min($"doc_id").as("doc_id"))
       .groupBy($"source", $"doc_id")
       .agg(count(lit(1)).as("n_new"))
-    val byDoc = Window.partitionBy($"source").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pts = perDoc
+    // cache: the checkpoint rows feed both the local-window branch and
+    // the per-bucket totals branch (the X26 two-consumer pattern) —
+    // without it the tokenize+aggregate lineage runs twice
+    val base = perDoc
       .join(firstDoc, Seq("source", "doc_id"), "left")
       .select($"source", $"doc_id", $"n_tok",
         coalesce($"n_new", lit(0L)).as("n_new"))
-      .withColumn("cum_tok", sum($"n_tok").over(byDoc))
-      .withColumn("cum_vocab", sum($"n_new").over(byDoc))
+      .withColumn("pid", expr(s"(doc_id - ${mn}L) div ${width}L"))
+      .cache()
+    // phase 2: per-(source, bucket) INCLUSIVE running sums — windows
+    // keyed by (source, pid) run in parallel across buckets
+    val localW = Window.partitionBy($"source", $"pid").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base
+      .withColumn("loc_tok", sum($"n_tok").over(localW))
+      .withColumn("loc_new", sum($"n_new").over(localW))
+    // phase 3: per-(source, bucket) totals → triangular join within
+    // each source → each bucket's starting offsets (|sources|·P rows)
+    val partials = base.groupBy($"source", $"pid")
+      .agg(sum($"n_tok").as("ptok"), sum($"n_new").as("pnew"))
+    val offsets = partials.as("a")
+      .join(partials.as("b"),
+        col("a.source") === col("b.source") &&
+          col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.source").as("source"), col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.ptok")), lit(0L)).as("off_tok"),
+        coalesce(sum(col("b.pnew")), lit(0L)).as("off_new"))
+    // phase 4: compose row-locally — identical i64 running sums to the
+    // single-window form (HeapsSpec pins the equivalence; the DuckDB
+    // oracle keeps the naive window, so the hash gate proves it too)
+    val pts = local.join(broadcast(offsets), Seq("source", "pid"))
       .select($"source",
-        round(log($"cum_tok".cast("double")) * 1e6).cast("long")
-          .as("x"),
-        round(log($"cum_vocab".cast("double")) * 1e6).cast("long")
-          .as("y"))
+        round(log(($"off_tok" + $"loc_tok").cast("double")) * 1e6)
+          .cast("long").as("x"),
+        round(log(($"off_new" + $"loc_new").cast("double")) * 1e6)
+          .cast("long").as("y"))
     Zipf.olsFit(pts, "n_points").orderBy($"source")
   }
 

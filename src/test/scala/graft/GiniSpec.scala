@@ -50,6 +50,26 @@ class GiniSpec extends SparkSpec {
     assert(out("g") == ((1L, 42L, 0L, 42L, 0.0)))
   }
 
+  test("X109: blocked closed form equals the row-ranked replay on a " +
+    "tie-heavy fixture") {
+    // round-13 verdict item 3: the plan now pre-aggregates to distinct
+    // (grp, x) blocks and emits each block's contribution in closed
+    // form x·c·(2·cum_before + c − n). Pin blocked ≡ row-ranked on a
+    // fixture where almost every value ties (the exact regime the
+    // pre-aggregation exploits): 200 docs over only 7 distinct values.
+    val docs = (1L to 200L).map(i => ("g" + (i % 3), i, (i * i) % 7))
+    val expected = docs.groupBy(_._1).view.mapValues { ds =>
+      val sorted = ds.sortBy(d => (d._3, d._2)).map(_._3)
+      val n = sorted.length.toLong
+      val tot = sorted.sum
+      val num = sorted.zipWithIndex
+        .map { case (x, i0) => (2 * (i0 + 1L) - n - 1) * x }.sum
+      (n, tot, num, n * tot,
+        if (tot == 0) 0.0 else num.toDouble / (n * tot).toDouble)
+    }.toMap
+    assert(rowsOf(Gini.giniOf(frame(docs: _*))) == expected)
+  }
+
   test("X109: real corpus equals the exact integer replay") {
     val rows = Tables.documents(spark, sfDir)
       .select("source", "doc_id", "n_chars").collect()

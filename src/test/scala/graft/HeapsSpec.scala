@@ -1,6 +1,10 @@
 package graft
 
-import graft.ops.Heaps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Heaps, Zipf}
 
 /** X158 — Heaps fit: an all-new-words corpus fits β = 1 with intercept
   * 0 (V = n exactly), a closed-vocabulary corpus fits β ≈ 0, the real
@@ -55,6 +59,52 @@ class HeapsSpec extends SparkSpec {
     // regimes the corpus cannot exhibit
     assert(rows.forall(_.getAs[Double]("slope") < 0.3),
       "a closed-vocabulary corpus must read as template text")
+  }
+
+  test("X158: bucketed prefix sum equals the single-window form on a " +
+    "multi-bucket fixture") {
+    // round-13 verdict item 1: the running sums are now X26's bucketed
+    // distributed prefix sum, not a partitionBy(source) window. Pin the
+    // plan-shape rewrite against the naive single-window reference on a
+    // fixture whose doc_ids are SPARSE and INTERLEAVED across sources —
+    // bucket boundaries land mid-source, several buckets per source,
+    // some (source, bucket) combinations empty.
+    def naive(docs: DataFrame): DataFrame = {
+      val tok = docs
+        .select($"source", $"doc_id",
+          explode(split(lower($"text"), "\\s+")).as("word"))
+        .filter($"word" =!= "")
+      val perDoc = tok.groupBy($"source", $"doc_id")
+        .agg(count(lit(1)).as("n_tok"))
+      val firstDoc = tok.groupBy($"source", $"word")
+        .agg(min($"doc_id").as("doc_id"))
+        .groupBy($"source", $"doc_id").agg(count(lit(1)).as("n_new"))
+      val byDoc = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pts = perDoc.join(firstDoc, Seq("source", "doc_id"), "left")
+        .select($"source", $"doc_id", $"n_tok",
+          coalesce($"n_new", lit(0L)).as("n_new"))
+        .withColumn("cum_tok", sum($"n_tok").over(byDoc))
+        .withColumn("cum_vocab", sum($"n_new").over(byDoc))
+        .select($"source",
+          round(log($"cum_tok".cast("double")) * 1e6).cast("long").as("x"),
+          round(log($"cum_vocab".cast("double")) * 1e6).cast("long").as("y"))
+      Zipf.olsFit(pts, "n_points").orderBy($"source")
+    }
+    // vocabulary: doc i of source s repeats earlier words and mints new
+    // ones at a decaying rate — a genuine Heaps curve, ids stride 97 so
+    // the range (≈ 97·180) spans many width-(range/parallelism) buckets
+    val docs = (0 until 180).map { k =>
+      val s = "s" + (k % 3)
+      val i = k / 3
+      val minted = (0 to i / 4).map(j => s"w${s}_$j")
+      val repeats = (0 to i % 5).map(j => s"w${s}_${j % (i / 4 + 1)}")
+      (s, 1000L + k * 97L, (minted ++ repeats).mkString(" "))
+    }.toDF("source", "doc_id", "text")
+    val bucketed = Heaps.heapsFitOf(docs).collect().map(_.toString).toSeq
+    val single = naive(docs).collect().map(_.toString).toSeq
+    assert(bucketed == single,
+      "the distributed prefix sum must be bit-equal to the naive window")
   }
 
   test("X158: partition-count invariance") {
