@@ -311,7 +311,23 @@ object ScaleVerify {
           SparkEntry.queries("x160_centroid_drift"),
         "x163_psi_drift" -> SparkEntry.queries("x163_psi_drift"),
         "x164_user_entropy" -> SparkEntry.queries("x164_user_entropy"),
-        "x165_fd_audit" -> SparkEntry.queries("x165_fd_audit"))
+        "x165_fd_audit" -> SparkEntry.queries("x165_fd_audit"),
+        // round-14 verdict items 5/6: the x145 lossless hash row (the
+        // cap/growth evidence existed, the hash row did not), the heavy
+        // relational tail (multiplicity recompute, interpolated
+        // percentiles, multi-distinct agg), the x153 composition, and
+        // the integer-exact Lloyd-trained IVF (x166 — training included
+        // in the hash at 10×)
+        "x145_semdedup" -> SparkEntry.queries("x145_semdedup"),
+        "b34_set_ops_all" -> SparkEntry.queries("b34_set_ops_all"),
+        "b39_percentile_cont" -> SparkEntry.queries("b39_percentile_cont"),
+        "b09_agg_pricing_summary" ->
+          SparkEntry.queries("b09_agg_pricing_summary"),
+        "x153_curation_mix" -> SparkEntry.queries("x153_curation_mix"),
+        "x166_ivf_lloyd_topk" -> SparkEntry.queries("x166_ivf_lloyd_topk"),
+        // round-14: rank drift — the value spine stays saturated while
+        // per-block counts grow 10×, the doubled-rank sums re-derive
+        "x170_rank_drift" -> SparkEntry.queries("x170_rank_drift"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -66,7 +66,8 @@ object SparkEntry {
       Expectations.queries, CurationMix.queries, Zipf.queries,
       Benford.queries, Outlier.queries, Boilerplate.queries,
       Heaps.queries, JoinSize.queries, CentroidDrift.queries,
-      Psi.queries, Entropy.queries, FdAudit.queries
+      Psi.queries, Entropy.queries, FdAudit.queries,
+      LloydIvf.queries, RankDrift.queries
     ).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -116,6 +117,7 @@ object SparkEntry {
       Expectations.oracles, CurationMix.oracles, Zipf.oracles,
       Benford.oracles, Outlier.oracles, Boilerplate.oracles,
       Heaps.oracles, JoinSize.oracles, CentroidDrift.oracles,
-      Psi.oracles, Entropy.oracles, FdAudit.oracles
+      Psi.oracles, Entropy.oracles, FdAudit.oracles,
+      LloydIvf.oracles, RankDrift.oracles
     ).reduce(_ ++ _)
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
-import graft.stream.{StreamAms, StreamCentroid, StreamDrift}
+import graft.stream.{StreamAms, StreamCentroid, StreamDrift, StreamPsi, StreamQuality}
 
 /** Round-13 streaming-monitor throughput + state-bound evidence, the
   * StreamMetricsBench protocol applied to the three new monitors:
@@ -74,6 +74,15 @@ object StreamMonitorBench {
     drain("stream_drift", docsDir, docs.schema, Sources)(
       StreamDrift.driftMonitor(_, ref152))
 
+    // X167 — same documents-shaped stream; reference bands from a
+    // shifted 100k batch (plain SUM state — the cheapest monitor)
+    val ref167 = StreamPsi.refBands(
+      spark.read.parquet(docsDir).limit(100000)
+        .withColumn("n_chars", $"n_chars" + 150L)).cache()
+    ref167.count()
+    drain("stream_psi", docsDir, docs.schema, Sources)(
+      StreamPsi.psiMonitor(_, ref167))
+
     // X161 — (grp, v) stream; reference sketch from a 100k batch
     val kv = spark.range(n).select(
       concat(lit("src"), $"id" % Sources).as("grp"),
@@ -85,6 +94,28 @@ object StreamMonitorBench {
     ref161.count()
     drain("stream_ams", kvDir, kv.schema, Sources)(
       StreamAms.amsMonitor(_, ref161))
+
+    // X168 — (user_id, event_type) stream; keyed-count buffers, state
+    // bounded by the user population (the sharded axis)
+    val users = 100000L
+    val ev = spark.range(n).select(
+      ($"id" % users).as("user_id"),
+      concat(lit("type"), ($"id" * 13L) % 12L).as("event_type"))
+    val evDir = s"$work/ev"
+    ev.repartition(cpus.toInt).write.mode("overwrite").parquet(evDir)
+    drain("stream_entropy", evDir, ev.schema, users)(
+      StreamQuality.entropyMonitor(_))
+
+    // X169 — documents-shaped stream; two cell-count buffer rows total
+    val fdDocs = spark.range(n).select(
+      $"id".as("doc_id"),
+      concat(lit("src"), $"id" % Sources).as("source"),
+      concat(lit("l"), ($"id" * 7L) % 12L).as("lang"))
+    val fdDir = s"$work/fd"
+    fdDocs.repartition(cpus.toInt).write.mode("overwrite").parquet(fdDir)
+    drain("stream_fd", fdDir, fdDocs.schema,
+      StreamQuality.StreamDeps.length.toLong)(
+      StreamQuality.fdMonitor(_))
 
     // X162 — (label, embedding) stream at 64 dims (fewer rows: the
     // per-row payload is 64 floats, so nVec rows ≈ n in field count)

@@ -22,6 +22,33 @@ object OracleSafe {
   def dsum(c: Column): Column =
     sum(c.cast("decimal(27,6)")).cast("double")
 
+  /** Cross-engine-deterministic DECIMAL(·,6) → DOUBLE.
+    *
+    * The "deterministic decimal→double cast" the header paragraph leans
+    * on is NOT always the same value in both engines: DuckDB's cast is
+    * not correctly rounded (measured at round 14: DECIMAL '27845339640
+    * .098010' → …098007, a 2-ulp drift at any declared precision),
+    * while Spark converts through BigDecimal's correctly-rounded
+    * doubleValue. For sums whose magnitude pushes the 6-decimal
+    * granularity below the double ulp (~1e10 and up), the two casts can
+    * disagree. This helper recombines from EXACT i64 parts instead:
+    * integer part (floor, exact BIGINT both engines) plus micros
+    * fraction (exact BIGINT < 1e6), with one correctly-rounded division
+    * and one addition sequenced identically — identical operands,
+    * identical IEEE results, at any magnitude below 2^53.
+    */
+  def decQ6ToDouble(d: Column): Column = {
+    val ip = floor(d).cast("long")
+    val fr = ((d - floor(d)) * lit(1000000)).cast("long")
+    ip.cast("double") + fr.cast("double") / lit(1e6)
+  }
+
+  /** DuckDB fragment computing the same value as [[decQ6ToDouble]];
+    * `e` must be a DECIMAL expression with scale 6. */
+  def sqlDecQ6ToDouble(e: String): String =
+    s"(CAST(CAST(floor($e) AS BIGINT) AS DOUBLE) + " +
+      s"CAST(CAST(($e - floor($e)) * 1000000 AS BIGINT) AS DOUBLE) / 1e6)"
+
   /** Exact-sum-based mean of a double column, returned as double. */
   def davg(c: Column): Column =
     sum(c.cast("decimal(27,6)")).cast("double") / count(c)

@@ -127,12 +127,17 @@ object Profile {
 
   /** B39 — interpolated percentiles: PERCENTILE_CONT over the same
     * per-type distributions as X34's PERCENTILE_DISC. CONT interpolates
-    * `v_lo + frac·(v_hi − v_lo)` at rank (n−1)·q — both engines apply
-    * the standard formula to the SAME two order statistics with the
-    * same exact frac ((n−1)·q on i64-derived doubles), so the
-    * interpolated doubles are bit-identical; the gate proves the
-    * formula-level agreement the way x34 proves the order-statistic
-    * one. Same scale shape and approx_percentile swap as X34.
+    * `v_lo + frac·(v_hi − v_lo)` at rank (n−1)·q. The two engines pick
+    * the SAME two order statistics with the same frac, but sequence the
+    * interpolation arithmetic differently — the 10× gate caught a
+    * last-ulp (2.8e-14) p99 divergence (round-14) — so each percentile
+    * is round6'd ON BOTH SIDES. That round is boundary-safe here, not a
+    * tolerance: `value` is 2-decimal data and frac is k/100, so every
+    * exact interpolation rational has ≤ 4 decimals; the computed
+    * doubles sit within ~1e-12 of those rationals, never within 5e-7
+    * of a 6-decimal rounding boundary — both engines must land on the
+    * identical 6-decimal value. Same scale shape and approx_percentile
+    * swap as X34.
     */
   def percentileCont(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -141,14 +146,15 @@ object Profile {
       .agg(
         count(lit(1)).as("n_events"),
         pcts.map { case (name, q) =>
-          expr(s"percentile_cont($q) WITHIN GROUP (ORDER BY value)").as(name)
+          round(expr(s"percentile_cont($q) WITHIN GROUP (ORDER BY value)"),
+            6).as(name)
         }: _*)
       .orderBy($"event_type")
   }
 
   val percentileContSql: String = {
     val ps = pcts.map { case (name, q) =>
-      s"percentile_cont($q) WITHIN GROUP (ORDER BY value) AS $name"
+      s"round(percentile_cont($q) WITHIN GROUP (ORDER BY value), 6) AS $name"
     }.mkString(",\n       ")
     s"""SELECT event_type, count(*) AS n_events,
        |       $ps

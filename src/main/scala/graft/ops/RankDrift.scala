@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** X170 — Mann–Whitney rank drift: per source, the Wilcoxon rank-sum /
+  * Mann–Whitney U statistic of ITS document-length distribution against
+  * the rest of the corpus (Mann & Whitney 1947) — the rank-based member
+  * of the drift family, completing its vocabulary on the nonparametric
+  * axis: X117's KS is the max CDF gap, X141's W₁ the transport
+  * magnitude, X163 the banded log-ratio score, X170 the
+  * stochastic-dominance probability P(X > Y) + ½·P(X = Y) — the AUC
+  * reading "do this source's documents run longer than everyone
+  * else's", robust to any monotone transform of length.
+  *
+  * Exactness — midranks without fractions: with values pre-aggregated
+  * to distinct blocks (value x, in-count a, rest-count b, c = a + b,
+  * `cum` = total count before the block), each block's midrank is
+  * cum + (c+1)/2, so DOUBLING the rank sum clears the half:
+  *
+  *   2·R_in = Σ_blocks a·(2·cum + c + 1)      (exact i64)
+  *   u2     = 2·U = 2·R_in − n_in·(n_in + 1)  (exact i64)
+  *   auc    = u2 / (2·n_in·n_rest)            (ONE IEEE division)
+  *
+  * No z-score column by design: the tie-corrected variance needs a
+  * three-product double chain — exactly the a·b − c·d FMA shape the
+  * x158 lesson banned from cross-engine paths; u2 and the counts let a
+  * consumer compute it. The DuckDB oracle recomputes the identical
+  * blocks.
+  *
+  * Scale shape (the x109 mechanism): ONE map-side-combined aggregate
+  * to distinct (x) value blocks with per-block in/rest counts riding
+  * it per source — the length VALUE domain saturates, so the
+  * cumulative window input is value-bounded, never corpus-bounded; the
+  * in-vs-rest split for all sources shares one global block spine
+  * (|values| rows) crossed per source. |sources| output rows.
+  *
+  * Reference scope: no drift analytics in the reference; engine
+  * extension (SURVEY §2.5, the X117/X141/X163 drift family).
+  */
+object RankDrift {
+
+  def rankDrift(spark: SparkSession, dir: String): DataFrame =
+    rankDriftOf(Tables.documents(spark, dir)
+      .select(col("source").as("grp"), col("n_chars").as("x")))
+
+  /** Core of X170 over any (grp, x:i64) frame; test seam. */
+  private[graft] def rankDriftOf(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    // global distinct-value blocks: total count + per-(grp, x) counts.
+    // The corpus pass is ONE aggregate; everything after is
+    // value-bounded.
+    val cells = rows.groupBy($"grp", $"x").agg(count(lit(1)).as("a"))
+    val blocks = cells.groupBy($"x").agg(sum($"a").as("c"))
+    val byVal = Window.orderBy($"x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the global spine is |values| rows — the one intentionally
+    // un-partitioned window in this file, over a saturating domain
+    val spine = blocks
+      .withColumn("cum", coalesce(sum($"c").over(byVal), lit(0L)))
+    val total = blocks.agg(sum($"c").as("n"))
+    cells.join(spine, Seq("x"))
+      .groupBy($"grp")
+      .agg(
+        sum($"a").as("n_in"),
+        sum($"a" * (lit(2L) * $"cum" + $"c" + lit(1L))).as("r2_in"))
+      .crossJoin(broadcast(total))
+      .select($"grp", $"n_in", ($"n" - $"n_in").as("n_rest"),
+        ($"r2_in" - $"n_in" * ($"n_in" + lit(1L))).as("u2"))
+      .withColumn("auc",
+        when($"n_in" * $"n_rest" === 0, lit(0.5)).otherwise(
+          $"u2".cast("double") /
+            (lit(2.0) * ($"n_in" * $"n_rest").cast("double"))))
+      .orderBy($"grp")
+  }
+
+  val rankDriftSql: String =
+    """WITH cells AS (
+      |  SELECT source AS grp, n_chars AS x, count(*) AS a
+      |  FROM documents GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT x, c,
+      |         CAST(coalesce(sum(c) OVER (ORDER BY x
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) AS cum
+      |  FROM (SELECT x, CAST(sum(a) AS BIGINT) AS c
+      |        FROM cells GROUP BY x)),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |agg AS (
+      |  SELECT grp, CAST(sum(a) AS BIGINT) AS n_in,
+      |         CAST(sum(a * (2 * cum + c + 1)) AS BIGINT) AS r2_in
+      |  FROM cells JOIN spine USING (x)
+      |  GROUP BY grp)
+      |SELECT grp, n_in, n - n_in AS n_rest,
+      |       r2_in - n_in * (n_in + 1) AS u2,
+      |       CASE WHEN n_in * (n - n_in) = 0 THEN 0.5
+      |            ELSE CAST(r2_in - n_in * (n_in + 1) AS DOUBLE)
+      |                   / (2.0 * CAST(n_in * (n - n_in) AS DOUBLE)) END
+      |         AS auc
+      |FROM agg, tot
+      |ORDER BY grp""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x170_rank_drift" -> rankDrift _)
+
+  val oracles: Map[String, String] = Map(
+    "x170_rank_drift" -> rankDriftSql)
+}

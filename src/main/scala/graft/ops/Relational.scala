@@ -240,9 +240,25 @@ object Relational {
 
   /** B9 — multi-key hash aggregate with count(distinct): the TPC-H Q1
     * shape (the canonical map-side-partial aggregation benchmark).
+    *
+    * The discounted/charged sums run in EXACT DECIMAL from the raw
+    * 2-decimal columns — (12,2)·(5,2)·(5,2) stays ≤ scale-6 exact in
+    * both engines — not as dsum over a computed double term: the 10×
+    * gate caught the double path (round-14) with a one-decimal-ulp
+    * drift, because Spark's double→decimal cast goes through the
+    * SHORTEST decimal string while DuckDB rounds the binary expansion —
+    * for a product sitting within string-shortening distance of a
+    * .0000005 boundary the two round opposite ways (a cousin of the
+    * x158 FMA lesson: never hand a COMPUTED double to a cross-engine
+    * rounding boundary when the exact rational is available).
     */
   def aggPricingSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val priceD = $"l_extendedprice".cast("decimal(12,2)")
+    val discD = lit(1.0).cast("decimal(4,2)") -
+      $"l_discount".cast("decimal(4,2)")
+    val taxD = lit(1.0).cast("decimal(4,2)") +
+      $"l_tax".cast("decimal(4,2)")
     Tables.lineitem(spark, dir)
       .filter($"l_shipdate" <= lit("1998-09-01").cast("timestamp"))
       // the local single-row-group parquet yields ONE input split, so the
@@ -256,8 +272,10 @@ object Relational {
       .agg(
         dsum($"l_quantity").as("sum_qty"),
         dsum($"l_extendedprice").as("sum_base_price"),
-        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
-        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        decQ6ToDouble(sum((priceD * discD).cast("decimal(27,6)")))
+          .as("sum_disc_price"),
+        decQ6ToDouble(sum((priceD * discD * taxD).cast("decimal(27,6)")))
+          .as("sum_charge"),
         davg($"l_quantity").as("avg_qty"),
         davg($"l_extendedprice").as("avg_price"),
         davg($"l_discount").as("avg_disc"),
@@ -270,8 +288,8 @@ object Relational {
     s"""SELECT l_returnflag, l_linestatus,
        |       ${sqlSum("l_quantity")} AS sum_qty,
        |       ${sqlSum("l_extendedprice")} AS sum_base_price,
-       |       ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
-       |       ${sqlSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       |       ${sqlDecQ6ToDouble("sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(27,6)))")} AS sum_disc_price,
+       |       ${sqlDecQ6ToDouble("sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.0 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(27,6)))")} AS sum_charge,
        |       ${sqlAvg("l_quantity")} AS avg_qty,
        |       ${sqlAvg("l_extendedprice")} AS avg_price,
        |       ${sqlAvg("l_discount")} AS avg_disc,

@@ -155,7 +155,18 @@ object SemDedup {
   }
 
   val semDedupSql: String = {
-    val dxy = sqlDotQ("x.e", "y.e")
+    val dxy = sqlDotQ("xe", "ye")
+    // The deciding test is the quantized cosine ≥ Tau, unchanged. The
+    // `precand` stage is a PURELY conservative native prefilter so the
+    // interpreted per-term dotQ lambda runs on near-threshold pairs
+    // only (at 10× the within-cell pair stream is ~20M rows — the
+    // lambda on all of them is an hour-class DuckDB run; the native
+    // list_dot_product is vectorized C++): with unit-norm embeddings
+    // (corpus fact) the quantized cosine differs from the native one by
+    // ≤ ~d/1e15·(1/‖x‖‖y‖) ≈ 1e-13 (per-term floor error ≤ 1 on a
+    // 1e15 scale, d = 64 terms, norms quantized the same way), so a
+    // native cut at Tau − 1e-6 can never drop a pair the quantized
+    // test would keep.
     s"""WITH RECURSIVE ${Assign.centCtes},
        |centn AS (
        |  SELECT c_label, c, ${sqlDotQ("c", "c")} AS nq_c FROM cent),
@@ -165,14 +176,20 @@ object SemDedup {
        |  FROM rk WHERE rk = 1),
        |best AS (
        |  SELECT b.vec_id, b.c_label AS cell, b.embedding AS e, b.nq,
+       |         list_dot_product(b.embedding, b.embedding) AS nd,
        |         ${sqlCosQ(sqlDotQ("b.embedding", "cn.c"), "b.nq", "cn.nq_c")}
        |           AS cos_cent
        |  FROM bestd b JOIN centn cn ON b.c_label = cn.c_label),
-       |pairs AS (
-       |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+       |precand AS (
+       |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b,
+       |         x.e AS xe, y.e AS ye, x.nq AS xnq, y.nq AS ynq
        |  FROM best x JOIN best y
        |    ON x.cell = y.cell AND x.vec_id < y.vec_id
-       |  WHERE ${sqlCosQ(dxy, "x.nq", "y.nq")} >= $Tau),
+       |  WHERE list_dot_product(x.e, y.e) / (sqrt(x.nd) * sqrt(y.nd))
+       |          >= $Tau - 1e-6),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM precand
+       |  WHERE ${sqlCosQ(dxy, "xnq", "ynq")} >= $Tau),
        |edges AS (
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
        |  UNION

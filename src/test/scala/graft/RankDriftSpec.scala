@@ -1,0 +1,83 @@
+package graft
+
+import graft.ops.RankDrift
+
+/** X170 — Mann–Whitney rank drift: exact AUC endpoints (identical
+  * distributions = ½, full dominance = 1/0), a hand-computed tie-heavy
+  * case, the real corpus against an independent integer replay, and
+  * partition invariance.
+  */
+class RankDriftSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getAs[String]("grp") ->
+      ((r.getAs[Long]("n_in"), r.getAs[Long]("n_rest"),
+        r.getAs[Long]("u2"), r.getAs[Double]("auc")))).toMap
+
+  private def frame(rows: (String, Long)*) =
+    rows.toSeq.toDF("grp", "x")
+
+  test("X170: identical in/rest distributions read exactly one half") {
+    val out = rowsOf(RankDrift.rankDriftOf(frame(
+      ("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))))
+    assert(out("a") == ((2L, 2L, 4L, 0.5)))
+    assert(out("b") == ((2L, 2L, 4L, 0.5)))
+  }
+
+  test("X170: full dominance reads exactly 1 and exactly 0") {
+    val out = rowsOf(RankDrift.rankDriftOf(frame(
+      ("hi", 10L), ("hi", 20L), ("lo", 1L), ("lo", 2L))))
+    assert(out("hi") == ((2L, 2L, 8L, 1.0)),
+      "every hi value beats every lo value ⇒ u2 = 2·n_in·n_rest")
+    assert(out("lo") == ((2L, 2L, 0L, 0.0)))
+  }
+
+  test("X170: hand-computed tie-heavy case (midranks via doubled sums)") {
+    // a = {5, 5}, b = {5, 9}: block x=5 has c=3, cum=0; x=9 c=1, cum=3
+    // 2·R_a = 2·(2·0+3+1) = 8 → u2_a = 8 − 2·3 = 2 → auc_a = 2/8 = 0.25
+    // (exact midrank reading: both ties at rank 2, R_a = 4, U = 1)
+    val out = rowsOf(RankDrift.rankDriftOf(frame(
+      ("a", 5L), ("a", 5L), ("b", 5L), ("b", 9L))))
+    assert(out("a") == ((2L, 2L, 2L, 0.25)))
+    assert(out("b") == ((2L, 2L, 6L, 0.75)),
+      "complementarity: auc_a + auc_b = 1 on a two-source corpus")
+  }
+
+  test("X170: a single-group corpus reads the defined half") {
+    val out = rowsOf(RankDrift.rankDriftOf(frame(("a", 7L), ("a", 9L))))
+    assert(out("a")._4 == 0.5, "empty rest ⇒ auc defined as 0.5")
+  }
+
+  test("X170: real corpus equals the exact integer replay") {
+    val rows = Tables.documents(spark, sfDir)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = rows.length.toLong
+    // independent replay: sort values, midranks via doubled sums
+    val blocks = rows.map(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toSeq.sortBy(_._1)
+    val cum = blocks.scanLeft(0L)(_ + _._2).init
+    val rank2 = blocks.zip(cum)
+      .map { case ((x, c), cb) => x -> (2 * cb + c + 1) }.toMap
+    val expected = rows.groupBy(_._1).view.mapValues { ds =>
+      val nIn = ds.length.toLong
+      val r2 = ds.map(d => rank2(d._2)).sum
+      val u2 = r2 - nIn * (nIn + 1)
+      (nIn, n - nIn, u2,
+        if (nIn * (n - nIn) == 0) 0.5
+        else u2.toDouble / (2.0 * (nIn * (n - nIn)).toDouble))
+    }.toMap
+    assert(rowsOf(RankDrift.rankDrift(spark, sfDir)) == expected)
+  }
+
+  test("X170: partition-count invariance") {
+    val d = Tables.documents(spark, sfDir)
+      .select($"source".as("grp"), $"n_chars".as("x"))
+    val one = RankDrift.rankDriftOf(d).collect().map(_.toString).toSeq
+    val many = RankDrift.rankDriftOf(d.repartition(13)).collect()
+      .map(_.toString).toSeq
+    assert(one == many)
+  }
+}

@@ -112,7 +112,8 @@ class SparkEntrySpec extends SparkSpec {
       "Boilerplate" -> Boilerplate.queries, "Heaps" -> Heaps.queries,
       "JoinSize" -> JoinSize.queries,
       "CentroidDrift" -> CentroidDrift.queries, "Psi" -> Psi.queries,
-      "Entropy" -> Entropy.queries, "FdAudit" -> FdAudit.queries)
+      "Entropy" -> Entropy.queries, "FdAudit" -> FdAudit.queries,
+      "LloydIvf" -> LloydIvf.queries, "RankDrift" -> RankDrift.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
