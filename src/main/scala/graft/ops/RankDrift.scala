@@ -31,17 +31,26 @@ import graft.Tables
   * consumer compute it. The DuckDB oracle recomputes the identical
   * blocks.
   *
-  * Scale shape (the x109 mechanism): ONE map-side-combined aggregate
-  * to distinct (x) value blocks with per-block in/rest counts riding
-  * it per source — the length VALUE domain saturates, so the
-  * cumulative window input is value-bounded, never corpus-bounded; the
-  * in-vs-rest split for all sources shares one global block spine
-  * (|values| rows) crossed per source. |sources| output rows.
+  * Scale shape (the x109 mechanism plus X26's banding): ONE
+  * map-side-combined aggregate to distinct (x) value blocks — the
+  * length VALUE domain saturates, so everything downstream is
+  * value-bounded, never corpus-bounded. The GLOBAL cumulative spine is
+  * never a single-partition window (the lint-banned funnel): blocks
+  * band row-locally by `x div W` (W a code constant — no driver
+  * fetch), per-band totals join triangularly into broadcast band
+  * offsets, and the within-band window is partitioned by band —
+  * parallel at every stage even if the value domain grows large.
+  * |sources| output rows.
   *
   * Reference scope: no drift analytics in the reference; engine
   * extension (SURVEY §2.5, the X117/X141/X163 drift family).
   */
 object RankDrift {
+
+  /** Band width over the value domain for the distributed prefix sum
+    * (a code constant: bucketing needs no data-derived anchor because
+    * x ≥ 0 and the domain saturates). */
+  val BandW = 1024L
 
   def rankDrift(spark: SparkSession, dir: String): DataFrame =
     rankDriftOf(Tables.documents(spark, dir)
@@ -56,12 +65,21 @@ object RankDrift {
     // value-bounded.
     val cells = rows.groupBy($"grp", $"x").agg(count(lit(1)).as("a"))
     val blocks = cells.groupBy($"x").agg(sum($"a").as("c"))
-    val byVal = Window.orderBy($"x")
+      .withColumn("band", expr(s"x div $BandW"))
+    // global cum over the value spine WITHOUT a single-partition
+    // window: per-band totals → triangular band offsets (broadcast,
+    // |values|/W rows) → within-band exclusive window keyed by band
+    val bandTotals = blocks.groupBy($"band").agg(sum($"c").as("bc"))
+    val bandOffsets = bandTotals.as("a")
+      .join(broadcast(bandTotals.as("b")),
+        col("b.band") < col("a.band"), "left")
+      .groupBy(col("a.band").as("band"))
+      .agg(coalesce(sum(col("b.bc")), lit(0L)).as("boff"))
+    val byValInBand = Window.partitionBy($"band").orderBy($"x")
       .rowsBetween(Window.unboundedPreceding, -1)
-    // the global spine is |values| rows — the one intentionally
-    // un-partitioned window in this file, over a saturating domain
-    val spine = blocks
-      .withColumn("cum", coalesce(sum($"c").over(byVal), lit(0L)))
+    val spine = blocks.join(broadcast(bandOffsets), Seq("band"))
+      .withColumn("cum",
+        $"boff" + coalesce(sum($"c").over(byValInBand), lit(0L)))
     val total = blocks.agg(sum($"c").as("n"))
     cells.join(spine, Seq("x"))
       .groupBy($"grp")

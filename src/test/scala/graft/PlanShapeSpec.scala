@@ -67,8 +67,13 @@ class PlanShapeSpec extends SparkSpec {
       // ReusedExchange (2 exchanges / 8 spans) or plan independently
       // (4 / 10) — observed both solo and in-suite, values otherwise
       // byte-stable. Both exact shapes are pinned; anything else fails.
+      // x159's one-row sketch-total exchange likewise either reuses the
+      // counted subtree or plans it independently depending on session
+      // warmth (observed 1/4 in-suite, 2/5 solo — round 14); both exact
+      // shapes pinned.
       val altShapes = Map(
-        "x102_matryoshka_recall" -> Set("4\t1\t2\tyes\t10", "2\t1\t2\tyes\t8"))
+        "x102_matryoshka_recall" -> Set("4\t1\t2\tyes\t10", "2\t1\t2\tyes\t8"),
+        "x159_join_size_ams" -> Set("2\t1\t1\tyes\t5", "1\t1\t1\tyes\t4"))
       def structural(tsv: String) = tsv.split("\t").dropRight(1).mkString("\t")
       val drift = shapes.flatMap { case (name, s) =>
         expected.get(name) match {

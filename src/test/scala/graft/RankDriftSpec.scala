@@ -45,6 +45,22 @@ class RankDriftSpec extends SparkSpec {
       "complementarity: auc_a + auc_b = 1 on a two-source corpus")
   }
 
+  test("X170: banded prefix sum spans band boundaries exactly") {
+    // values straddle several W=1024 bands with gaps and ties — the
+    // band offsets + within-band window must reproduce the global cum
+    // a = {10, 5000}, b = {2000, 2000, 9000}: global sorted spine
+    // 10(c1) 2000(c2) 5000(c1) 9000(c1); n=5
+    // 2R_a = 1·(0+1+1) + 1·(2·3+1+1) = 2 + 8 = 10 → u2_a = 10 − 6 = 4
+    // auc_a = 4 / (2·2·3) = 1/3
+    val out = rowsOf(RankDrift.rankDriftOf(frame(
+      ("a", 10L), ("a", 5000L), ("b", 2000L), ("b", 2000L), ("b", 9000L))))
+    assert(out("a") == ((2L, 3L, 4L, 4.0 / 12.0)))
+    // 2·midranks of b: 2000-block 2·2.5 = 5 (×2), 9000 2·5 = 10 →
+    // 2R_b = 20 → u2_b = 20 − 3·4 = 8; complementarity u2_a+u2_b = 2·2·3
+    assert(out("b")._3 == 8L)
+    assert(out("a")._3 + out("b")._3 == 2L * 2L * 3L)
+  }
+
   test("X170: a single-group corpus reads the defined half") {
     val out = rowsOf(RankDrift.rankDriftOf(frame(("a", 7L), ("a", 9L))))
     assert(out("a")._4 == 0.5, "empty rest ⇒ auc defined as 0.5")
