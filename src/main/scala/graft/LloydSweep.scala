@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing.{cosQ, dotQ}
+import graft.ops.{LloydIvf, Vector}
+
+/** x166-vs-x19 recall sweep: does the INTEGER-EXACT Lloyd quantizer
+  * (oracle-checkable training, |labels| = 10 cells) give up recall
+  * against MLlib's float KMeans (x19, 16 cells) at the same nprobe
+  * dials? For each nprobe: recall@5 vs the brute-force top-5 and the
+  * candidate count actually scanned, for both indexes, on the same
+  * corpus and query band. Results committed in ANN_SWEEP.md §x166.
+  *
+  * Usage: sbt "runMain graft.LloydSweep [sfDir]"
+  */
+object LloydSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding",
+        dotQ($"embedding", $"embedding").as("nq"))
+    val q = e.filter($"vec_id" < LloydIvf.NQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        $"nq".as("qnq"))
+    val byQ = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"c".desc, $"vec_id".asc)
+    val brute = e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        cosQ(dotQ($"embedding", $"qe"), $"nq", $"qnq").as("c"))
+      .withColumn("rnk", row_number().over(byQ)).filter($"rnk" <= 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val lloyd = LloydIvf.lloydIndex(spark, sfDir)
+    val mllib = Vector.ivfIndex(spark, sfDir)
+    val n = e.count()
+    println(s"corpus=$n vectors, ${LloydIvf.NQueries} queries, k=5 ($sfDir)")
+    println("| nprobe | x166 recall@5 | x166 cands | x19 recall@5 | x19 cands |")
+    println("|---|---|---|---|---|")
+    Seq(1, 2, 4, 8).foreach { np =>
+      def recallOf(got: Set[(Long, Long)]) =
+        (got & brute).size.toDouble / brute.size
+      val gl = LloydIvf.probe(lloyd, np).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+      val cl = LloydIvf.candidates(lloyd, np).count()
+      val gm = Vector.ivfProbe(mllib, np).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+      val cm = Vector.ivfCandidateCount(mllib, np)
+      println(f"| $np | ${recallOf(gl)}%.2f | $cl | ${recallOf(gm)}%.2f | $cm |")
+    }
+    spark.stop()
+  }
+}

@@ -143,7 +143,13 @@ object LloydIvf {
 
   /** Probe-only query path over the trained index (x19's shape at the
     * registered dials, every distance on the quantized-dot chain). */
-  private[graft] def probe(index: LloydIndex): DataFrame = {
+  private[graft] def probe(index: LloydIndex,
+      nprobe: Int = NProbe): DataFrame =
+    Vector.rerankTop5(candidates(index, nprobe))
+
+  /** The scored candidate set a probe scans (the cost axis of the
+    * recall/cost sweep — graft.LloydSweep / ANN_SWEEP.md). */
+  private[graft] def candidates(index: LloydIndex, nprobe: Int): DataFrame = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
     val q = index.assigned.filter($"vec_id" < NQueries)
@@ -155,14 +161,13 @@ object LloydIvf {
       .withColumn("dist_q",
         $"qnq" - lit(2.0) * dotQ($"qe", $"c") + dotQ($"c", $"c"))
       .withColumn("rn", row_number().over(byDist))
-      .filter($"rn" <= NProbe)
+      .filter($"rn" <= nprobe)
       .select($"c_cell".as("cell"), $"query_id", $"qe", $"qnq")
-    val cands = index.assigned
+    index.assigned
       .join(broadcast(probed), Seq("cell"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         cosQ(dotQ($"embedding", $"qe"), $"nq", $"qnq").as("cos_sim"))
-    Vector.rerankTop5(cands)
   }
 
   /** The T unrolled oracle rounds (the X84 discipline): asg0 seeds from
