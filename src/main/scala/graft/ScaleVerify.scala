@@ -327,7 +327,11 @@ object ScaleVerify {
         "x166_ivf_lloyd_topk" -> SparkEntry.queries("x166_ivf_lloyd_topk"),
         // round-14: rank drift — the value spine stays saturated while
         // per-block counts grow 10×, the doubled-rank sums re-derive
-        "x170_rank_drift" -> SparkEntry.queries("x170_rank_drift"))
+        "x170_rank_drift" -> SparkEntry.queries("x170_rank_drift"),
+        // round-14: Mann-Kendall — 10x users multiply the daily counts
+        // while the day-pair set stays calendar-bounded; S/var18/Sen
+        // re-derive from exact i64s
+        "x171_mann_kendall" -> SparkEntry.queries("x171_mann_kendall"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

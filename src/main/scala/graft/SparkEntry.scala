@@ -67,7 +67,7 @@ object SparkEntry {
       Benford.queries, Outlier.queries, Boilerplate.queries,
       Heaps.queries, JoinSize.queries, CentroidDrift.queries,
       Psi.queries, Entropy.queries, FdAudit.queries,
-      LloydIvf.queries, RankDrift.queries
+      LloydIvf.queries, RankDrift.queries, MannKendall.queries
     ).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -118,6 +118,6 @@ object SparkEntry {
       Benford.oracles, Outlier.oracles, Boilerplate.oracles,
       Heaps.oracles, JoinSize.oracles, CentroidDrift.oracles,
       Psi.oracles, Entropy.oracles, FdAudit.oracles,
-      LloydIvf.oracles, RankDrift.oracles
+      LloydIvf.oracles, RankDrift.oracles, MannKendall.oracles
     ).reduce(_ ++ _)
 }
