@@ -235,7 +235,17 @@ object ScaleBench {
           d.select(col("doc_id"), col("lang"), col("text")))
       },
       "x146_dedup_recall" -> (d =>
-        graft.ops.DedupRecall.recallOf(Dedup.shinglesOf(d))))
+        graft.ops.DedupRecall.recallOf(Dedup.shinglesOf(d))),
+      // round-14 plan-shape rewrites: the bucketed prefix sum (x158)
+      // and the value-block closed form (x109's sibling x170) must
+      // scale ~linearly now that no corpus-sized single-task window
+      // remains
+      "x158_heaps_fit" -> (d => graft.ops.Heaps.heapsFitOf(d)),
+      "x170_rank_drift" -> { d =>
+        import org.apache.spark.sql.functions.{col, length}
+        graft.ops.RankDrift.rankDriftOf(d.select(col("source").as("grp"),
+          length(col("text")).cast("long").as("x")))
+      })
     // section filter for partial re-runs (e.g. the memory-heavy hot-corpus
     // recall section alone under a bigger heap):
     // generic | simjoin | hot | events | vectors | pit
@@ -505,7 +515,13 @@ object ScaleBench {
         // ...and the deployed posture (cell cap 200 = base cell size),
         // whose pair volume and wall must grow ~linearly instead
         "x145_semdedup_capped" ->
-          (d => graft.ops.SemDedup.semOf(d, 200L)))
+          (d => graft.ops.SemDedup.semOf(d, 200L)),
+        // round-14: TRAIN + probe wall of the integer-exact Lloyd index
+        // (built fresh per run — the once-per-corpus stage measured
+        // honestly; per-round broadcast centroids + map-only argmin)
+        "x166_ivf_lloyd_train_probe" -> (d =>
+          graft.ops.LloydIvf.probe(
+            graft.ops.LloydIvf.buildLloydIndexOf(d, graft.ops.LloydIvf.T))))
       emQueries.filter(q => selected(q._1)).foreach { case (name, q) =>
         val t1 = timed(q(spark.read.parquet(em1))
           .write.format("noop").mode("overwrite").save())
