@@ -331,7 +331,11 @@ object ScaleVerify {
         // round-14: Mann-Kendall — 10x users multiply the daily counts
         // while the day-pair set stays calendar-bounded; S/var18/Sen
         // re-derive from exact i64s
-        "x171_mann_kendall" -> SparkEntry.queries("x171_mann_kendall"))
+        "x171_mann_kendall" -> SparkEntry.queries("x171_mann_kendall"),
+        // round-14: contamination matrix — eval gram sets grow with the
+        // per-block vocab, matches stay block-local, cells re-derive
+        "x172_contamination_matrix" ->
+          SparkEntry.queries("x172_contamination_matrix"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

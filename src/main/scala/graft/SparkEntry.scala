@@ -67,7 +67,8 @@ object SparkEntry {
       Benford.queries, Outlier.queries, Boilerplate.queries,
       Heaps.queries, JoinSize.queries, CentroidDrift.queries,
       Psi.queries, Entropy.queries, FdAudit.queries,
-      LloydIvf.queries, RankDrift.queries, MannKendall.queries
+      LloydIvf.queries, RankDrift.queries, MannKendall.queries,
+      ContaminationMatrix.queries
     ).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -118,6 +119,7 @@ object SparkEntry {
       Benford.oracles, Outlier.oracles, Boilerplate.oracles,
       Heaps.oracles, JoinSize.oracles, CentroidDrift.oracles,
       Psi.oracles, Entropy.oracles, FdAudit.oracles,
-      LloydIvf.oracles, RankDrift.oracles, MannKendall.oracles
+      LloydIvf.oracles, RankDrift.oracles, MannKendall.oracles,
+      ContaminationMatrix.oracles
     ).reduce(_ ++ _)
 }

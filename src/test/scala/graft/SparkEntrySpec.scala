@@ -114,7 +114,8 @@ class SparkEntrySpec extends SparkSpec {
       "CentroidDrift" -> CentroidDrift.queries, "Psi" -> Psi.queries,
       "Entropy" -> Entropy.queries, "FdAudit" -> FdAudit.queries,
       "LloydIvf" -> LloydIvf.queries, "RankDrift" -> RankDrift.queries,
-      "MannKendall" -> MannKendall.queries)
+      "MannKendall" -> MannKendall.queries,
+      "ContaminationMatrix" -> ContaminationMatrix.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
