@@ -85,15 +85,19 @@ object Heaps {
       .agg(min($"doc_id").as("doc_id"))
       .groupBy($"source", $"doc_id")
       .agg(count(lit(1)).as("n_new"))
-    // cache: the checkpoint rows feed both the local-window branch and
-    // the per-bucket totals branch (the X26 two-consumer pattern) —
-    // without it the tokenize+aggregate lineage runs twice
+    // materialize: the checkpoint rows feed both the local-window branch
+    // and the per-bucket totals branch (the X26 two-consumer pattern) —
+    // without it the tokenize+aggregate lineage runs twice. localCheckpoint
+    // (the LloydIvf pattern), NOT cache(): a cache inside a registered
+    // query outlives the query as a session-lifetime InMemoryRelation
+    // (round-14 verdict item 1) — checkpoint blocks are reclaimed by the
+    // context cleaner once the frame is unreachable
     val base = perDoc
       .join(firstDoc, Seq("source", "doc_id"), "left")
       .select($"source", $"doc_id", $"n_tok",
         coalesce($"n_new", lit(0L)).as("n_new"))
       .withColumn("pid", expr(s"(doc_id - ${mn}L) div ${width}L"))
-      .cache()
+      .localCheckpoint()
     // phase 2: per-(source, bucket) INCLUSIVE running sums — windows
     // keyed by (source, pid) run in parallel across buckets
     val localW = Window.partitionBy($"source", $"pid").orderBy($"doc_id")

@@ -124,6 +124,9 @@ object LloydIvf {
     * (also exposes the round count — the spec pins convergence by
     * comparing fits at different budgets). */
   private[graft] def buildLloydIndexOf(e: DataFrame, rounds: Int): LloydIndex = {
+    require(rounds >= 1,
+      s"Lloyd training needs at least one round (got $rounds) — " +
+        "with zero rounds there is no centroid table to probe")
     val spark = e.sparkSession
     import spark.implicits._
     var asg = e

@@ -42,6 +42,18 @@ object StreamQuality {
     "source" -> "lang",
     "lang" -> "source")
 
+  /** NULL-key sentinel: the batch X164/X165 ops GROUP nulls as a key,
+    * but a null fed to the typed aggregators crashes their finish
+    * (sortBy on a null string / substring on a null cell) — so the
+    * monitors coalesce key columns to this sentinel BEFORE aggregating.
+    * `\u0001` cannot appear in the categorical domains by the same
+    * convention that bans `\u0000` from FD determinants, so the sentinel
+    * group IS the null group and the streamed ≡ batch law survives
+    * dirty corpora (neither monitor emits key names, only counts —
+    * the sentinel never reaches the output).
+    */
+  val NullKey = "\u0001"
+
   /** X168: per-user live entropy over a (streaming or batch)
     * (user_id, event_type) frame — X164's output columns exactly. */
   def entropyMonitor(events: DataFrame): DataFrame = {
@@ -50,7 +62,7 @@ object StreamQuality {
     val kc = udaf(new KeyedCounts, ExpressionEncoder[String]())
     events
       .groupBy($"user_id")
-      .agg(kc($"event_type").as("tc"))
+      .agg(kc(coalesce($"event_type", lit(NullKey))).as("tc"))
       .withColumn("n_events",
         expr("aggregate(tc, 0L, (acc, x) -> acc + x._2)"))
       .withColumn("n_types", size($"tc").cast("long"))
@@ -75,7 +87,8 @@ object StreamQuality {
     val cells = udaf(new FdCells, ExpressionEncoder[String]())
     val stacked = StreamDeps.map { case (a, b) =>
       docs.select(lit(s"$a->$b").as("dependency"),
-        concat(col(a), lit("\u0000"), col(b)).as("cell"))
+        concat(coalesce(col(a), lit(NullKey)), lit("\u0000"),
+          coalesce(col(b), lit(NullKey))).as("cell"))
     }.reduce(_ unionByName _)
     stacked
       .groupBy($"dependency")

@@ -93,6 +93,48 @@ class StreamQualitySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("X168/X169: null keys group as the sentinel — the monitors " +
+    "survive dirty corpora and still equal the batch ops") {
+    // the CurationMix-style dirty fixture: a null event_type and a null
+    // source/lang must neither NPE the aggregators (round-14 advice:
+    // KeyedCounts.finish sortBy / FdCells.finish substring) nor change
+    // the batch law — batch X164/X165 group nulls as a key, and the
+    // `\u0001` sentinel group IS that group (counts only, no key names
+    // in either output)
+    val events = Seq((1L, "view"), (1L, null), (1L, null), (2L, "buy"))
+      .toDF("user_id", "event_type")
+    val ent = StreamQuality.entropyMonitor(events).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(ent(1L).getAs[Long]("n_types") == 2L,
+      "the null events must count as ONE type next to view")
+    assert(ent(1L).getAs[Long]("n_events") == 3L)
+    val batchEnt = ops.Entropy.entropyOf(events).collect()
+      .map(_.toString).sorted.toSeq
+    assert(StreamQuality.entropyMonitor(events).collect()
+      .map(_.toString).sorted.toSeq == batchEnt,
+      "null-as-sentinel must reproduce the batch null-as-group entropy")
+
+    val docs = Seq((1L, "s1", "en"), (2L, "s1", null), (3L, null, "en"),
+      (4L, "s2", "de")).toDF("doc_id", "source", "lang")
+    val fd = StreamQuality.fdMonitor(docs).collect()
+      .map(r => r.getAs[String]("dependency") -> r).toMap
+    // s1 maps to {en, null} — the null is a VALUE, so the dependency
+    // breaks with one minority row; null-source is its own determinant
+    val sl = fd("source->lang")
+    assert(!sl.getAs[Boolean]("holds"))
+    assert(sl.getAs[Long]("n_groups") == 3L,
+      "null source must be its own group, not dropped")
+    assert(sl.getAs[Long]("n_violating_rows") == 1L)
+    val streamedNames = StreamQuality.StreamDeps
+      .map { case (a, b) => s"$a->$b" }.toSet
+    val batchFd = ops.FdAudit.auditOf(docs).collect()
+      .filter(r => streamedNames(r.getAs[String]("dependency")))
+      .map(_.toString).sorted.toSeq
+    assert(StreamQuality.fdMonitor(docs).collect()
+      .map(_.toString).sorted.toSeq == batchFd,
+      "null-as-sentinel must reproduce the batch X165 statistics")
+  }
+
   test("X169: a planted provenance merge flips holds to false with the " +
     "exact repair mass") {
     // source s1 emits lang en 7×, then a merged crawl injects 3 es rows
