@@ -60,6 +60,24 @@ object LloydSweep {
       val cm = Vector.ivfCandidateCount(mllib, np)
       println(f"| $np | ${recallOf(gl)}%.2f | $cl | ${recallOf(gm)}%.2f | $cm |")
     }
+
+    // x173-vs-x31: do the INTEGER-EXACT per-subspace codebooks (x173 —
+    // oracle-checkable training) give up ADC recall against the seeded
+    // MLlib codebooks (x31) at the same candK rerank budget?
+    val lpq = ops.LloydPq.pqLloydIndex(spark, sfDir)
+    val mpq = Vector.pqIndex(spark, sfDir)
+    println()
+    println("| candK | x173 recall@5 | x31 recall@5 |")
+    println("|---|---|---|")
+    Seq(12, 24, 48, 96).foreach { ck =>
+      def recallOf(got: Set[(Long, Long)]) =
+        (got & brute).size.toDouble / brute.size
+      val gl = ops.LloydPq.probe(lpq, ck).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+      val gm = Vector.pqProbe(mpq, ck).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+      println(f"| $ck | ${recallOf(gl)}%.2f | ${recallOf(gm)}%.2f |")
+    }
     spark.stop()
   }
 }

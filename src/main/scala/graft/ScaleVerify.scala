@@ -335,7 +335,12 @@ object ScaleVerify {
         // round-14: contamination matrix — eval gram sets grow with the
         // per-block vocab, matches stay block-local, cells re-derive
         "x172_contamination_matrix" ->
-          SparkEntry.queries("x172_contamination_matrix"))
+          SparkEntry.queries("x172_contamination_matrix"),
+        // round-15: integer-exact Lloyd-trained PQ — codebooks retrain
+        // on the 10× (sign-perturbed) population, the fixed block-0
+        // query band ranks a 10× corpus by its code bytes, and the hash
+        // certifies training + encoding + ADC + rerank at scale
+        "x173_pq_lloyd_topk" -> SparkEntry.queries("x173_pq_lloyd_topk"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

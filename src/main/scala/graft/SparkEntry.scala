@@ -68,7 +68,7 @@ object SparkEntry {
       Heaps.queries, JoinSize.queries, CentroidDrift.queries,
       Psi.queries, Entropy.queries, FdAudit.queries,
       LloydIvf.queries, RankDrift.queries, MannKendall.queries,
-      ContaminationMatrix.queries
+      ContaminationMatrix.queries, LloydPq.queries
     ).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -120,6 +120,6 @@ object SparkEntry {
       Heaps.oracles, JoinSize.oracles, CentroidDrift.oracles,
       Psi.oracles, Entropy.oracles, FdAudit.oracles,
       LloydIvf.oracles, RankDrift.oracles, MannKendall.oracles,
-      ContaminationMatrix.oracles
+      ContaminationMatrix.oracles, LloydPq.oracles
     ).reduce(_ ++ _)
 }

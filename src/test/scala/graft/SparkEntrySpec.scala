@@ -115,7 +115,8 @@ class SparkEntrySpec extends SparkSpec {
       "Entropy" -> Entropy.queries, "FdAudit" -> FdAudit.queries,
       "LloydIvf" -> LloydIvf.queries, "RankDrift" -> RankDrift.queries,
       "MannKendall" -> MannKendall.queries,
-      "ContaminationMatrix" -> ContaminationMatrix.queries)
+      "ContaminationMatrix" -> ContaminationMatrix.queries,
+      "LloydPq" -> LloydPq.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
