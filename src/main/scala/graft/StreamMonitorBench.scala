@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
+import graft.ops.ContaminationMatrix
 import graft.stream.{StreamAms, StreamCentroid, StreamDrift, StreamPsi, StreamQuality}
 
 /** Round-13 streaming-monitor throughput + state-bound evidence, the
@@ -116,6 +117,39 @@ object StreamMonitorBench {
     drain("stream_fd", fdDir, fdDocs.schema,
       StreamQuality.StreamDeps.length.toLong)(
       StreamQuality.fdMonitor(_))
+
+    // X174/X175 — documents-shaped stream WITH text (12 words from a
+    // 50-word vocab so 6-grams exist and some hit); the pinned eval-gram
+    // sets come from a 100k batch slice with the standard residues
+    val tDocs = spark.range(n).select(
+      $"id".as("doc_id"),
+      concat(lit("src"), $"id" % Sources).as("source"),
+      concat_ws(" ", (0 until 12).map(i =>
+        concat(lit("w"), ($"id" * 7L + i * 3L) % 50L)): _*).as("text"))
+    val tDir = s"$work/tdocs"
+    tDocs.repartition(cpus.toInt).write.mode("overwrite").parquet(tDir)
+    val refSets = graft.stream.StreamDecontam.evalGramSets(
+      spark.read.parquet(tDir).limit(100000)).cache()
+    refSets.count()
+    // the guard is stateless (append mode) — drain through append
+    locally {
+      val stream = spark.readStream.schema(tDocs.schema).parquet(tDir)
+      val t0 = System.nanoTime()
+      val q = graft.stream.StreamDecontam.decontamGuard(stream, refSets)
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", s"$work/ckpt-decontam-guard")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val stateRows = q.recentProgress.flatMap(p =>
+        Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+        .lastOption.getOrElse(0L)
+      println(f"""{"metric":"stream_decontam_guard_rows_per_sec","value":${n / sec}%.0f,"unit":"rows/sec","rows":$n,"seconds":$sec%.2f,"state_rows":$stateRows,"expected_state":0}""")
+    }
+    drain("stream_decontam_rates", tDir, tDocs.schema,
+      Sources * ContaminationMatrix.EvalSets.length)(
+      graft.stream.StreamDecontam.contaminationMonitor(_, refSets))
 
     // X162 — (label, embedding) stream at 64 dims (fewer rows: the
     // per-row payload is 64 floats, so nVec rows ≈ n in field count)
