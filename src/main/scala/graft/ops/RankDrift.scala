@@ -27,8 +27,21 @@ import graft.Tables
   *
   * No z-score column by design: the tie-corrected variance needs a
   * three-product double chain — exactly the a·b − c·d FMA shape the
-  * x158 lesson banned from cross-engine paths; u2 and the counts let a
-  * consumer compute it. The DuckDB oracle recomputes the identical
+  * x158 lesson banned from cross-engine paths. Instead (round-14
+  * verdict item 5, the x171 var18 discipline) the variance is emitted
+  * CLEARED as an exact integer over the same value blocks:
+  *
+  *   var12_num = (n+1)·n·(n−1) − Σ_blocks (c³ − c)
+  *   Var(U)    = n_in·n_rest · var12_num / (12·n·(n−1))
+  *
+  * The tie term runs over the COMBINED sample, so var12_num is one
+  * corpus-level exact integer shared by every row; a consumer forms
+  * z = (u2/2 − n_in·n_rest/2) / sqrt(Var(U)) without ever touching the
+  * banned chain. The cubes run in exact DECIMAL (Spark) / HUGEINT
+  * (DuckDB) and the emitted i64 is exact for n ≤ 2.09·10⁶ (n³ < 2⁶³ —
+  * the RandIndex-style documented bound; beyond it Spark's decimal→long
+  * cast nulls and DuckDB's HUGEINT→BIGINT cast errors: loud, not
+  * silently wrapped). The DuckDB oracle recomputes the identical
   * blocks.
   *
   * Scale shape (the x109 mechanism plus X26's banding): ONE
@@ -80,7 +93,10 @@ object RankDrift {
     val spine = blocks.join(broadcast(bandOffsets), Seq("band"))
       .withColumn("cum",
         $"boff" + coalesce(sum($"c").over(byValInBand), lit(0L)))
-    val total = blocks.agg(sum($"c").as("n"))
+    val cDec = $"c".cast("decimal(20,0)")
+    val total = blocks.agg(sum($"c").as("n"),
+      sum(cDec * cDec * cDec - cDec).as("t3"))
+    val nDec = $"n".cast("decimal(20,0)")
     cells.join(spine, Seq("x"))
       .groupBy($"grp")
       .agg(
@@ -88,7 +104,9 @@ object RankDrift {
         sum($"a" * (lit(2L) * $"cum" + $"c" + lit(1L))).as("r2_in"))
       .crossJoin(broadcast(total))
       .select($"grp", $"n_in", ($"n" - $"n_in").as("n_rest"),
-        ($"r2_in" - $"n_in" * ($"n_in" + lit(1L))).as("u2"))
+        ($"r2_in" - $"n_in" * ($"n_in" + lit(1L))).as("u2"),
+        ((nDec + 1) * nDec * (nDec - 1) - $"t3").cast("long")
+          .as("var12_num"))
       .withColumn("auc",
         when($"n_in" * $"n_rest" === 0, lit(0.5)).otherwise(
           $"u2".cast("double") /
@@ -107,7 +125,9 @@ object RankDrift {
       |           AS BIGINT) AS cum
       |  FROM (SELECT x, CAST(sum(a) AS BIGINT) AS c
       |        FROM cells GROUP BY x)),
-      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+      |               sum(CAST(c AS HUGEINT) * c * c - c) AS t3
+      |        FROM spine),
       |agg AS (
       |  SELECT grp, CAST(sum(a) AS BIGINT) AS n_in,
       |         CAST(sum(a * (2 * cum + c + 1)) AS BIGINT) AS r2_in
@@ -115,6 +135,8 @@ object RankDrift {
       |  GROUP BY grp)
       |SELECT grp, n_in, n - n_in AS n_rest,
       |       r2_in - n_in * (n_in + 1) AS u2,
+      |       CAST((CAST(n AS HUGEINT) + 1) * n * (n - 1) - t3 AS BIGINT)
+      |         AS var12_num,
       |       CASE WHEN n_in * (n - n_in) = 0 THEN 0.5
       |            ELSE CAST(r2_in - n_in * (n_in + 1) AS DOUBLE)
       |                   / (2.0 * CAST(n_in * (n - n_in) AS DOUBLE)) END

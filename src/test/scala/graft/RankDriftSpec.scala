@@ -43,6 +43,14 @@ class RankDriftSpec extends SparkSpec {
     assert(out("a") == ((2L, 2L, 2L, 0.25)))
     assert(out("b") == ((2L, 2L, 6L, 0.75)),
       "complementarity: auc_a + auc_b = 1 on a two-source corpus")
+    // cleared tie-corrected variance (round-14 verdict item 5):
+    // Σ(c³−c) = (27−3) + (1−1) = 24; var12_num = 5·4·3 − 24 = 36
+    // ⇒ Var(U) = n_in·n_rest·36 / (12·4·3) = 4·36/144 = 1 exactly
+    val vn = RankDrift.rankDriftOf(frame(
+      ("a", 5L), ("a", 5L), ("b", 5L), ("b", 9L)))
+      .select("var12_num").distinct().collect()
+    assert(vn.map(_.getLong(0)).toSeq == Seq(36L),
+      "one corpus-level cleared variance shared by every row")
   }
 
   test("X170: banded prefix sum spans band boundaries exactly") {
@@ -86,6 +94,13 @@ class RankDriftSpec extends SparkSpec {
         else u2.toDouble / (2.0 * (nIn * (n - nIn)).toDouble))
     }.toMap
     assert(rowsOf(RankDrift.rankDrift(spark, sfDir)) == expected)
+    // the cleared variance against its independent BigInt replay
+    val t3 = blocks.map { case (_, c) =>
+      BigInt(c) * c * c - c }.sum
+    val expectedVar = (BigInt(n) + 1) * n * (n - 1) - t3
+    val got = RankDrift.rankDrift(spark, sfDir)
+      .select("var12_num").distinct().collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(expectedVar.toLong))
   }
 
   test("X170: partition-count invariance") {
