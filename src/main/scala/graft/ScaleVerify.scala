@@ -340,7 +340,18 @@ object ScaleVerify {
         // on the 10× (sign-perturbed) population, the fixed block-0
         // query band ranks a 10× corpus by its code bytes, and the hash
         // certifies training + encoding + ADC + rerank at scale
-        "x173_pq_lloyd_topk" -> SparkEntry.queries("x173_pq_lloyd_topk"))
+        "x173_pq_lloyd_topk" -> SparkEntry.queries("x173_pq_lloyd_topk"),
+        // round-15 (verdict item 3): the tokenize-heavy tail — the
+        // gate's one remaining blind spot after it caught four real
+        // cross-engine bugs in three rounds. The per-block suffixed
+        // vocab grows the tf-idf/index/BM25 term tables 10× WITH the
+        // corpus (the worst case); x24's eval gram set grows 10× while
+        // matches stay block-local; b20's JSON props re-parse per row
+        "x06_tfidf" -> SparkEntry.queries("x06_tfidf"),
+        "x43_inverted_index" -> SparkEntry.queries("x43_inverted_index"),
+        "x68_bm25_topk" -> SparkEntry.queries("x68_bm25_topk"),
+        "x24_decontamination" -> SparkEntry.queries("x24_decontamination"),
+        "b20_map_json" -> SparkEntry.queries("b20_map_json"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
