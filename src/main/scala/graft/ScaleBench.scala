@@ -530,6 +530,65 @@ object ScaleBench {
         println(f"SCALE $name 1x=$t1%.2f s 10x=$t10%.2f s growth=${t10 / t1}%.1fx")
       }
     }
+
+    // 30× curvature (round-14 verdict item 4): the single 10× ratio can
+    // hide a superlinear term that only bends at the next decade — the
+    // rewritten shapes (x109/x158/x170), the trained indexes (x166 and
+    // x173 — train + probe, built fresh per run), and the deployed
+    // capped x145 get a third point. Same disjoint-vocab / disjoint-id
+    // replica constructions at 30 blocks.
+    if (sections("curvature30")) {
+      val B30 = 30
+      val dir30 = "target/scale_corpus_30x"
+      replicate(base, B30).repartition(8 * B30)
+        .write.mode("overwrite").parquet(dir30)
+      val em1 = "target/scale_embeddings_1x"
+      val em30 = "target/scale_embeddings_30x"
+      val emBase = Tables.embeddings(spark, sfDir)
+      emBase.repartition(8).write.mode("overwrite").parquet(em1)
+      val em10 = "target/scale_embeddings_10x"
+      emBase.crossJoin(spark.range(Blocks).toDF("block"))
+        .select(($"vec_id" + $"block" * 10000000L).as("vec_id"),
+          $"embedding", $"label")
+        .repartition(8 * Blocks).write.mode("overwrite").parquet(em10)
+      emBase.crossJoin(spark.range(B30).toDF("block"))
+        .select(($"vec_id" + $"block" * 10000000L).as("vec_id"),
+          $"embedding", $"label")
+        .repartition(8 * B30).write.mode("overwrite").parquet(em30)
+      def three(name: String, d1: String, d10: String, d30: String)(
+          q: DataFrame => DataFrame): Unit = {
+        if (selected(name)) {
+          val t1 = timed(q(spark.read.parquet(d1))
+            .write.format("noop").mode("overwrite").save())
+          val t10 = timed(q(spark.read.parquet(d10))
+            .write.format("noop").mode("overwrite").save())
+          val t30 = timed(q(spark.read.parquet(d30))
+            .write.format("noop").mode("overwrite").save())
+          println(f"SCALE30 $name 1x=$t1%.2f s 10x=$t10%.2f s " +
+            f"30x=$t30%.2f s growth10=${t10 / t1}%.1fx growth30=${t30 / t1}%.1fx")
+        }
+      }
+      three("x109_source_gini", dir1, dir10, dir30) { d =>
+        import org.apache.spark.sql.functions.{col, length}
+        graft.ops.Gini.giniOf(d.select(col("source").as("grp"),
+          col("doc_id"), length(col("text")).cast("long").as("x")))
+      }
+      three("x158_heaps_fit", dir1, dir10, dir30)(d =>
+        graft.ops.Heaps.heapsFitOf(d))
+      three("x170_rank_drift", dir1, dir10, dir30) { d =>
+        import org.apache.spark.sql.functions.{col, length}
+        graft.ops.RankDrift.rankDriftOf(d.select(col("source").as("grp"),
+          length(col("text")).cast("long").as("x")))
+      }
+      three("x145_semdedup_capped", em1, em10, em30)(d =>
+        graft.ops.SemDedup.semOf(d, 200L))
+      three("x166_ivf_lloyd_train_probe", em1, em10, em30)(d =>
+        graft.ops.LloydIvf.probe(
+          graft.ops.LloydIvf.buildLloydIndexOf(d, graft.ops.LloydIvf.T)))
+      three("x173_pq_lloyd_train_probe", em1, em10, em30)(d =>
+        graft.ops.LloydPq.probe(
+          graft.ops.LloydPq.buildPqLloydIndexOf(d, graft.ops.LloydPq.T)))
+    }
     spark.stop()
   }
 }
