@@ -68,7 +68,8 @@ object SparkEntry {
       Heaps.queries, JoinSize.queries, CentroidDrift.queries,
       Psi.queries, Entropy.queries, FdAudit.queries,
       LloydIvf.queries, RankDrift.queries, MannKendall.queries,
-      ContaminationMatrix.queries, LloydPq.queries
+      ContaminationMatrix.queries, LloydPq.queries,
+      ContaminationKmv.queries, LloydIvfPq.queries
     ).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -120,6 +121,7 @@ object SparkEntry {
       Heaps.oracles, JoinSize.oracles, CentroidDrift.oracles,
       Psi.oracles, Entropy.oracles, FdAudit.oracles,
       LloydIvf.oracles, RankDrift.oracles, MannKendall.oracles,
-      ContaminationMatrix.oracles, LloydPq.oracles
+      ContaminationMatrix.oracles, LloydPq.oracles,
+      ContaminationKmv.oracles, LloydIvfPq.oracles
     ).reduce(_ ++ _)
 }

@@ -1,0 +1,355 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Hashing._
+
+/** X178 — IVF-PQ over RESIDUALS (the IVFADC structure of Jégou,
+  * Douze & Schmid 2011, "Product Quantization for Nearest Neighbor
+  * Search"): the composition of the two trained indexes the repo just
+  * hash-greened — x166's integer-exact Lloyd coarse quantizer and
+  * x173's integer-exact per-subspace PQ — into the canonical
+  * billion-scale ANN layout, with BOTH trainings inside the oracle
+  * hash. An IVF alone (x166) prunes the corpus but pays exact-vector
+  * scans inside probed cells; a PQ alone (x173) compresses the scan
+  * but reads the whole corpus; IVFADC prunes with the coarse index AND
+  * scans the survivors at one byte per subspace — encoding each
+  * vector's residual v − c(cell), whose variance is what remains after
+  * the coarse quantizer explains the cluster structure, which is why
+  * the same M×K codebook budget buys materially more precision than
+  * PQ on raw vectors (the paper's central observation).
+  *
+  * Exactness — every training and probe step is integer or
+  * identically-sequenced, chaining the proofs x166 and x173 hold:
+  *  - coarse training is x166's T Lloyd rounds VERBATIM (label-seeded,
+  *    quantized-dot distances, total argmin keys);
+  *  - residuals live on the shared i64 grid: qr = floor(v·1e6) −
+  *    floor(c·1e6) — a difference of two exact i64 quantizations
+  *    (|qr| ≲ 4·10⁶), so the residual table is bit-identical across
+  *    engines by construction;
+  *  - PQ training on the residual slices is x173's rounds VERBATIM
+  *    (pure-i64 Σ(q_a − q_b)² distances — per-subspace sums ≤
+  *    8·(8·10⁶)² ≈ 5·10¹⁴, no float sum, no FMA shape — re-quantized
+  *    float means, (vec_id + sub) mod K seed);
+  *  - the probe's ADC is per-(query, probed-cell): the QUERY residual
+  *    w.r.t. that cell's centroid is quantized on the same grid, the
+  *    lut is M·K exact-i64 entries per (query, cell), and the
+  *    approximate distance is a sum of M i64 lookups — order-free;
+  *  - the candidate cut (approx_d2, vec_id) and the exact-cosine
+  *    rerank (cos_sim desc, vec_id) are total orders.
+  * The DuckDB oracle unrolls coarse rounds, residual derivation, PQ
+  * rounds, per-cell luts, ADC, and rerank as one CTE chain — the hash
+  * certifies the ENTIRE index, both trainings included, at 1× and 10×.
+  *
+  * Dials: [[T]] = 5 rounds for both quantizers, nprobe = [[NProbe]] =
+  * x166's, CandK = [[CandK]] = x31/x173's, the fixed `vec_id < 3`
+  * query band, top-5.
+  *
+  * Plan shape at 100 TB: training is the once-per-corpus INDEX BUILD
+  * ([[ivfPqIndex]], memoized per session+dir, sharing x166's memoized
+  * coarse index; each round materialized via localCheckpoint — the
+  * local stand-in for the persisted index artifact): the coarse rounds
+  * are x166's broadcast-centroid map-only passes, the residual derive
+  * is ONE broadcast join (≤|cells| centroid rows) + a row-local
+  * zip_with, the PQ rounds are x173's ≤ M·K·Sub = 1024-row broadcast
+  * aggregates. The probe never refits: |queries|·nprobe luts of M·K
+  * i64 entries broadcast against ONLY the probed cells' inverted
+  * lists (the join key is the cell — the corpus outside the probed
+  * cells is never read, x166's pruning), the ADC scan reads each
+  * candidate's M code bytes row-locally (never the floats), and exact
+  * cosine pays for CandK rows per query.
+  *
+  * Reference scope: no vector search in the reference; engine
+  * extension (SURVEY §2.5, the X19/X31/X70/X71/X92/X100/X166/X173 ANN
+  * family — its capstone).
+  */
+object LloydIvfPq {
+
+  /** Fixed Lloyd rounds for BOTH quantizers — code constants mirrored
+    * by the oracle's unrolled CTE chains. */
+  val T = 5
+
+  val M = LloydPq.M
+  val Sub = LloydPq.Sub
+  val K = LloydPq.K
+  val CandK = LloydPq.CandK
+  val NProbe = LloydIvf.NProbe
+  val NQueries = LloydIvf.NQueries
+
+  private val Scale = Centroids.Scale
+
+  /** encoded: one row per vector — cell, M code bytes, floats + norm
+    * for the rerank; centroids: the coarse table (c_cell, c);
+    * codebooks: the residual PQ table (sub, c_code, qc). */
+  final case class IvfPqIndex(encoded: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame)
+
+  // Weak-keyed by session instance (the lloydIndex cache's reasoning)
+  private val indexCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, IvfPqIndex]]
+
+  private[graft] def ivfPqIndex(spark: SparkSession, dir: String): IvfPqIndex = {
+    val perSession = indexCache.synchronized {
+      indexCache.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[String, IvfPqIndex])
+    }
+    perSession.getOrElseUpdate(dir,
+      buildFromIvf(LloydIvf.lloydIndex(spark, dir), T))
+  }
+
+  /** Residual slices of `asg` (vec_id, cell, embedding) against the
+    * centroid table: one row per (vec, sub) with the 8 quantized-i64
+    * residual dims — qr = floor(v·1e6) − floor(c·1e6), exact by
+    * construction. */
+  private[graft] def residualSlices(asg: DataFrame, cent: DataFrame): DataFrame = {
+    val spark = asg.sparkSession
+    import spark.implicits._
+    asg.join(broadcast(cent), $"cell" === $"c_cell")
+      .withColumn("qd", zip_with($"embedding", $"c", (x, y) =>
+        floor(x.cast("double") * Scale).cast("long")
+          - floor(y.cast("double") * Scale).cast("long")))
+      .select($"vec_id", posexplode(expr(
+        s"transform(sequence(0, ${M - 1}), j -> slice(qd, j * $Sub + 1, $Sub))"))
+        .as(Seq("sub", "qs")))
+      .select($"vec_id", $"sub".cast("long").as("sub"), $"qs")
+  }
+
+  private[graft] def buildIvfPqIndexOf(e: DataFrame, ivfRounds: Int,
+      pqRounds: Int): IvfPqIndex =
+    buildFromIvf(LloydIvf.buildLloydIndexOf(e, ivfRounds), pqRounds)
+
+  /** The PQ-on-residuals build over a trained coarse index; test seam
+    * (exposes the PQ round budget — the spec varies it). */
+  private[graft] def buildFromIvf(ivf: LloydIvf.LloydIndex,
+      pqRounds: Int): IvfPqIndex = {
+    require(pqRounds >= 1,
+      s"PQ training needs at least one round (got $pqRounds) — " +
+        "with zero rounds there is no residual codebook to encode against")
+    val spark = ivf.assigned.sparkSession
+    import spark.implicits._
+    var asg = residualSlices(ivf.assigned, ivf.centroids)
+      .withColumn("code", ($"vec_id" + $"sub") % K)
+      .select($"vec_id", $"sub", $"code", $"qs")
+    var cb: DataFrame = null
+    for (_ <- 1 to pqRounds) {
+      cb = LloydPq.codebooksOf(asg).localCheckpoint()
+      asg = LloydPq.assignTo(asg, cb).localCheckpoint()
+    }
+    val codes = asg.groupBy($"vec_id")
+      .agg(array_sort(collect_list(struct($"sub", $"code"))).as("sc"))
+      .select($"vec_id", expr("transform(sc, x -> x.code)").as("codes"))
+    IvfPqIndex(
+      ivf.assigned.join(codes, Seq("vec_id")).localCheckpoint(),
+      ivf.centroids, cb)
+  }
+
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    probe(ivfPqIndex(spark, dir))
+
+  private[graft] def probe(index: IvfPqIndex, nprobe: Int = NProbe,
+      candK: Int = CandK): DataFrame =
+    Vector.rerankTop5(candidates(index, nprobe, candK))
+
+  /** Per-(query, probed cell) i64 luts keyed sub·K + code: the exact
+    * squared distance from the query's RESIDUAL (w.r.t. that cell's
+    * centroid) slice to each residual codebook entry — x173's map form
+    * (survivor-set safe) with the cell in the key set. */
+  private[graft] def pqLuts(index: IvfPqIndex, nprobe: Int): DataFrame = {
+    val spark = index.encoded.sparkSession
+    import spark.implicits._
+    val q = index.encoded.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        $"nq".as("qnq"))
+    val byDist = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"dist_q".asc, $"c_cell".asc)
+    val probed = q.crossJoin(broadcast(index.centroids))
+      .withColumn("dist_q",
+        $"qnq" - lit(2.0) * dotQ($"qe", $"c") + dotQ($"c", $"c"))
+      .withColumn("rn", row_number().over(byDist))
+      .filter($"rn" <= nprobe)
+      .select($"query_id", $"c_cell".as("cell"), $"qe", $"qnq", $"c")
+    probed
+      .withColumn("qd", zip_with($"qe", $"c", (x, y) =>
+        floor(x.cast("double") * Scale).cast("long")
+          - floor(y.cast("double") * Scale).cast("long")))
+      .select($"query_id", $"cell", $"qe", $"qnq", posexplode(expr(
+        s"transform(sequence(0, ${M - 1}), j -> slice(qd, j * $Sub + 1, $Sub))"))
+        .as(Seq("sub", "qs")))
+      .select($"query_id", $"cell", $"qe", $"qnq",
+        $"sub".cast("long").as("sub"), $"qs")
+      .join(broadcast(index.codebooks), Seq("sub"))
+      .withColumn("d2", LloydPq.dist2Q($"qs", $"qc"))
+      .groupBy($"query_id", $"cell", $"qe", $"qnq")
+      .agg(map_from_entries(collect_list(
+        struct(($"sub" * K + $"c_code").cast("int").as("k"),
+          $"d2".as("v")))).as("lut"))
+  }
+
+  /** ADC over the probed cells only: the scan joins the inverted lists
+    * on the CELL key (corpus outside the probed cells never read) and
+    * sums M exact-i64 code lookups per candidate. */
+  private[graft] def candidates(index: IvfPqIndex, nprobe: Int,
+      candK: Int): DataFrame = {
+    val spark = index.encoded.sparkSession
+    import spark.implicits._
+    val adc = (0 until M)
+      .map(j => element_at(col("lut"),
+        (col("codes")(j) + lit(j.toLong * K)).cast("int")))
+      .reduce(_ + _)
+    val byAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"approx_d2".asc, $"vec_id".asc)
+    index.encoded
+      .join(broadcast(pqLuts(index, nprobe)), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("approx_d2", adc)
+      .withColumn("arn", row_number().over(byAdc))
+      .filter($"arn" <= candK)
+      .select($"query_id", $"vec_id",
+        cosQ(dotQ($"embedding", $"qe"), $"nq", $"qnq").as("cos_sim"))
+  }
+
+  /** The oracle: x166's unrolled coarse rounds, the residual grid
+    * derivation, x173's unrolled PQ rounds over the residual slices
+    * (p-prefixed CTE names), then per-(query, cell) luts, ADC over the
+    * probed cells, and the exact rerank — every intermediate an exact
+    * integer or an identically-rounded scalar. */
+  val ivfPqTopKSql: String = {
+    val dvv = sqlDotQ("e.embedding", "e.embedding")
+    val dvc = sqlDotQ("e.embedding", "c.c")
+    val dcc = sqlDotQ("c.c", "c.c")
+    val ivfRounds = (1 to T).map { t =>
+      s"""ex$t AS (
+         |  SELECT a.cell, u.i - 1 AS dim,
+         |         CAST(floor(CAST(e.embedding[u.i] AS DOUBLE)
+         |           * $Scale) AS BIGINT) AS q
+         |  FROM asg${t - 1} a JOIN embeddings e USING (vec_id),
+         |       LATERAL unnest(generate_series(1, len(e.embedding)))
+         |         AS u(i)),
+         |cent$t AS (
+         |  SELECT cell,
+         |         list(CAST(CAST(s AS DOUBLE) / n / $Scale
+         |           AS FLOAT) ORDER BY dim) AS c
+         |  FROM (SELECT cell, dim, count(*) AS n,
+         |               CAST(sum(q) AS BIGINT) AS s
+         |        FROM ex$t GROUP BY 1, 2)
+         |  GROUP BY cell),
+         |asg$t AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |             $dvv - 2.0 * $dvc + $dcc ASC, c.cell ASC) AS rk
+         |    FROM embeddings e CROSS JOIN cent$t c)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val pqRounds = (1 to T).map { t =>
+      s"""pcb$t AS (
+         |  SELECT sub, code, dim,
+         |         CAST(floor(CAST(CAST(CAST(s AS DOUBLE) / n / $Scale
+         |           AS FLOAT) AS DOUBLE) * $Scale) AS BIGINT) AS qc
+         |  FROM (SELECT a.sub, a.code, s.dim, count(*) AS n,
+         |               CAST(sum(s.q) AS BIGINT) AS s
+         |        FROM pasg${t - 1} a
+         |        JOIN rsl s ON a.vec_id = s.vec_id AND a.sub = s.sub
+         |        GROUP BY 1, 2, 3)),
+         |pd$t AS (
+         |  SELECT s.vec_id, s.sub, c.code,
+         |         CAST(sum((s.q - c.qc) * (s.q - c.qc)) AS BIGINT) AS dist
+         |  FROM rsl s JOIN pcb$t c ON s.sub = c.sub AND s.dim = c.dim
+         |  GROUP BY 1, 2, 3),
+         |pasg$t AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |           row_number() OVER (PARTITION BY vec_id, sub
+         |                              ORDER BY dist ASC, code ASC) AS rk
+         |    FROM pd$t)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val dqc = sqlDotQ("q.qe", "c.c")
+    val dcc2 = sqlDotQ("c.c", "c.c")
+    val dq = sqlDotQ("e.embedding", "q.qe")
+    val nq = sqlDotQ("e.embedding", "e.embedding")
+    s"""WITH asg0 AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS cell FROM embeddings),
+       |$ivfRounds,
+       |vq AS (
+       |  SELECT vec_id, u.i - 1 AS dim,
+       |         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * $Scale)
+       |           AS BIGINT) AS q
+       |  FROM embeddings,
+       |       LATERAL unnest(generate_series(1, ${M * Sub})) AS u(i)),
+       |cq AS (
+       |  SELECT cell, u.i - 1 AS dim,
+       |         CAST(floor(CAST(c[u.i] AS DOUBLE) * $Scale) AS BIGINT)
+       |           AS qc
+       |  FROM cent$T, LATERAL unnest(generate_series(1, len(c))) AS u(i)),
+       |rsl AS (
+       |  SELECT v.vec_id, CAST(v.dim // $Sub AS BIGINT) AS sub,
+       |         CAST(v.dim % $Sub AS BIGINT) AS dim, v.q - cq.qc AS q
+       |  FROM vq v
+       |  JOIN asg$T a ON v.vec_id = a.vec_id
+       |  JOIN cq ON a.cell = cq.cell AND v.dim = cq.dim),
+       |pasg0 AS (
+       |  SELECT DISTINCT vec_id, sub, (vec_id + sub) % $K AS code FROM rsl),
+       |$pqRounds,
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe,
+       |         ${sqlDotQ("embedding", "embedding")} AS qnq
+       |  FROM embeddings WHERE vec_id < $NQueries),
+       |pr AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cell,
+       |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |             q.qnq - 2.0 * $dqc + $dcc2 ASC, c.cell ASC) AS rn
+       |    FROM q CROSS JOIN cent$T c)
+       |  WHERE rn <= $NProbe),
+       |qres AS (
+       |  SELECT p.query_id, p.cell, CAST(v.dim // $Sub AS BIGINT) AS sub,
+       |         CAST(v.dim % $Sub AS BIGINT) AS dim, v.q - cq.qc AS q
+       |  FROM pr p
+       |  JOIN vq v ON p.query_id = v.vec_id
+       |  JOIN cq ON p.cell = cq.cell AND v.dim = cq.dim),
+       |lut AS (
+       |  SELECT r.query_id, r.cell, r.sub, b.code,
+       |         CAST(sum((r.q - b.qc) * (r.q - b.qc)) AS BIGINT) AS d2
+       |  FROM qres r JOIN pcb$T b ON r.sub = b.sub AND r.dim = b.dim
+       |  GROUP BY 1, 2, 3, 4),
+       |adc AS (
+       |  SELECT l.query_id, pa.vec_id,
+       |         CAST(sum(l.d2) AS BIGINT) AS approx_d2
+       |  FROM pasg$T pa
+       |  JOIN asg$T a ON pa.vec_id = a.vec_id
+       |  JOIN lut l ON a.cell = l.cell AND pa.sub = l.sub
+       |            AND pa.code = l.code
+       |  WHERE pa.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY approx_d2 ASC, vec_id ASC)
+       |             AS arn
+       |    FROM adc)
+       |  WHERE arn <= $CandK),
+       |reranked AS (
+       |  SELECT c.query_id, c.vec_id,
+       |         ${sqlCosQ(dq, nq, "q.qnq")} AS cos_sim
+       |  FROM cand c
+       |  JOIN embeddings e ON c.vec_id = e.vec_id
+       |  JOIN q ON c.query_id = q.query_id)
+       |SELECT query_id, rnk, vec_id, cos_sim
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                   ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       |      FROM reranked)
+       |WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x178_ivfpq_topk" -> ivfPqTopK _)
+
+  val oracles: Map[String, String] = Map(
+    "x178_ivfpq_topk" -> ivfPqTopKSql)
+}

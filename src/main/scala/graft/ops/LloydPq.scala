@@ -97,7 +97,7 @@ object LloydPq {
       s"x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)))"
 
   /** Exact i64 squared distance between two array<bigint> columns. */
-  private def dist2Q(a: Column, b: Column): Column =
+  private[graft] def dist2Q(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, t) => acc + t)

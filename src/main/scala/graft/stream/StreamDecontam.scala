@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{ContaminationMatrix, Decontam}
 
-/** X174/X175 — streaming decontamination: the sourcing family's live
-  * members (round-14 verdict items 2 and 8). X24/X172 are batch audits;
+/** X174/X175/X177 — streaming decontamination: the sourcing family's
+  * live members (round-14 verdict items 2 and 8, plus the bounded-KMV
+  * closure of the one column X175 declared unstreamable). X24/X172 are
+  * batch audits;
   * the production ingest path wants the filter ON the stream — a doc
   * sharing a long n-gram with a benchmark suite should be flagged the
   * moment it arrives, not at the nightly audit.
@@ -91,6 +93,50 @@ object StreamDecontam {
           .otherwise(size(array_intersect($"grams", $"egrams")).cast("long")))
       .select($"doc_id", $"source", $"eval_set", $"is_eval", $"n_shared",
         ($"n_shared" > 0L && !$"is_eval").as("contaminated"))
+  }
+
+  /** X177: live per-(source, eval_set) KMV estimate of the DISTINCT
+    * shared grams — the column X175 deliberately could not stream, now
+    * carried by the bounded sketch X175's scaladoc pointed at. Each
+    * doc's shared grams come row-locally from the X174 intersect (an
+    * eval doc shares nothing by the training-side convention), explode
+    * statelessly into (cell, md5Long40 hash) rows, and fold into ONE
+    * ≤[[graft.ops.Kmv.K]]-slot [[graft.functions.KmvSketch]] buffer per
+    * cell — dedup lives inside the aggregator, and the bottom-k union
+    * law (X135/X138) makes the result independent of the micro-batch
+    * slicing, so streamed ≡ the batch X176 BIT-equal on every emitted
+    * column. Cells that never see a shared gram hold no state and emit
+    * no row (X176's completed zero cells are exactly the absent ones —
+    * the spec pins both directions); complete mode, state_rows = the
+    * leaky cells only.
+    */
+  def sharedGramKmv(docs: DataFrame, evalSets: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k = graft.ops.Kmv.K
+    val kmv = udaf(new graft.functions.KmvSketch(k))
+    val words = split(trim(lower($"text")), "\\s+")
+    val len = greatest(size($"words") - (N - 1), lit(0))
+    docs
+      .withColumn("words", words)
+      .withColumn("grams", array_distinct(transform(
+        arrays_zip((0 until N).map(j => slice($"words", lit(j + 1), len)): _*),
+        z => concat_ws(" ", (0 until N).map(j => z.getField(s"$j")): _*))))
+      .crossJoin(broadcast(evalSets))
+      .filter(!array_contains($"all_rs", $"doc_id" % 20))
+      .select($"source", $"eval_set",
+        explode(array_intersect($"grams", $"egrams")).as("sh"))
+      .select($"source", $"eval_set",
+        graft.functions.Hashing.md5Long40($"sh").as("h"))
+      .groupBy($"source", $"eval_set")
+      .agg(kmv($"h").as("ks"))
+      .select($"source", $"eval_set",
+        size($"ks").cast("long").as("k_used"),
+        element_at($"ks", size($"ks")).as("kth_hash"))
+      .withColumn("est_q",
+        when($"k_used" < k, $"k_used".cast("double"))
+          .otherwise((lit((k - 1).toDouble) * lit((1L << 40).toDouble)) /
+            $"kth_hash".cast("double")))
   }
 
   /** X175: live per-(source, eval_set) contamination-rate cells — the

@@ -98,6 +98,58 @@ class StreamDecontamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("X177: streamed per-cell KMV equals the batch X176 sketch " +
+    "bit-equal across a micro-batch boundary; state is one bounded row " +
+    "per leaky cell") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = docTuples
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val evalSets = StreamDecontam.evalGramSets(
+      Tables.documents(spark, sfDir)).cache()
+    evalSets.count()
+
+    val input = MemoryStream[(Long, String, String)]
+    val query = StreamDecontam.sharedGramKmv(
+        input.toDF().toDF("doc_id", "source", "text"), evalSets)
+      .writeStream.format("memory").queryName("x177_kmv")
+      .outputMode("complete").start()
+    try {
+      input.addData(first.toSeq)
+      query.processAllAvailable()
+      input.addData(second.toSeq)
+      query.processAllAvailable()
+
+      val streamed = spark.table("x177_kmv")
+        .select($"source", $"eval_set", $"k_used", $"kth_hash", $"est_q")
+        .collect().map(_.toString).sorted.toSeq
+      val batch = graft.ops.ContaminationKmv
+        .contaminationKmv(spark, sfDir)
+        .filter($"k_used" > 0L)
+        .select($"source", $"eval_set", $"k_used", $"kth_hash", $"est_q")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch,
+        "the bottom-k union law makes the streamed sketch independent " +
+          "of micro-batch slicing — it must equal the batch X176 cells " +
+          "bit-for-bit")
+      assert(streamed.nonEmpty,
+        "the planted near-dups leak at this SF (X172's evidence) — the " +
+          "monitor must have cells to sketch")
+      // X176's completed ZERO cells are exactly the ones the stream
+      // holds no state for — absence is the clean bill
+      val zeroCells = graft.ops.ContaminationKmv
+        .contaminationKmv(spark, sfDir).filter($"k_used" === 0L).count()
+      val allCells = graft.ops.ContaminationKmv
+        .contaminationKmv(spark, sfDir).count()
+      assert(streamed.length.toLong == allCells - zeroCells)
+
+      val stateRows = query.lastProgress.stateOperators.toSeq
+        .map(_.numRowsTotal).sum
+      assert(stateRows == streamed.length.toLong,
+        s"expected one bounded buffer per leaky cell " +
+          s"(${streamed.length}), got $stateRows state rows")
+    } finally query.stop()
+  }
+
   test("X174: a planted verbatim leak flags with the exact shared-gram " +
     "count; the benchmark doc itself never flags") {
     // doc 20 sits in eval_a (residue 0); doc 21 copies 8 of its words
