@@ -78,6 +78,28 @@ object LloydSweep {
         .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
       println(f"| $ck | ${recallOf(gl)}%.2f | ${recallOf(gm)}%.2f |")
     }
+
+    // x178 (IVFADC): does the residual-PQ ADC cut cost recall below
+    // x166's exact scan of the SAME probed cells (the coarse-pruning
+    // ceiling) at each (nprobe, candK) dial? "scan" counts the rows the
+    // ADC reads (code bytes) vs the rows exact rerank pays for.
+    val ivfpq = ops.LloydIvfPq.ivfPqIndex(spark, sfDir)
+    println()
+    println("| nprobe | candK | x178 recall@5 | x166 recall@5 (ceiling) | codes scanned | reranked |")
+    println("|---|---|---|---|---|---|")
+    Seq(1, 2, 4).foreach { np =>
+      val ceiling = LloydIvf.probe(lloyd, np).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+      val scanned = LloydIvf.candidates(lloyd, np).count()
+      Seq(24, 48, 96).foreach { ck =>
+        def recallOf(got: Set[(Long, Long)]) =
+          (got & brute).size.toDouble / brute.size
+        val gp = ops.LloydIvfPq.probe(ivfpq, np, ck).collect()
+          .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+        val reranked = math.min(ck.toLong * LloydIvf.NQueries, scanned)
+        println(f"| $np | $ck | ${recallOf(gp)}%.2f | ${recallOf(ceiling)}%.2f | $scanned | $reranked |")
+      }
+    }
     spark.stop()
   }
 }

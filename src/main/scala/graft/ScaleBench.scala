@@ -588,6 +588,12 @@ object ScaleBench {
       three("x173_pq_lloyd_train_probe", em1, em10, em30)(d =>
         graft.ops.LloydPq.probe(
           graft.ops.LloydPq.buildPqLloydIndexOf(d, graft.ops.LloydPq.T)))
+      // x178 trains BOTH quantizers fresh per point (coarse + residual
+      // PQ) — the full IVFADC index-build + probe wall
+      three("x178_ivfpq_train_probe", em1, em10, em30)(d =>
+        graft.ops.LloydIvfPq.probe(
+          graft.ops.LloydIvfPq.buildIvfPqIndexOf(d,
+            graft.ops.LloydIvfPq.T, graft.ops.LloydIvfPq.T)))
     }
     spark.stop()
   }

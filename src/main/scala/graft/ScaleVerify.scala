@@ -351,7 +351,16 @@ object ScaleVerify {
         "x43_inverted_index" -> SparkEntry.queries("x43_inverted_index"),
         "x68_bm25_topk" -> SparkEntry.queries("x68_bm25_topk"),
         "x24_decontamination" -> SparkEntry.queries("x24_decontamination"),
-        "b20_map_json" -> SparkEntry.queries("b20_map_json"))
+        "b20_map_json" -> SparkEntry.queries("b20_map_json"),
+        // round-15: the KMV shared-gram cells — eval gram sets and the
+        // shared-gram populations both grow 10× (saturated cells cross
+        // capacity in new hash orders), the sketch re-derives exactly
+        "x176_contamination_kmv" ->
+          SparkEntry.queries("x176_contamination_kmv"),
+        // round-15: IVFADC — coarse cells AND residual codebooks retrain
+        // on the 10× sign-perturbed population; the hash certifies both
+        // trainings + residual encoding + per-cell ADC at scale
+        "x178_ivfpq_topk" -> SparkEntry.queries("x178_ivfpq_topk"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -150,6 +150,12 @@ object StreamMonitorBench {
     drain("stream_decontam_rates", tDir, tDocs.schema,
       Sources * ContaminationMatrix.EvalSets.length)(
       graft.stream.StreamDecontam.contaminationMonitor(_, refSets))
+    // X177 — same stream through the per-cell KMV sketch; state is one
+    // bounded ≤K-slot buffer per LEAKY cell (≤ sources × sets here —
+    // the 50-word vocab makes every cell leak, so expected = all cells)
+    drain("stream_decontam_kmv", tDir, tDocs.schema,
+      Sources * ContaminationMatrix.EvalSets.length)(
+      graft.stream.StreamDecontam.sharedGramKmv(_, refSets))
 
     // X162 — (label, embedding) stream at 64 dims (fewer rows: the
     // per-row payload is 64 floats, so nVec rows ≈ n in field count)

@@ -228,7 +228,7 @@ object LloydIvfPq {
          |  FROM asg${t - 1} a JOIN embeddings e USING (vec_id),
          |       LATERAL unnest(generate_series(1, len(e.embedding)))
          |         AS u(i)),
-         |cent$t AS (
+         |cent$t AS MATERIALIZED (
          |  SELECT cell,
          |         list(CAST(CAST(s AS DOUBLE) / n / $Scale
          |           AS FLOAT) ORDER BY dim) AS c
@@ -236,7 +236,7 @@ object LloydIvfPq {
          |               CAST(sum(q) AS BIGINT) AS s
          |        FROM ex$t GROUP BY 1, 2)
          |  GROUP BY cell),
-         |asg$t AS (
+         |asg$t AS MATERIALIZED (
          |  SELECT vec_id, cell FROM (
          |    SELECT e.vec_id, c.cell,
          |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -245,7 +245,7 @@ object LloydIvfPq {
          |  WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
     val pqRounds = (1 to T).map { t =>
-      s"""pcb$t AS (
+      s"""pcb$t AS MATERIALIZED (
          |  SELECT sub, code, dim,
          |         CAST(floor(CAST(CAST(CAST(s AS DOUBLE) / n / $Scale
          |           AS FLOAT) AS DOUBLE) * $Scale) AS BIGINT) AS qc
@@ -259,7 +259,7 @@ object LloydIvfPq {
          |         CAST(sum((s.q - c.qc) * (s.q - c.qc)) AS BIGINT) AS dist
          |  FROM rsl s JOIN pcb$t c ON s.sub = c.sub AND s.dim = c.dim
          |  GROUP BY 1, 2, 3),
-         |pasg$t AS (
+         |pasg$t AS MATERIALIZED (
          |  SELECT vec_id, sub, code FROM (
          |    SELECT vec_id, sub, code,
          |           row_number() OVER (PARTITION BY vec_id, sub
@@ -271,30 +271,30 @@ object LloydIvfPq {
     val dcc2 = sqlDotQ("c.c", "c.c")
     val dq = sqlDotQ("e.embedding", "q.qe")
     val nq = sqlDotQ("e.embedding", "e.embedding")
-    s"""WITH asg0 AS (
+    s"""WITH asg0 AS MATERIALIZED (
        |  SELECT vec_id, CAST(label AS BIGINT) AS cell FROM embeddings),
        |$ivfRounds,
-       |vq AS (
+       |vq AS MATERIALIZED (
        |  SELECT vec_id, u.i - 1 AS dim,
        |         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * $Scale)
        |           AS BIGINT) AS q
        |  FROM embeddings,
        |       LATERAL unnest(generate_series(1, ${M * Sub})) AS u(i)),
-       |cq AS (
+       |cq AS MATERIALIZED (
        |  SELECT cell, u.i - 1 AS dim,
        |         CAST(floor(CAST(c[u.i] AS DOUBLE) * $Scale) AS BIGINT)
        |           AS qc
        |  FROM cent$T, LATERAL unnest(generate_series(1, len(c))) AS u(i)),
-       |rsl AS (
+       |rsl AS MATERIALIZED (
        |  SELECT v.vec_id, CAST(v.dim // $Sub AS BIGINT) AS sub,
        |         CAST(v.dim % $Sub AS BIGINT) AS dim, v.q - cq.qc AS q
        |  FROM vq v
        |  JOIN asg$T a ON v.vec_id = a.vec_id
        |  JOIN cq ON a.cell = cq.cell AND v.dim = cq.dim),
-       |pasg0 AS (
+       |pasg0 AS MATERIALIZED (
        |  SELECT DISTINCT vec_id, sub, (vec_id + sub) % $K AS code FROM rsl),
        |$pqRounds,
-       |q AS (
+       |q AS MATERIALIZED (
        |  SELECT vec_id AS query_id, embedding AS qe,
        |         ${sqlDotQ("embedding", "embedding")} AS qnq
        |  FROM embeddings WHERE vec_id < $NQueries),

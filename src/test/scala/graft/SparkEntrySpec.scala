@@ -116,7 +116,9 @@ class SparkEntrySpec extends SparkSpec {
       "LloydIvf" -> LloydIvf.queries, "RankDrift" -> RankDrift.queries,
       "MannKendall" -> MannKendall.queries,
       "ContaminationMatrix" -> ContaminationMatrix.queries,
-      "LloydPq" -> LloydPq.queries)
+      "LloydPq" -> LloydPq.queries,
+      "ContaminationKmv" -> ContaminationKmv.queries,
+      "LloydIvfPq" -> LloydIvfPq.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
