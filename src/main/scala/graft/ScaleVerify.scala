@@ -360,7 +360,11 @@ object ScaleVerify {
         // round-15: IVFADC — coarse cells AND residual codebooks retrain
         // on the 10× sign-perturbed population; the hash certifies both
         // trainings + residual encoding + per-cell ADC at scale
-        "x178_ivfpq_topk" -> SparkEntry.queries("x178_ivfpq_topk"))
+        "x178_ivfpq_topk" -> SparkEntry.queries("x178_ivfpq_topk"),
+        // round-15: the persisted-artifact roundtrip at 10× — the
+        // loaded probe must hash-match the same training chain
+        "x179_ivfpq_persisted_topk" ->
+          SparkEntry.queries("x179_ivfpq_persisted_topk"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

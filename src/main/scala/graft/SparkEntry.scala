@@ -69,7 +69,7 @@ object SparkEntry {
       Psi.queries, Entropy.queries, FdAudit.queries,
       LloydIvf.queries, RankDrift.queries, MannKendall.queries,
       ContaminationMatrix.queries, LloydPq.queries,
-      ContaminationKmv.queries, LloydIvfPq.queries
+      ContaminationKmv.queries, LloydIvfPq.queries, IndexStore.queries
     ).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -122,6 +122,6 @@ object SparkEntry {
       Psi.oracles, Entropy.oracles, FdAudit.oracles,
       LloydIvf.oracles, RankDrift.oracles, MannKendall.oracles,
       ContaminationMatrix.oracles, LloydPq.oracles,
-      ContaminationKmv.oracles, LloydIvfPq.oracles
+      ContaminationKmv.oracles, LloydIvfPq.oracles, IndexStore.oracles
     ).reduce(_ ++ _)
 }

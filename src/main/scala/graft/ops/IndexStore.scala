@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** X179 — the PERSISTED index artifact: every trained-index scaladoc in
+  * the ANN family (x166/x173/x178) calls its localCheckpoint "the local
+  * stand-in for the persisted index artifact a production build
+  * writes"; this operator makes that claim load-bearing. The x178
+  * IVFADC index — the family's capstone — round-trips through parquet
+  * (encoded inverted lists + coarse centroids + residual codebooks as
+  * three column-pruned tables) and the registered query probes the
+  * RELOADED artifact; its oracle is x178's training chain, so the hash
+  * certifies that persistence preserves every bit the probe consumes:
+  * the float vectors and norms (parquet FLOAT/DOUBLE is lossless), the
+  * i64 residual codebooks, the code bytes, and the cell keys.
+  *
+  * This is the production shape at 100 TB: the index builds ONCE (a
+  * scheduled job), lands on object storage, and every probe — batch
+  * rerank, online ANN service, eval harness — reads the artifact
+  * instead of refitting. Build-probe separation is also what makes the
+  * index VERSIONABLE (yesterday's codebooks stay queryable while
+  * tonight's build runs) and what bounds probe-side planning: the
+  * loaded tables are plain parquet relations, so the probe inherits
+  * column pruning (the ADC scan reads cell + codes, never the floats —
+  * visible in the scan's ReadSchema) and, in a cell-partitioned
+  * production layout, partition pruning down to the probed cells.
+  *
+  * Write layout under one root: `encoded/` (vec_id, cell, embedding,
+  * nq, codes — the inverted lists), `centroids/` (c_cell, c),
+  * `codebooks/` (sub, c_code, qc). All three are the exact frames the
+  * in-session index holds; read() reassembles an [[LloydIvfPq
+  * .IvfPqIndex]] whose probe is indistinguishable from the built one
+  * (IndexStoreSpec pins bit-equality; the oracle row certifies it
+  * cross-engine).
+  *
+  * Reference scope: no vector search in the reference; engine
+  * extension (SURVEY §2.5, the ANN family's persistence closure).
+  */
+object IndexStore {
+
+  /** Default artifact root for the registered query — per-sfDir so
+    * concurrent harnesses (Verify at sf0.01, ScaleVerify at 10×) never
+    * collide on one path. */
+  private[graft] def defaultRoot(dir: String): String =
+    f"target/index_store/ivfpq_${dir.hashCode}%08x"
+
+  /** Persist a trained IVFADC index as three parquet tables. */
+  def writeIvfPq(index: LloydIvfPq.IvfPqIndex, root: String): Unit = {
+    index.encoded.write.mode("overwrite").parquet(s"$root/encoded")
+    index.centroids.write.mode("overwrite").parquet(s"$root/centroids")
+    index.codebooks.write.mode("overwrite").parquet(s"$root/codebooks")
+  }
+
+  /** Load a persisted IVFADC index; the result probes exactly like the
+    * in-session build it was written from. */
+  def readIvfPq(spark: SparkSession, root: String): LloydIvfPq.IvfPqIndex =
+    LloydIvfPq.IvfPqIndex(
+      spark.read.parquet(s"$root/encoded"),
+      spark.read.parquet(s"$root/centroids"),
+      spark.read.parquet(s"$root/codebooks"))
+
+  /** The registered query: build (memoized, x178's build), persist,
+    * RELOAD, probe the loaded artifact. Oracle = x178's unrolled
+    * training chain — a hash match proves the parquet roundtrip is
+    * invisible to the probe. */
+  def ivfPqPersistedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val root = defaultRoot(dir)
+    writeIvfPq(LloydIvfPq.ivfPqIndex(spark, dir), root)
+    LloydIvfPq.probe(readIvfPq(spark, root))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x179_ivfpq_persisted_topk" -> ivfPqPersistedTopK _)
+
+  val oracles: Map[String, String] = Map(
+    "x179_ivfpq_persisted_topk" -> LloydIvfPq.ivfPqTopKSql)
+}

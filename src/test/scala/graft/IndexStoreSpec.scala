@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{IndexStore, LloydIvfPq}
+
+/** X179 — persisted index artifacts: the parquet roundtrip preserves
+  * every bit the probe consumes, the loaded probe equals the built
+  * probe exactly, the artifact layout is the three declared tables,
+  * and the loaded ADC scan prunes to the code columns.
+  */
+class IndexStoreSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("X179: probe over the reloaded artifact equals the built " +
+    "index's probe bit-for-bit") {
+    val built = LloydIvfPq.ivfPqIndex(spark, sfDir)
+    val root = s"target/index_store_spec/roundtrip"
+    IndexStore.writeIvfPq(built, root)
+    val loaded = IndexStore.readIvfPq(spark, root)
+    val a = LloydIvfPq.probe(built).collect().map(_.toString).toSeq
+    val b = LloydIvfPq.probe(loaded).collect().map(_.toString).toSeq
+    assert(a == b,
+      "persistence must be invisible to the probe — floats, norms, " +
+        "codes, codebooks and cells all round-trip losslessly")
+  }
+
+  test("X179: the artifact holds exactly the three declared tables " +
+    "with the probe-contract schemas") {
+    val root = s"target/index_store_spec/layout"
+    IndexStore.writeIvfPq(LloydIvfPq.ivfPqIndex(spark, sfDir), root)
+    val enc = spark.read.parquet(s"$root/encoded")
+    val cen = spark.read.parquet(s"$root/centroids")
+    val cb = spark.read.parquet(s"$root/codebooks")
+    assert(enc.columns.toSet ==
+      Set("vec_id", "cell", "embedding", "nq", "codes"))
+    assert(cen.columns.toSet == Set("c_cell", "c"))
+    assert(cb.columns.toSet == Set("sub", "c_code", "qc"))
+    // inverted lists cover the corpus; parameter tables stay
+    // cell/codebook-bounded
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(enc.count() == n)
+    assert(cen.count() <= 10L, "coarse cells are label-bounded here")
+    assert(cb.count() <= (LloydIvfPq.M * LloydIvfPq.K).toLong)
+  }
+
+  test("X179: registered query equals the in-session x178 probe (the " +
+    "oracle they share certifies the same rows)") {
+    val reg = SparkEntry.queries("x179_ivfpq_persisted_topk")(spark, sfDir)
+    val x178 = SparkEntry.queries("x178_ivfpq_topk")(spark, sfDir)
+    assert(reg.collect().map(_.toString).toSeq ==
+      x178.collect().map(_.toString).toSeq)
+    assert(SparkEntry.oracleSql("x179_ivfpq_persisted_topk") ==
+      SparkEntry.oracleSql("x178_ivfpq_topk"),
+      "one training chain, two query paths — the oracle is shared by " +
+        "declared design")
+  }
+
+  test("X179: the loaded ADC scan reads only the columns it needs — " +
+    "codes and cell, never the floats") {
+    val root = s"target/index_store_spec/prune"
+    IndexStore.writeIvfPq(LloydIvfPq.ivfPqIndex(spark, sfDir), root)
+    val loaded = IndexStore.readIvfPq(spark, root)
+    // the candidate stage before rerank: project only what ADC needs
+    val adcOnly = loaded.encoded.select($"vec_id", $"cell", $"codes")
+    val plan = adcOnly.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") &&
+      !plan.split("ReadSchema")(1).takeWhile(_ != '\n').contains("embedding"),
+      s"column pruning must reach the artifact scan:\n$plan")
+  }
+}

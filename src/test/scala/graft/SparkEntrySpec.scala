@@ -118,7 +118,8 @@ class SparkEntrySpec extends SparkSpec {
       "ContaminationMatrix" -> ContaminationMatrix.queries,
       "LloydPq" -> LloydPq.queries,
       "ContaminationKmv" -> ContaminationKmv.queries,
-      "LloydIvfPq" -> LloydIvfPq.queries)
+      "LloydIvfPq" -> LloydIvfPq.queries,
+      "IndexStore" -> IndexStore.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
