@@ -157,6 +157,44 @@ object StreamMonitorBench {
       Sources * ContaminationMatrix.EvalSets.length)(
       graft.stream.StreamDecontam.sharedGramKmv(_, refSets))
 
+    // X180 — streaming index ingestion: encode arrivals against the
+    // frozen sf-dir artifact tables (stateless: one bounded parameter
+    // row each; append mode)
+    locally {
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+        "/root/testdata/sf0.01")
+      val idx = graft.ops.LloydIvfPq.ivfPqIndex(spark, sfDir)
+      val centRow = graft.stream.StreamIndexIngest
+        .centroidRow(idx.centroids).cache()
+      val cbRow = graft.stream.StreamIndexIngest
+        .codebookRow(idx.codebooks).cache()
+      centRow.count(); cbRow.count()
+      val nIngest = math.max(n / 16L, 10000L)
+      val arrivals = spark.range(nIngest).select(
+        $"id".as("vec_id"),
+        expr(s"transform(sequence(1, $Dims), d -> " +
+          "CAST(CAST(pmod(id * 37 + d * 101, 2000) AS DOUBLE) / 1000.0 " +
+          "- 1.0 AS FLOAT))")
+          .as("embedding"))
+      val arrDir = s"$work/arrivals"
+      arrivals.repartition(cpus.toInt).write.mode("overwrite")
+        .parquet(arrDir)
+      val stream = spark.readStream.schema(arrivals.schema).parquet(arrDir)
+      val t0i = System.nanoTime()
+      val qi = graft.stream.StreamIndexIngest
+        .encodeArrivals(stream, centRow, cbRow)
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", s"$work/ckpt-ingest")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      qi.awaitTermination()
+      val secI = (System.nanoTime() - t0i) / 1e9
+      val stateI = qi.recentProgress.flatMap(p =>
+        Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+        .lastOption.getOrElse(0L)
+      println(f"""{"metric":"stream_index_ingest_rows_per_sec","value":${nIngest / secI}%.0f,"unit":"rows/sec","rows":$nIngest,"seconds":$secI%.2f,"state_rows":$stateI,"expected_state":0}""")
+    }
+
     // X162 — (label, embedding) stream at 64 dims (fewer rows: the
     // per-row payload is 64 floats, so nVec rows ≈ n in field count)
     val nVec = math.max(n / 16L, 10000L)

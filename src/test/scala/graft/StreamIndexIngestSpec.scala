@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.LloydIvfPq
+import graft.stream.StreamIndexIngest
+
+/** X180 — streaming index ingestion: re-encoding the corpus through the
+  * frozen artifact reproduces the trained index's own encoded table
+  * bit-equal across a micro-batch boundary with ZERO state rows, and a
+  * genuinely new vector lands on its batch-E-step argmin.
+  */
+class StreamIndexIngestSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("X180: streamed encode of the corpus equals the trained index's " +
+    "encoded table bit-equal; zero state rows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = LloydIvfPq.ivfPqIndex(spark, sfDir)
+    val centRow = StreamIndexIngest.centroidRow(idx.centroids).cache()
+    val cbRow = StreamIndexIngest.codebookRow(idx.codebooks).cache()
+    centRow.count(); cbRow.count()
+
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (first, second) = vecs.splitAt(vecs.length / 2)
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = StreamIndexIngest.encodeArrivals(
+        input.toDF().toDF("vec_id", "embedding")
+          .select($"vec_id", $"embedding".cast("array<float>")
+            .as("embedding")),
+        centRow, cbRow)
+      .select($"vec_id", $"cell", $"codes")
+      .writeStream.format("memory").queryName("x180_ingest")
+      .outputMode("append").start()
+    try {
+      input.addData(first.toSeq)
+      query.processAllAvailable()
+      input.addData(second.toSeq)
+      query.processAllAvailable()
+
+      val streamed = spark.table("x180_ingest")
+        .collect().map(_.toString).sorted.toSeq
+      val stored = idx.encoded.select($"vec_id", $"cell", $"codes")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == stored,
+        "the build's final assignment is the argmin fixpoint of its " +
+          "final parameter tables — the frozen-artifact encoder must " +
+          "reproduce it exactly")
+
+      val stateRows = query.lastProgress.stateOperators.toSeq
+        .map(_.numRowsTotal).sum
+      assert(stateRows == 0L,
+        s"ingestion is stateless by construction, got $stateRows")
+    } finally query.stop()
+  }
+
+  test("X180: a new vector (absent from training) encodes to the batch " +
+    "E-step argmin against the frozen tables") {
+    val idx = LloydIvfPq.ivfPqIndex(spark, sfDir)
+    val centRow = StreamIndexIngest.centroidRow(idx.centroids)
+    val cbRow = StreamIndexIngest.codebookRow(idx.codebooks)
+    // a deterministic arrival nowhere near the corpus ids
+    val nv = (0 until 64).map(d => ((d * 37 % 19) - 9) / 10.0f).toArray
+    val arrival = Seq((999999L, nv)).toDF("vec_id", "embedding")
+    val got = StreamIndexIngest.encodeArrivals(arrival, centRow, cbRow)
+      .collect().head
+    // batch replay: coarse argmin over the centroid table
+    val e = arrival.select($"vec_id", $"embedding",
+      graft.functions.Hashing.dotQ($"embedding", $"embedding").as("nq"))
+    val coarse = e.crossJoin(broadcast(idx.centroids))
+      .select($"c_cell", ($"nq"
+        - lit(2.0) * graft.functions.Hashing.dotQ($"embedding", $"c")
+        + graft.functions.Hashing.dotQ($"c", $"c")).as("dist_q"))
+      .orderBy($"dist_q".asc, $"c_cell".asc).limit(1)
+      .collect().head.getLong(0)
+    assert(got.getAs[Long]("cell") == coarse,
+      "streamed coarse assignment must equal the batch argmin")
+    // and the codes must be argmins of the frozen codebooks against
+    // the residual of THAT cell (the LloydIvfPqSpec fixpoint shape)
+    val codes = got.getSeq[Long](got.fieldIndex("codes"))
+    assert(codes.length == LloydIvfPq.M)
+    assert(codes.forall(c => c >= 0 && c < LloydIvfPq.K))
+  }
+
+  test("X180: the parameter rows are one bounded row each") {
+    val idx = LloydIvfPq.ivfPqIndex(spark, sfDir)
+    val centRow = StreamIndexIngest.centroidRow(idx.centroids)
+    val cbRow = StreamIndexIngest.codebookRow(idx.codebooks)
+    assert(centRow.count() == 1L && cbRow.count() == 1L)
+    assert(centRow.select(size($"cents")).head.getInt(0) <= 10)
+    assert(cbRow.select(size($"cbs")).head.getInt(0) <=
+      LloydIvfPq.M * LloydIvfPq.K)
+  }
+}
