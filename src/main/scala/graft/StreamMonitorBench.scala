@@ -167,7 +167,7 @@ object StreamMonitorBench {
       val centRow = graft.stream.StreamIndexIngest
         .centroidRow(idx.centroids).cache()
       val cbRow = graft.stream.StreamIndexIngest
-        .codebookRow(idx.codebooks).cache()
+        .codebookFlatRow(idx.codebooks).cache()
       centRow.count(); cbRow.count()
       val nIngest = math.max(n / 16L, 10000L)
       val arrivals = spark.range(nIngest).select(

@@ -60,12 +60,29 @@ object StreamIndexIngest {
   }
 
   /** The residual codebooks as ONE static row: cbs =
-    * array<struct<sub,code,qc>>, sorted by (sub, code). */
+    * array<struct<sub,code,qc>>, sorted by (sub, code) — the HOF
+    * reference layout. */
   def codebookRow(codebooks: DataFrame): DataFrame = {
     val spark = codebooks.sparkSession
     import spark.implicits._
     codebooks.agg(array_sort(collect_list(
       struct($"sub", $"c_code".as("code"), $"qc"))).as("cbs"))
+  }
+
+  /** The residual codebooks as ONE static row in the native encoder's
+    * flat layout: keys(e) = sub·K + code sorted ascending, qcs = the
+    * entries' quantized dims flattened in the same order ([[
+    * graft.functions.expr.PqEncode]]'s contract — survivor-set safe:
+    * a dropped code has no key entry). */
+  def codebookFlatRow(codebooks: DataFrame): DataFrame = {
+    val spark = codebooks.sparkSession
+    import spark.implicits._
+    codebooks
+      .select(($"sub" * K + $"c_code").as("key"), $"qc")
+      .agg(array_sort(collect_list(struct($"key", $"qc"))).as("ent"))
+      .select(
+        expr("transform(ent, x -> x.key)").as("keys"),
+        flatten(expr("transform(ent, x -> x.qc)")).as("qcs"))
   }
 
   private def quantDiff(a: Column, b: Column): Column =
@@ -76,9 +93,41 @@ object StreamIndexIngest {
   /** Encode a (streaming or batch) frame of (vec_id, embedding)
     * arrivals against the frozen parameter rows: emits (vec_id,
     * embedding, nq, cell, codes) — the inverted-list row the artifact
-    * appends. Fully stateless (see object doc).
+    * appends. Fully stateless (see object doc). The PQ scan runs the
+    * native [[graft.functions.expr.PqEncode]] codegen loop; the coarse
+    * argmin stays a HOF over the cell-count centroid array (tens of
+    * elements whose inner product is already the native QuantizedDot).
     */
   def encodeArrivals(vecs: DataFrame, centRow: DataFrame,
+      cbFlatRow: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    val nq = dotQ($"embedding", $"embedding")
+    val best = array_min(transform($"cents", c =>
+      struct(
+        ($"nq" - lit(2.0) * dotQ($"embedding", c.getField("c"))
+          + dotQ(c.getField("c"), c.getField("c"))).as("dist"),
+        c.getField("cell").as("cell"),
+        c.getField("c").as("c"))))
+    val codes = ColumnBridge.column(graft.functions.expr.PqEncode(
+      ColumnBridge.expression($"qd"),
+      ColumnBridge.expression($"keys"),
+      ColumnBridge.expression($"qcs"), M, Sub, K))
+    vecs
+      .crossJoin(broadcast(centRow))
+      .crossJoin(broadcast(cbFlatRow))
+      .withColumn("nq", nq)
+      .withColumn("best", best)
+      .withColumn("cell", $"best.cell")
+      .withColumn("qd", quantDiff($"embedding", $"best.c"))
+      .withColumn("codes", codes)
+      .select($"vec_id", $"embedding", $"nq", $"cell", $"codes")
+  }
+
+  /** The built-in HOF reference form of [[encodeArrivals]] (bit-equal
+    * output; kept for the parity spec — the dotQHof discipline). */
+  private[graft] def encodeArrivalsHof(vecs: DataFrame, centRow: DataFrame,
       cbRow: DataFrame): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._

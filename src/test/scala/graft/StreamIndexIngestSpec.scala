@@ -20,7 +20,7 @@ class StreamIndexIngestSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val idx = LloydIvfPq.ivfPqIndex(spark, sfDir)
     val centRow = StreamIndexIngest.centroidRow(idx.centroids).cache()
-    val cbRow = StreamIndexIngest.codebookRow(idx.codebooks).cache()
+    val cbRow = StreamIndexIngest.codebookFlatRow(idx.codebooks).cache()
     centRow.count(); cbRow.count()
 
     val vecs = Tables.embeddings(spark, sfDir)
@@ -63,7 +63,7 @@ class StreamIndexIngestSpec extends SparkSpec {
     "E-step argmin against the frozen tables") {
     val idx = LloydIvfPq.ivfPqIndex(spark, sfDir)
     val centRow = StreamIndexIngest.centroidRow(idx.centroids)
-    val cbRow = StreamIndexIngest.codebookRow(idx.codebooks)
+    val cbRow = StreamIndexIngest.codebookFlatRow(idx.codebooks)
     // a deterministic arrival nowhere near the corpus ids
     val nv = (0 until 64).map(d => ((d * 37 % 19) - 9) / 10.0f).toArray
     val arrival = Seq((999999L, nv)).toDF("vec_id", "embedding")
@@ -90,10 +90,29 @@ class StreamIndexIngestSpec extends SparkSpec {
   test("X180: the parameter rows are one bounded row each") {
     val idx = LloydIvfPq.ivfPqIndex(spark, sfDir)
     val centRow = StreamIndexIngest.centroidRow(idx.centroids)
-    val cbRow = StreamIndexIngest.codebookRow(idx.codebooks)
+    val cbRow = StreamIndexIngest.codebookFlatRow(idx.codebooks)
     assert(centRow.count() == 1L && cbRow.count() == 1L)
     assert(centRow.select(size($"cents")).head.getInt(0) <= 10)
-    assert(cbRow.select(size($"cbs")).head.getInt(0) <=
+    assert(cbRow.select(size($"keys")).head.getInt(0) <=
       LloydIvfPq.M * LloydIvfPq.K)
+    assert(cbRow.select(size($"qcs")).head.getInt(0) <=
+      LloydIvfPq.M * LloydIvfPq.K * LloydIvfPq.Sub)
+  }
+
+  test("X180: the native PqEncode path equals the HOF reference form " +
+    "bit-for-bit on the corpus") {
+    val idx = LloydIvfPq.ivfPqIndex(spark, sfDir)
+    val centRow = StreamIndexIngest.centroidRow(idx.centroids)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+    val native = StreamIndexIngest.encodeArrivals(vecs, centRow,
+        StreamIndexIngest.codebookFlatRow(idx.codebooks))
+      .collect().map(_.toString).sorted.toSeq
+    val hof = StreamIndexIngest.encodeArrivalsHof(vecs, centRow,
+        StreamIndexIngest.codebookRow(idx.codebooks))
+      .collect().map(_.toString).sorted.toSeq
+    assert(native == hof,
+      "one argmin, two evaluation strategies — codegen and interpreted " +
+        "lambdas must agree bit-for-bit")
   }
 }
