@@ -114,5 +114,17 @@ class StreamIndexIngestSpec extends SparkSpec {
     assert(native == hof,
       "one argmin, two evaluation strategies — codegen and interpreted " +
         "lambdas must agree bit-for-bit")
+    // force interpreted projections so PqEncode.nullSafeEval is
+    // exercised too (the HashingSpec discipline — a doGenCode/eval
+    // divergence would otherwise hide behind codegen)
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.get(key, "FALLBACK")
+    spark.conf.set(key, "NO_CODEGEN")
+    try {
+      val interp = StreamIndexIngest.encodeArrivals(vecs, centRow,
+          StreamIndexIngest.codebookFlatRow(idx.codebooks))
+        .collect().map(_.toString).sorted.toSeq
+      assert(interp == hof, "interpreted eval diverges from the lambda form")
+    } finally spark.conf.set(key, prev)
   }
 }
