@@ -99,8 +99,10 @@ object LloydIvf {
 
   /** X70's E-step: total argmin over the broadcast centroid table,
     * carrying the embedding through the struct min (no second corpus
-    * join — the X71 trick). */
-  private def assignTo(asg: DataFrame, cent: DataFrame): DataFrame = {
+    * join — the X71 trick). Kept as the reference form; the training
+    * loop runs [[assignRowLocal]], which is hash-identical with ZERO
+    * exchanges. */
+  private[graft] def assignTo(asg: DataFrame, cent: DataFrame): DataFrame = {
     val spark = asg.sparkSession
     import spark.implicits._
     asg.crossJoin(broadcast(cent))
@@ -112,6 +114,32 @@ object LloydIvf {
       .agg(min(struct($"dist_q", $"c_cell", $"embedding")).as("best"))
       .select($"vec_id", $"best.c_cell".as("cell"),
         $"best.embedding".as("embedding"))
+  }
+
+  /** The E-step as a MAP-ONLY pass (the X180 mechanism turned on the
+    * trainer): the ≤|cells| centroid table collapses to ONE broadcast
+    * row and the argmin runs row-locally as array_min over
+    * struct(dist, cell, c) — the same (dist_q, c_cell) total key as
+    * [[assignTo]] (struct ordering is field-by-field; the trailing c
+    * is unreachable, cells are unique), so the assignment is
+    * bit-identical while the per-round (vec_id)-keyed exchange
+    * disappears: each training round is one mergeable M-step aggregate
+    * plus map-only work. */
+  private[graft] def assignRowLocal(asg: DataFrame, cent: DataFrame): DataFrame = {
+    val spark = asg.sparkSession
+    import spark.implicits._
+    val centRow = cent.agg(array_sort(collect_list(
+      struct($"c_cell".as("cell"), $"c"))).as("cents"))
+    val best = array_min(transform($"cents", c =>
+      struct(
+        (dotQ($"embedding", $"embedding")
+          - lit(2.0) * dotQ($"embedding", c.getField("c"))
+          + dotQ(c.getField("c"), c.getField("c"))).as("dist"),
+        c.getField("cell").as("cell"),
+        c.getField("c").as("c"))))
+    asg.crossJoin(broadcast(centRow))
+      .withColumn("best", best)
+      .select($"vec_id", $"best.cell".as("cell"), $"embedding")
   }
 
   /** Index build: label-seeded cells, T integer-exact Lloyd rounds,
@@ -134,7 +162,7 @@ object LloydIvf {
     var cent: DataFrame = null
     for (_ <- 1 to rounds) {
       cent = centroidsOf(asg).localCheckpoint()
-      asg = assignTo(asg, cent).localCheckpoint()
+      asg = assignRowLocal(asg, cent).localCheckpoint()
     }
     val assigned = asg
       .withColumn("nq", dotQ($"embedding", $"embedding"))

@@ -100,21 +100,17 @@ object LloydIvfPq {
       buildFromIvf(LloydIvf.lloydIndex(spark, dir), T))
   }
 
-  /** Residual slices of `asg` (vec_id, cell, embedding) against the
-    * centroid table: one row per (vec, sub) with the 8 quantized-i64
-    * residual dims — qr = floor(v·1e6) − floor(c·1e6), exact by
-    * construction. */
-  private[graft] def residualSlices(asg: DataFrame, cent: DataFrame): DataFrame = {
+  /** Quantized residuals of `asg` (vec_id, cell, embedding) against
+    * the centroid table: one row per vector with the full M·Sub-dim
+    * residual — qr = floor(v·1e6) − floor(c·1e6), exact by
+    * construction; row-local after one broadcast join. */
+  private[graft] def residualQd(asg: DataFrame, cent: DataFrame): DataFrame = {
     val spark = asg.sparkSession
     import spark.implicits._
     asg.join(broadcast(cent), $"cell" === $"c_cell")
-      .withColumn("qd", zip_with($"embedding", $"c", (x, y) =>
+      .select($"vec_id", zip_with($"embedding", $"c", (x, y) =>
         floor(x.cast("double") * Scale).cast("long")
-          - floor(y.cast("double") * Scale).cast("long")))
-      .select($"vec_id", posexplode(expr(
-        s"transform(sequence(0, ${M - 1}), j -> slice(qd, j * $Sub + 1, $Sub))"))
-        .as(Seq("sub", "qs")))
-      .select($"vec_id", $"sub".cast("long").as("sub"), $"qs")
+          - floor(y.cast("double") * Scale).cast("long")).as("qd"))
   }
 
   private[graft] def buildIvfPqIndexOf(e: DataFrame, ivfRounds: Int,
@@ -130,17 +126,8 @@ object LloydIvfPq {
         "with zero rounds there is no residual codebook to encode against")
     val spark = ivf.assigned.sparkSession
     import spark.implicits._
-    var asg = residualSlices(ivf.assigned, ivf.centroids)
-      .withColumn("code", ($"vec_id" + $"sub") % K)
-      .select($"vec_id", $"sub", $"code", $"qs")
-    var cb: DataFrame = null
-    for (_ <- 1 to pqRounds) {
-      cb = LloydPq.codebooksOf(asg).localCheckpoint()
-      asg = LloydPq.assignTo(asg, cb).localCheckpoint()
-    }
-    val codes = asg.groupBy($"vec_id")
-      .agg(array_sort(collect_list(struct($"sub", $"code"))).as("sc"))
-      .select($"vec_id", expr("transform(sc, x -> x.code)").as("codes"))
+    val (codes, cb) = LloydPq.trainPqWide(
+      residualQd(ivf.assigned, ivf.centroids), pqRounds)
     IvfPqIndex(
       ivf.assigned.join(codes, Seq("vec_id")).localCheckpoint(),
       ivf.centroids, cb)

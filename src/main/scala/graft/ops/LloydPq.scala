@@ -137,34 +137,71 @@ object LloydPq {
   private[graft] def buildPqLloydIndex(spark: SparkSession, dir: String): PqLloydIndex =
     buildPqLloydIndexOf(Tables.embeddings(spark, dir), T)
 
-  /** The build over any (vec_id, embedding) frame; test seam (also
-    * exposes the round budget — the spec varies it). */
-  private[graft] def buildPqLloydIndexOf(e: DataFrame, rounds: Int): PqLloydIndex = {
+  /** The residual/raw codebook table as ONE flat row in [[
+    * graft.functions.expr.PqEncode]]'s layout: keys(e) = sub·K + code
+    * sorted ascending, qcs = the entries' dims flattened in the same
+    * order (survivor-set safe — a dropped code has no key entry). */
+  private[graft] def codebookFlat(cb: DataFrame): DataFrame = {
+    val spark = cb.sparkSession
+    import spark.implicits._
+    cb.select(($"sub" * K + $"c_code").as("key"), $"qc")
+      .agg(array_sort(collect_list(struct($"key", $"qc"))).as("ent"))
+      .select(
+        expr("transform(ent, x -> x.key)").as("keys"),
+        flatten(expr("transform(ent, x -> x.qc)")).as("qcs"))
+  }
+
+  /** The T-round wide trainer over a (vec_id, qd: array<bigint> of
+    * M·Sub quantized dims) frame — the X180 mechanism turned on the
+    * trainer: the M-step stays the mergeable (sub, code, dim)
+    * aggregate ([[codebooksOf]] over a ROW-LOCALLY exploded frame),
+    * and the E-step is the native [[graft.functions.expr.PqEncode]]
+    * map-only pass over the one-row flat codebook broadcast — the same
+    * (dist, code) total key as [[assignTo]] (sorted keys + strict `<`
+    * keep the smallest code on ties), so assignments are bit-identical
+    * while the per-round (vec, sub)-keyed exchange disappears. Returns
+    * (codes frame (vec_id, codes), final codebook table). */
+  private[graft] def trainPqWide(qdFrame: DataFrame, rounds: Int):
+      (DataFrame, DataFrame) = {
     require(rounds >= 1,
       s"Lloyd training needs at least one round (got $rounds) — " +
         "with zero rounds there is no codebook table to encode against")
-    val spark = e.sparkSession
+    val spark = qdFrame.sparkSession
     import spark.implicits._
-    // long layout: one row per (vec, sub) with the quantized slice —
-    // the M independent problems run in one keyed frame
-    var asg = e
-      .select($"vec_id", posexplode(expr(qSlicesExpr("embedding")))
-        .as(Seq("sub", "qs")))
-      .select($"vec_id", $"sub".cast("long").as("sub"), $"qs",
-        (($"vec_id" + $"sub") % K).as("code"))
-      .select($"vec_id", $"sub", $"code", $"qs")
+    import org.apache.spark.sql.graft.ColumnBridge
+    var codesDf = qdFrame.withColumn("codes",
+      expr(s"transform(sequence(0, ${M - 1}), j -> (vec_id + j) % $K)"))
     var cb: DataFrame = null
     for (_ <- 1 to rounds) {
-      cb = codebooksOf(asg).localCheckpoint()
-      asg = assignTo(asg, cb).localCheckpoint()
+      val exploded = codesDf
+        .select($"vec_id", $"qd", posexplode($"codes").as(Seq("sub", "code")))
+        .select($"vec_id", $"sub".cast("long").as("sub"), $"code",
+          slice($"qd", $"sub" * Sub + 1, lit(Sub)).as("qs"))
+      cb = codebooksOf(exploded).localCheckpoint()
+      val encode = ColumnBridge.column(graft.functions.expr.PqEncode(
+        ColumnBridge.expression($"qd"),
+        ColumnBridge.expression($"keys"),
+        ColumnBridge.expression($"qcs"), M, Sub, K))
+      codesDf = codesDf.drop("codes")
+        .crossJoin(broadcast(codebookFlat(cb)))
+        .withColumn("codes", encode)
+        .drop("keys", "qcs")
+        .localCheckpoint()
     }
-    // wide pivot: the production code layout — M one-byte codes per
-    // vector next to the floats the rerank needs (x31's encoded shape)
+    (codesDf.select($"vec_id", $"codes"), cb)
+  }
+
+  /** The build over any (vec_id, embedding) frame; test seam (also
+    * exposes the round budget — the spec varies it). */
+  private[graft] def buildPqLloydIndexOf(e: DataFrame, rounds: Int): PqLloydIndex = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val qdFrame = e.select($"vec_id",
+      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+        s"* $Scale) AS BIGINT))").as("qd"))
+    val (codes, cb) = trainPqWide(qdFrame, rounds)
     val emb = e.select($"vec_id", $"embedding",
       dotQ($"embedding", $"embedding").as("nq"))
-    val codes = asg.groupBy($"vec_id")
-      .agg(array_sort(collect_list(struct($"sub", $"code"))).as("sc"))
-      .select($"vec_id", expr("transform(sc, x -> x.code)").as("codes"))
     PqLloydIndex(
       emb.join(codes, Seq("vec_id")).localCheckpoint(),
       cb)

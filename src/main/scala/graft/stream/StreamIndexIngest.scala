@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing.dotQ
-import graft.ops.{Centroids, LloydIvfPq}
+import graft.ops.{Centroids, LloydIvfPq, LloydPq}
 
 /** X180 — streaming index ingestion: encode ARRIVING vectors against a
   * FROZEN persisted index (X179's artifact) — the way a production IVF
@@ -74,16 +74,8 @@ object StreamIndexIngest {
     * entries' quantized dims flattened in the same order ([[
     * graft.functions.expr.PqEncode]]'s contract — survivor-set safe:
     * a dropped code has no key entry). */
-  def codebookFlatRow(codebooks: DataFrame): DataFrame = {
-    val spark = codebooks.sparkSession
-    import spark.implicits._
-    codebooks
-      .select(($"sub" * K + $"c_code").as("key"), $"qc")
-      .agg(array_sort(collect_list(struct($"key", $"qc"))).as("ent"))
-      .select(
-        expr("transform(ent, x -> x.key)").as("keys"),
-        flatten(expr("transform(ent, x -> x.qc)")).as("qcs"))
-  }
+  def codebookFlatRow(codebooks: DataFrame): DataFrame =
+    LloydPq.codebookFlat(codebooks)
 
   private def quantDiff(a: Column, b: Column): Column =
     zip_with(a, b, (x, y) =>
