@@ -57,6 +57,34 @@ class IndexStoreSpec extends SparkSpec {
         "declared design")
   }
 
+  test("X179+X180: the full production loop — build, persist, ingest " +
+    "an arrival, append, reload, and the probe finds it") {
+    import graft.stream.StreamIndexIngest
+    val built = LloydIvfPq.ivfPqIndex(spark, sfDir)
+    val root = s"target/index_store_spec/loop"
+    IndexStore.writeIvfPq(built, root)
+    // an arrival that is query 0's near-duplicate (tiny perturbation):
+    // it must enter query 0's top-5 once appended
+    val q0 = Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" === 0L).select($"embedding")
+      .collect().head.getSeq[Float](0).toArray
+    val nv = q0.clone(); nv(0) = nv(0) + 1e-4f
+    val arrival = Seq((888888L, nv)).toDF("vec_id", "embedding")
+    val encoded = StreamIndexIngest.encodeArrivals(arrival,
+      StreamIndexIngest.centroidRow(built.centroids),
+      StreamIndexIngest.codebookFlatRow(built.codebooks))
+    encoded.write.mode("append").parquet(s"$root/encoded")
+    val grown = IndexStore.readIvfPq(spark, root)
+    assert(grown.encoded.count() == built.encoded.count() + 1,
+      "the artifact grew by exactly the ingested row")
+    val top = LloydIvfPq.probe(grown)
+      .filter($"query_id" === 0L).collect()
+    assert(top.exists(r => r.getAs[Long]("vec_id") == 888888L &&
+      r.getAs[Int]("rnk") == 1),
+      s"the near-duplicate arrival must rank first for its query, got " +
+        top.map(_.toString).mkString(", "))
+  }
+
   test("X179: the loaded ADC scan reads only the columns it needs — " +
     "codes and cell, never the floats") {
     val root = s"target/index_store_spec/prune"
