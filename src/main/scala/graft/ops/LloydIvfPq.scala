@@ -78,6 +78,12 @@ object LloydIvfPq {
   val NProbe = LloydIvf.NProbe
   val NQueries = LloydIvf.NQueries
 
+  /** X181's dial: candK = max(CandK, probed_population / AdaptiveDiv).
+    * ANN_SWEEP §x178 measured candK ≈ probed/6 as the recovery point
+    * where the ADC cut stops costing recall below the coarse ceiling
+    * at EVERY nprobe and corpus size — this constant is that dial. */
+  val AdaptiveDiv = 6
+
   private val Scale = Centroids.Scale
 
   /** encoded: one row per vector — cell, M code bytes, floats + norm
@@ -136,15 +142,38 @@ object LloydIvfPq {
   def ivfPqTopK(spark: SparkSession, dir: String): DataFrame =
     probe(ivfPqIndex(spark, dir))
 
+  /** X181 — the production candK dial: the rerank budget TRACKS the
+    * probed-cell population instead of staying a constant. ANN_SWEEP
+    * §x178-at-10× measured the failure this fixes: the coarse ceiling
+    * survives 10× (0.53 → 0.47) but a fixed candK = 48 is 48 of
+    * ~12,000 probed rows instead of 48 of ~300, and recall decays to
+    * 0.33; the 1× sweep's recovery point (candK ≈ probed/6) restores
+    * the ceiling at every nprobe. The dial is a deterministic function
+    * of the data — pop = the query's ADC candidate count, candK =
+    * greatest(CandK, pop div AdaptiveDiv) — so the DuckDB oracle
+    * recomputes it in the same CTE chain and the hash gate still
+    * certifies the whole index. At 100 TB the probed population is
+    * known per cell before the scan (inverted-list lengths are index
+    * metadata), so the dial costs nothing extra; here it rides the
+    * same window pass that ranks the ADC scores. */
+  def ivfPqAdaptiveTopK(spark: SparkSession, dir: String): DataFrame =
+    probeAdaptive(ivfPqIndex(spark, dir))
+
   private[graft] def probe(index: IvfPqIndex, nprobe: Int = NProbe,
       candK: Int = CandK): DataFrame =
     Vector.rerankTop5(candidates(index, nprobe, candK))
 
-  /** Per-(query, probed cell) i64 luts keyed sub·K + code: the exact
-    * squared distance from the query's RESIDUAL (w.r.t. that cell's
-    * centroid) slice to each residual codebook entry — x173's map form
-    * (survivor-set safe) with the cell in the key set. */
-  private[graft] def pqLuts(index: IvfPqIndex, nprobe: Int): DataFrame = {
+  private[graft] def probeAdaptive(index: IvfPqIndex,
+      nprobe: Int = NProbe, minCandK: Int = CandK): DataFrame =
+    Vector.rerankTop5(candidatesAdaptive(index, nprobe, minCandK))
+
+  private[graft] def probeSym(index: IvfPqIndex, nprobe: Int,
+      candK: Int): DataFrame =
+    Vector.rerankTop5(candidatesSym(index, nprobe, candK))
+
+  /** The forward probe assignment: each query's `nprobe` nearest cells
+    * by the quantized-dot distance chain — (query_id, cell). */
+  private[graft] def probedCells(index: IvfPqIndex, nprobe: Int): DataFrame = {
     val spark = index.encoded.sparkSession
     import spark.implicits._
     val q = index.encoded.filter($"vec_id" < NQueries)
@@ -152,13 +181,30 @@ object LloydIvfPq {
         $"nq".as("qnq"))
     val byDist = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"dist_q".asc, $"c_cell".asc)
-    val probed = q.crossJoin(broadcast(index.centroids))
+    q.crossJoin(broadcast(index.centroids))
       .withColumn("dist_q",
         $"qnq" - lit(2.0) * dotQ($"qe", $"c") + dotQ($"c", $"c"))
       .withColumn("rn", row_number().over(byDist))
       .filter($"rn" <= nprobe)
-      .select($"query_id", $"c_cell".as("cell"), $"qe", $"qnq", $"c")
-    probed
+      .select($"query_id", $"c_cell".as("cell"))
+  }
+
+  /** Per-(query, cell) i64 luts keyed sub·K + code for an ARBITRARY
+    * (query_id, cell) demand set: the exact squared distance from the
+    * query's RESIDUAL (w.r.t. that cell's centroid) slice to each
+    * residual codebook entry — x173's map form (survivor-set safe)
+    * with the cell in the key set. The plain probe demands the forward
+    * probed cells; the symmetrized probe (x151) also demands the home
+    * cells of its reverse candidates. */
+  private[graft] def lutsFor(index: IvfPqIndex, qcells: DataFrame): DataFrame = {
+    val spark = index.encoded.sparkSession
+    import spark.implicits._
+    val q = index.encoded.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        $"nq".as("qnq"))
+    qcells
+      .join(broadcast(q), Seq("query_id"))
+      .join(broadcast(index.centroids), $"cell" === $"c_cell")
       .withColumn("qd", zip_with($"qe", $"c", (x, y) =>
         floor(x.cast("double") * Scale).cast("long")
           - floor(y.cast("double") * Scale).cast("long")))
@@ -175,6 +221,16 @@ object LloydIvfPq {
           $"d2".as("v")))).as("lut"))
   }
 
+  private[graft] def pqLuts(index: IvfPqIndex, nprobe: Int): DataFrame =
+    lutsFor(index, probedCells(index, nprobe))
+
+  /** Approximate distance: M exact-i64 code lookups in the broadcast
+    * per-(query, cell) lut — row-local, codegen'd. */
+  private def adcExpr = (0 until M)
+    .map(j => element_at(col("lut"),
+      (col("codes")(j) + lit(j.toLong * K)).cast("int")))
+    .reduce(_ + _)
+
   /** ADC over the probed cells only: the scan joins the inverted lists
     * on the CELL key (corpus outside the probed cells never read) and
     * sums M exact-i64 code lookups per candidate. */
@@ -182,28 +238,105 @@ object LloydIvfPq {
       candK: Int): DataFrame = {
     val spark = index.encoded.sparkSession
     import spark.implicits._
-    val adc = (0 until M)
-      .map(j => element_at(col("lut"),
-        (col("codes")(j) + lit(j.toLong * K)).cast("int")))
-      .reduce(_ + _)
     val byAdc = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"approx_d2".asc, $"vec_id".asc)
     index.encoded
       .join(broadcast(pqLuts(index, nprobe)), Seq("cell"))
       .filter($"vec_id" =!= $"query_id")
-      .withColumn("approx_d2", adc)
+      .withColumn("approx_d2", adcExpr)
       .withColumn("arn", row_number().over(byAdc))
       .filter($"arn" <= candK)
       .select($"query_id", $"vec_id",
         cosQ(dotQ($"embedding", $"qe"), $"nq", $"qnq").as("cos_sim"))
   }
 
-  /** The oracle: x166's unrolled coarse rounds, the residual grid
-    * derivation, x173's unrolled PQ rounds over the residual slices
-    * (p-prefixed CTE names), then per-(query, cell) luts, ADC over the
-    * probed cells, and the exact rerank — every intermediate an exact
-    * integer or an identically-rounded scalar. */
-  val ivfPqTopKSql: String = {
+  /** [[candidates]] with the X181 dial: the per-query population rides
+    * the same (query_id)-partitioned window pass as the ADC rank, so
+    * the adaptive cut costs no extra exchange. */
+  private[graft] def candidatesAdaptive(index: IvfPqIndex, nprobe: Int,
+      minCandK: Int): DataFrame = {
+    val spark = index.encoded.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+    val byAdc = w.orderBy($"approx_d2".asc, $"vec_id".asc)
+    index.encoded
+      .join(broadcast(pqLuts(index, nprobe)), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("approx_d2", adcExpr)
+      .withColumn("arn", row_number().over(byAdc))
+      .withColumn("pop", count(lit(1)).over(w))
+      .filter($"arn" <= greatest(lit(minCandK.toLong),
+        expr(s"pop div $AdaptiveDiv")))
+      .select($"query_id", $"vec_id",
+        cosQ(dotQ($"embedding", $"qe"), $"nq", $"qnq").as("cos_sim"))
+  }
+
+  /** X151 re-pointed (round-15 verdict item 2): the reverse-probe
+    * symmetrization on the integer-exact IVFADC index, so the sym
+    * probe gets an oracle too. A vector enters a query's pool if the
+    * query probes the vector's home cell (forward) OR the query's own
+    * home cell is among the VECTOR's `nprobe` nearest cells (reverse)
+    * — the un-squared reciprocity argument of the MLlib-era x151,
+    * unchanged. The reverse lists are map-only here: the ≤|cells|
+    * centroid table collapses to ONE broadcast row and each vector's
+    * `nprobe` nearest cells fall out of a row-local
+    * slice(array_sort(...)) — the index-side multi-assignment layout
+    * a production build materializes next to the inverted lists. ADC
+    * needs a lut per (query, candidate-cell), so the demand set is
+    * the forward cells ∪ the reverse candidates' home cells
+    * ([[lutsFor]]'s whole reason to exist). */
+  private[graft] def candidatesSym(index: IvfPqIndex, nprobe: Int,
+      candK: Int): DataFrame = {
+    val spark = index.encoded.sparkSession
+    import spark.implicits._
+    // forward: the query probes the vector's home cell
+    val fwd = index.encoded.select($"vec_id", $"cell")
+      .join(broadcast(probedCells(index, nprobe)), Seq("cell"))
+      .select($"query_id", $"vec_id")
+    // reverse: the vector's nprobe nearest cells include the query's
+    // home cell — per-vector lists via one broadcast centroid row and
+    // a row-local sorted slice (dist chain identical to the probe's)
+    val centRow = index.centroids.agg(array_sort(collect_list(
+      struct($"c_cell".as("cell"), $"c"))).as("cents"))
+    val nearCells = slice(
+      array_sort(transform($"cents", c => struct(
+        (dotQ($"embedding", $"embedding")
+          - lit(2.0) * dotQ($"embedding", c.getField("c"))
+          + dotQ(c.getField("c"), c.getField("c"))).as("dist"),
+        c.getField("cell").as("cell")))),
+      1, nprobe)
+    val vtop = index.encoded.select($"vec_id", $"embedding")
+      .crossJoin(broadcast(centRow))
+      .select($"vec_id", explode(nearCells).as("pc"))
+      .select($"vec_id", $"pc.cell".as("cell"))
+    val qhome = index.encoded.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"cell")
+    val rev = vtop.join(broadcast(qhome), Seq("cell"))
+      .select($"query_id", $"vec_id")
+    // the admitted pool, re-keyed by the candidate's own cell for ADC
+    val pool = fwd.union(rev).distinct()
+      .filter($"vec_id" =!= $"query_id")
+      .join(index.encoded, Seq("vec_id"))
+    val luts = lutsFor(index,
+      pool.select($"query_id", $"cell").distinct())
+    val byAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"approx_d2".asc, $"vec_id".asc)
+    pool
+      .join(broadcast(luts), Seq("query_id", "cell"))
+      .withColumn("approx_d2", adcExpr)
+      .withColumn("arn", row_number().over(byAdc))
+      .filter($"arn" <= candK)
+      .select($"query_id", $"vec_id",
+        cosQ(dotQ($"embedding", $"qe"), $"nq", $"qnq").as("cos_sim"))
+  }
+
+  /** The oracle prefix shared by every probe variant: x166's unrolled
+    * coarse rounds, the residual grid derivation, x173's unrolled PQ
+    * rounds over the residual slices (p-prefixed CTE names), and the
+    * query band — every intermediate an exact integer or an
+    * identically-rounded scalar. The probe tails (plain / adaptive /
+    * symmetrized) append their own candidate CTEs. */
+  private[graft] val trainPrefixSql: String = {
     val dvv = sqlDotQ("e.embedding", "e.embedding")
     val dvc = sqlDotQ("e.embedding", "c.c")
     val dcc = sqlDotQ("c.c", "c.c")
@@ -254,10 +387,6 @@ object LloydIvfPq {
          |    FROM pd$t)
          |  WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
-    val dqc = sqlDotQ("q.qe", "c.c")
-    val dcc2 = sqlDotQ("c.c", "c.c")
-    val dq = sqlDotQ("e.embedding", "q.qe")
-    val nq = sqlDotQ("e.embedding", "e.embedding")
     s"""WITH asg0 AS MATERIALIZED (
        |  SELECT vec_id, CAST(label AS BIGINT) AS cell FROM embeddings),
        |$ivfRounds,
@@ -284,25 +413,68 @@ object LloydIvfPq {
        |q AS MATERIALIZED (
        |  SELECT vec_id AS query_id, embedding AS qe,
        |         ${sqlDotQ("embedding", "embedding")} AS qnq
-       |  FROM embeddings WHERE vec_id < $NQueries),
-       |pr AS (
-       |  SELECT query_id, cell FROM (
-       |    SELECT q.query_id, c.cell,
-       |           row_number() OVER (PARTITION BY q.query_id ORDER BY
-       |             q.qnq - 2.0 * $dqc + $dcc2 ASC, c.cell ASC) AS rn
-       |    FROM q CROSS JOIN cent$T c)
-       |  WHERE rn <= $NProbe),
-       |qres AS (
+       |  FROM embeddings WHERE vec_id < $NQueries)""".stripMargin
+  }
+
+  /** The lut + rerank tail shared by the probe oracles: `srcCte` is the
+    * (query_id, cell) lut demand set, `adcCte` the scored candidate
+    * stream's source, `candWhere` the rerank-admission predicate. */
+  private def lutSql(srcCte: String): String =
+    s"""qres AS (
        |  SELECT p.query_id, p.cell, CAST(v.dim // $Sub AS BIGINT) AS sub,
        |         CAST(v.dim % $Sub AS BIGINT) AS dim, v.q - cq.qc AS q
-       |  FROM pr p
+       |  FROM $srcCte p
        |  JOIN vq v ON p.query_id = v.vec_id
        |  JOIN cq ON p.cell = cq.cell AND v.dim = cq.dim),
        |lut AS (
        |  SELECT r.query_id, r.cell, r.sub, b.code,
        |         CAST(sum((r.q - b.qc) * (r.q - b.qc)) AS BIGINT) AS d2
        |  FROM qres r JOIN pcb$T b ON r.sub = b.sub AND r.dim = b.dim
-       |  GROUP BY 1, 2, 3, 4),
+       |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  private def rerankSql: String = {
+    val dq = sqlDotQ("e.embedding", "q.qe")
+    val nq = sqlDotQ("e.embedding", "e.embedding")
+    s"""reranked AS (
+       |  SELECT c.query_id, c.vec_id,
+       |         ${sqlCosQ(dq, nq, "q.qnq")} AS cos_sim
+       |  FROM cand c
+       |  JOIN embeddings e ON c.vec_id = e.vec_id
+       |  JOIN q ON c.query_id = q.query_id)
+       |SELECT query_id, rnk, vec_id, cos_sim
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                   ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       |      FROM reranked)
+       |WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  private def prSql(nprobe: Int): String = {
+    val dqc = sqlDotQ("q.qe", "c.c")
+    val dcc2 = sqlDotQ("c.c", "c.c")
+    s"""pr AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cell,
+       |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |             q.qnq - 2.0 * $dqc + $dcc2 ASC, c.cell ASC) AS rn
+       |    FROM q CROSS JOIN cent$T c)
+       |  WHERE rn <= $nprobe)""".stripMargin
+  }
+
+  /** The plain / adaptive probe oracle: forward probed cells, per-cell
+    * luts, ADC over the probed inverted lists, candK (fixed or
+    * population-tracking) cut, exact rerank. */
+  private[graft] def probeSqlPlain(nprobe: Int = NProbe,
+      candK: Int = CandK, adaptive: Boolean = false): String = {
+    val candWhere =
+      if (adaptive) s"arn <= greatest($candK, pop // $AdaptiveDiv)"
+      else s"arn <= $candK"
+    val popCol =
+      if (adaptive) ",\n           count(*) OVER (PARTITION BY query_id) AS pop"
+      else ""
+    s"""$trainPrefixSql,
+       |${prSql(nprobe)},
+       |${lutSql("pr")},
        |adc AS (
        |  SELECT l.query_id, pa.vec_id,
        |         CAST(sum(l.d2) AS BIGINT) AS approx_d2
@@ -317,26 +489,71 @@ object LloydIvfPq {
        |    SELECT query_id, vec_id,
        |           row_number() OVER (PARTITION BY query_id
        |                              ORDER BY approx_d2 ASC, vec_id ASC)
-       |             AS arn
+       |             AS arn$popCol
        |    FROM adc)
-       |  WHERE arn <= $CandK),
-       |reranked AS (
-       |  SELECT c.query_id, c.vec_id,
-       |         ${sqlCosQ(dq, nq, "q.qnq")} AS cos_sim
-       |  FROM cand c
-       |  JOIN embeddings e ON c.vec_id = e.vec_id
-       |  JOIN q ON c.query_id = q.query_id)
-       |SELECT query_id, rnk, vec_id, cos_sim
-       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-       |                                   ORDER BY cos_sim DESC, vec_id ASC) AS rnk
-       |      FROM reranked)
-       |WHERE rnk <= 5
-       |ORDER BY query_id, rnk""".stripMargin
+       |  WHERE $candWhere),
+       |$rerankSql""".stripMargin
   }
 
+  /** The symmetrized probe oracle (x151): forward pool ∪ reverse pool
+    * (per-vector nprobe-nearest cells vs the query's home cell), luts
+    * over the pool's (query, cell) demand set, ADC, candK cut, rerank. */
+  private[graft] def probeSqlSym(nprobe: Int, candK: Int): String = {
+    val dvv = sqlDotQ("e.embedding", "e.embedding")
+    val dvc = sqlDotQ("e.embedding", "c.c")
+    val dcc = sqlDotQ("c.c", "c.c")
+    s"""$trainPrefixSql,
+       |${prSql(nprobe)},
+       |fwd AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM asg$T a JOIN pr p ON a.cell = p.cell),
+       |vpr AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             $dvv - 2.0 * $dvc + $dcc ASC, c.cell ASC) AS rk
+       |    FROM embeddings e CROSS JOIN cent$T c)
+       |  WHERE rk <= $nprobe),
+       |qh AS (
+       |  SELECT vec_id AS query_id, cell FROM asg$T
+       |  WHERE vec_id < $NQueries),
+       |rev AS (
+       |  SELECT h.query_id, v.vec_id
+       |  FROM vpr v JOIN qh h ON v.cell = h.cell),
+       |pool AS MATERIALIZED (
+       |  SELECT s.query_id, s.vec_id, a.cell
+       |  FROM (SELECT query_id, vec_id FROM fwd
+       |        UNION SELECT query_id, vec_id FROM rev) s
+       |  JOIN asg$T a ON s.vec_id = a.vec_id
+       |  WHERE s.vec_id <> s.query_id),
+       |qcells AS (SELECT DISTINCT query_id, cell FROM pool),
+       |${lutSql("qcells")},
+       |adc AS (
+       |  SELECT p.query_id, p.vec_id,
+       |         CAST(sum(l.d2) AS BIGINT) AS approx_d2
+       |  FROM pool p
+       |  JOIN pasg$T pa ON p.vec_id = pa.vec_id
+       |  JOIN lut l ON p.query_id = l.query_id AND p.cell = l.cell
+       |            AND pa.sub = l.sub AND pa.code = l.code
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY approx_d2 ASC, vec_id ASC)
+       |             AS arn
+       |    FROM adc)
+       |  WHERE arn <= $candK),
+       |$rerankSql""".stripMargin
+  }
+
+  val ivfPqTopKSql: String = probeSqlPlain()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x178_ivfpq_topk" -> ivfPqTopK _)
+    "x178_ivfpq_topk" -> ivfPqTopK _,
+    "x181_ivfpq_adaptive_topk" -> ivfPqAdaptiveTopK _)
 
   val oracles: Map[String, String] = Map(
-    "x178_ivfpq_topk" -> ivfPqTopKSql)
+    "x178_ivfpq_topk" -> ivfPqTopKSql,
+    "x181_ivfpq_adaptive_topk" -> probeSqlPlain(adaptive = true))
 }

@@ -421,8 +421,17 @@ object Vector {
   private[graft] def ivfCandidateCount(index: IvfIndex, nprobe: Int): Long =
     ivfCandidates(index, nprobe).count()
 
+  /** X19's registered form, re-pointed at the INTEGER-EXACT Lloyd
+    * coarse quantizer (round-15 verdict item 2): same probe shape,
+    * same dials (nprobe = 2, top-5, the `vec_id < 3` query band), same
+    * output schema — but the trained cells are now bit-identical
+    * cross-engine, so the query gets x166's full training-included
+    * DuckDB oracle instead of the rows-only record the MLlib fit
+    * forced. The MLlib index ([[ivfIndex]]/[[ivfProbe]]) stays a
+    * sweep-only seam — graft.LloydSweep still measures exact-vs-MLlib
+    * recall parity per dial (ANN_SWEEP.md §x166). */
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame =
-    ivfProbe(ivfIndex(spark, dir), nprobe = 2)
+    LloydIvf.probe(LloydIvf.lloydIndex(spark, dir), nprobe = 2)
 
   /** X-embedding-near-dup — embedding-cosine near-duplicate *clusters*:
     * the X4 threshold pairs fed through the same distributed
@@ -619,8 +628,15 @@ object Vector {
         cosQ(dotQ($"embedding", $"qe"), $"nq", $"qnq").as("cos_sim"))
   }
 
+  /** X31's registered form, re-pointed at the INTEGER-EXACT Lloyd
+    * codebooks (round-15 verdict item 2): same ADC probe shape, same
+    * dials (candK = 48, top-5, the `vec_id < 3` band), same output
+    * schema — trained codebooks now bit-identical cross-engine, so the
+    * query gets x173's training-included oracle. The MLlib index
+    * ([[pqIndex]]/[[pqProbe]]) stays a sweep-only seam (PqSeedSweep /
+    * LloydSweep recall parity, ANN_SWEEP.md §x173). */
   def annPqTopK(spark: SparkSession, dir: String): DataFrame =
-    pqProbe(pqIndex(spark, dir))
+    LloydPq.probe(LloydPq.pqLloydIndex(spark, dir))
 
   /** X79 — composed IVF-PQ (the production billion-vector layout): IVF
     * bounds the candidate set to the query's `nprobe` nearest cells (a
@@ -651,8 +667,14 @@ object Vector {
   val IvfPqNprobe = 4
   val IvfPqCandK = 48
 
+  /** X79's registered form, re-pointed at the INTEGER-EXACT IVFADC
+    * index (round-15 verdict item 2): the same composed shape at the
+    * same dials (nprobe = 4, candK = 48), now against x178's
+    * residual-PQ index whose two trainings are both inside the oracle
+    * hash. The MLlib composition ([[ivfPqProbe]]) stays a sweep-only
+    * seam. */
   def annIvfPqTopK(spark: SparkSession, dir: String): DataFrame =
-    ivfPqProbe(ivfIndex(spark, dir), pqIndex(spark, dir),
+    LloydIvfPq.probe(LloydIvfPq.ivfPqIndex(spark, dir),
       IvfPqNprobe, IvfPqCandK)
 
   private[graft] def ivfPqProbe(ivf: IvfIndex, pq: PqIndex,
@@ -709,9 +731,14 @@ object Vector {
     * trained-cells reason, with the superset-pool / candK-bound /
     * never-worse-recall contracts pinned in TextVectorSpec.
     */
-  /** X151 — the symmetrized IVF-PQ probe at x79's registered dial. */
+  /** X151 — the symmetrized IVF-PQ probe at x79's registered dial,
+    * re-pointed at the integer-exact IVFADC index (round-15 verdict
+    * item 2) so the reverse-probe pool gets an oracle too — see
+    * [[LloydIvfPq.candidatesSym]] for the exact-index mechanics (the
+    * reverse lists are map-only there). The MLlib composition
+    * ([[ivfPqProbeSym]]) stays a sweep-only seam. */
   def annIvfPqSymTopK(spark: SparkSession, dir: String): DataFrame =
-    ivfPqProbeSym(ivfIndex(spark, dir), pqIndex(spark, dir),
+    LloydIvfPq.probeSym(LloydIvfPq.ivfPqIndex(spark, dir),
       IvfPqNprobe, IvfPqCandK)
 
   private[graft] def ivfPqProbeSym(ivf: IvfIndex, pq: PqIndex,
@@ -1003,8 +1030,17 @@ object Vector {
     "x03_cosine_topk" -> cosineTopKSql,
     "x04_pairwise_similarity" -> pairwiseSimilaritySql,
     "x14_ann_lsh_topk" -> annLshTopKSql,
+    // round-16: the trained-index probes point at the integer-exact
+    // indexes, so each gets its training-included oracle (x19 shares
+    // x166's chain, x31 shares x173's; x79/x151 parameterize x178's)
+    "x19_ann_ivf_topk" -> LloydIvf.ivfLloydTopKSql,
     "x20_embedding_near_dup" -> embeddingNearDupClustersSql,
     "x21_ann_multiprobe" -> annMultiProbeSql,
+    "x31_ann_pq_topk" -> LloydPq.pqLloydTopKSql,
     "x51_hard_negatives" -> hardNegativesSql,
-    "x87_mutual_knn" -> mutualKnnSql)
+    "x79_ann_ivfpq_topk" ->
+      LloydIvfPq.probeSqlPlain(IvfPqNprobe, IvfPqCandK),
+    "x87_mutual_knn" -> mutualKnnSql,
+    "x151_ann_ivfpq_sym_topk" ->
+      LloydIvfPq.probeSqlSym(IvfPqNprobe, IvfPqCandK))
 }

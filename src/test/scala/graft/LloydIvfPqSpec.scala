@@ -144,6 +144,42 @@ class LloydIvfPqSpec extends SparkSpec {
         "nprobe — the ADC cut is dropping true neighbors")
   }
 
+  test("X181: the adaptive candK dial is exactly " +
+    "max(CandK, pop div 6) per query, and its admitted set contains " +
+    "the fixed-dial set") {
+    val idx = LloydIvfPq.ivfPqIndex(spark, sfDir)
+    // pop per query = the whole ADC-scanned population (huge candK)
+    val pop = LloydIvfPq.candidates(idx, LloydIvfPq.NProbe, Int.MaxValue)
+      .groupBy($"query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adaptive = LloydIvfPq
+      .candidatesAdaptive(idx, LloydIvfPq.NProbe, LloydIvfPq.CandK)
+    val perQ = adaptive.groupBy($"query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pop.foreach { case (qid, p) =>
+      val want = math.min(p,
+        math.max(LloydIvfPq.CandK.toLong, p / LloydIvfPq.AdaptiveDiv))
+      assert(perQ.getOrElse(qid, 0L) == want,
+        s"query $qid: adaptive admitted ${perQ.getOrElse(qid, 0L)} of " +
+          s"pop $p, want $want")
+    }
+    val fixedPairs = LloydIvfPq
+      .candidates(idx, LloydIvfPq.NProbe, LloydIvfPq.CandK)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adPairs = adaptive.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fixedPairs.subsetOf(adPairs),
+      "candK only grows under the adaptive dial — the admitted set " +
+        "must contain the fixed-dial set")
+    // registered identity + shape
+    val reg = SparkEntry.queries("x181_ivfpq_adaptive_topk")(spark, sfDir)
+    val seam = LloydIvfPq.probeAdaptive(idx)
+    assert(reg.columns.toSeq == Seq("query_id", "rnk", "vec_id", "cos_sim"))
+    assert(reg.collect().map(_.toString).toSeq ==
+      seam.collect().map(_.toString).toSeq)
+  }
+
   test("X178: registered query equals the seam identity and is shaped") {
     val reg = SparkEntry.queries("x178_ivfpq_topk")(spark, sfDir)
     val seam = LloydIvfPq.probe(LloydIvfPq.ivfPqIndex(spark, sfDir))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Text, Vector => VecOps}
+import graft.ops.{LloydIvfPq, Text, Vector => VecOps}
 
 /** Sanity/invariant tests for the text and vector operators on the real
   * testdata (engine parity is the oracle's job; these pin semantics).
@@ -287,12 +287,23 @@ class TextVectorSpec extends SparkSpec {
     info(f"IVF-PQ recall@5 at nprobe=$np: plain $plainR%.2f, sym $symR%.2f")
     assert(symR >= plainR - 1e-9,
       s"sym recall ($symR) lost to plain ($plainR) at the registered dial")
-    // the sym form is REGISTERED as x151 at exactly this dial (round-12
-    // verdict item 3) — the gated query must be this probe, verbatim
+    // the sym form is REGISTERED as x151 at exactly this dial —
+    // round-16 re-pointed it at the integer-exact IVFADC index (so it
+    // carries an oracle); the gated query must be THAT sym probe,
+    // verbatim, and the sym-pool superset/never-worse contracts must
+    // hold on the exact index too
+    val exact = LloydIvfPq.ivfPqIndex(spark, sfDir)
+    val exactPlain = pairs(LloydIvfPq.probe(exact, np, VecOps.IvfPqCandK))
+    val exactSym = pairs(LloydIvfPq.probeSym(exact, np, VecOps.IvfPqCandK))
+    val exactPlainR = (exactPlain & brute).size.toDouble / brute.size
+    val exactSymR = (exactSym & brute).size.toDouble / brute.size
+    info(f"exact-index IVFADC recall@5 at nprobe=$np: " +
+      f"plain $exactPlainR%.2f, sym $exactSymR%.2f")
+    assert(exactSymR >= exactPlainR - 1e-9,
+      s"exact-index sym recall ($exactSymR) lost to plain ($exactPlainR)")
     val reg = SparkEntry.queries("x151_ann_ivfpq_sym_topk")(spark, sfDir)
-    assert(pairs(reg) ==
-      pairs(VecOps.ivfPqProbeSym(ivf, pq, np, VecOps.IvfPqCandK)),
-      "registered x151 must be the sym probe at the registered dial")
+    assert(pairs(reg) == exactSym,
+      "registered x151 must be the exact-index sym probe at the registered dial")
   }
 
   test("X21: multi-probe candidates strictly contain the single-bucket " +
