@@ -69,7 +69,8 @@ object SparkEntry {
       Psi.queries, Entropy.queries, FdAudit.queries,
       LloydIvf.queries, RankDrift.queries, MannKendall.queries,
       ContaminationMatrix.queries, LloydPq.queries,
-      ContaminationKmv.queries, LloydIvfPq.queries, IndexStore.queries
+      ContaminationKmv.queries, LloydIvfPq.queries, IndexStore.queries,
+      IndexStaleness.queries
     ).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -122,6 +123,7 @@ object SparkEntry {
       Psi.oracles, Entropy.oracles, FdAudit.oracles,
       LloydIvf.oracles, RankDrift.oracles, MannKendall.oracles,
       ContaminationMatrix.oracles, LloydPq.oracles,
-      ContaminationKmv.oracles, LloydIvfPq.oracles, IndexStore.oracles
+      ContaminationKmv.oracles, LloydIvfPq.oracles, IndexStore.oracles,
+      IndexStaleness.oracles
     ).reduce(_ ++ _)
 }

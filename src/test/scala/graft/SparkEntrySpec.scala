@@ -119,7 +119,8 @@ class SparkEntrySpec extends SparkSpec {
       "LloydPq" -> LloydPq.queries,
       "ContaminationKmv" -> ContaminationKmv.queries,
       "LloydIvfPq" -> LloydIvfPq.queries,
-      "IndexStore" -> IndexStore.queries)
+      "IndexStore" -> IndexStore.queries,
+      "IndexStaleness" -> IndexStaleness.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
