@@ -98,6 +98,15 @@ object CandGrowth {
           Containment.containmentJoinSh(tok, cap).count())
         record(factor, "x63_containment_join", mode, nc63, nr63, w63)
       }
+
+      // x02 — the LSH banding IS its candidate bound (band-bucket
+      // joins admit only same-bucket pairs); round-16 verdict item 5:
+      // the family's third scale point, candidates + verified pairs
+      val sig = Dedup.minhashSignatures(tok).localCheckpoint()
+      val (nc02, _) = timed(Dedup.minhashCandidates(sig).count())
+      val (nr02, w02) = timed(Dedup.minhashVerified(tok, sig)
+        .filter($"jaccard" >= 0.5).count())
+      record(factor, "x02_minhash_lsh", "banded", nc02, nr02, w02)
       tok.unpersist()
 
       // x125 — MaxDf = 64 is the operator's built-in (always-on) cap;

@@ -90,13 +90,20 @@ object LloydSweep {
     Seq(1, 2, 4).foreach { np =>
       val ceiling = LloydIvf.probe(lloyd, np).collect()
         .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
-      val scanned = LloydIvf.candidates(lloyd, np).count()
+      // per-query candidate populations (not just the total): queries
+      // whose probed cells hold fewer than candK candidates rerank only
+      // that many, so the reported rerank cost is Σ_q min(candK, pop_q)
+      // — a total-level cap overcounts whenever populations are skewed
+      // (round-15 advice item 3)
+      val perQ = LloydIvf.candidates(lloyd, np)
+        .groupBy(col("query_id")).count().collect().map(_.getLong(1))
+      val scanned = perQ.sum
       Seq(24, 48, 96).foreach { ck =>
         def recallOf(got: Set[(Long, Long)]) =
           (got & brute).size.toDouble / brute.size
         val gp = ops.LloydIvfPq.probe(ivfpq, np, ck).collect()
           .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
-        val reranked = math.min(ck.toLong * LloydIvf.NQueries, scanned)
+        val reranked = perQ.map(p => math.min(ck.toLong, p)).sum
         println(f"| $np | $ck | ${recallOf(gp)}%.2f | ${recallOf(ceiling)}%.2f | $scanned | $reranked |")
       }
     }

@@ -594,6 +594,23 @@ object ScaleBench {
         graft.ops.LloydIvfPq.probe(
           graft.ops.LloydIvfPq.buildIvfPqIndexOf(d,
             graft.ops.LloydIvfPq.T, graft.ops.LloydIvfPq.T)))
+      // round-16 (verdict item 5): the capped dedup family's third
+      // scale point at DEPLOYMENT dials — the MaxCand/MaxDf caps are
+      // the 100 TB posture, so their wall must bend sub-quadratically
+      // through 30× (candidate volumes per factor are CandGrowth's
+      // rows in CAND_GROWTH.json; these pin the wall curvature)
+      three("x62_setsim_prefix_join_capped", dir1, dir10, dir30)(d =>
+        PrefixJoin.prefixSimJoinOf(d, 1000L))
+      three("x63_containment_join_capped", dir1, dir10, dir30)(d =>
+        Containment.containmentJoinOf(d, 1000L))
+      // x125's MaxDf = 64 df-cap is always-on (the operator's posture)
+      three("x125_winnowing_match", dir1, dir10, dir30)(d =>
+        graft.ops.Winnowing.matchOf(d))
+      // x02's bound is the LSH banding itself: band-bucket joins admit
+      // only same-bucket pairs, the posture that replaces pairs²
+      three("x02_minhash_lsh", dir1, dir10, dir30)(d =>
+        graft.ops.Dedup.minhashPairs(graft.ops.Dedup.shinglesOf(d))
+          .filter($"jaccard" >= 0.5))
     }
     spark.stop()
   }

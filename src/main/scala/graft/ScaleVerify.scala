@@ -364,7 +364,47 @@ object ScaleVerify {
         // round-15: the persisted-artifact roundtrip at 10× — the
         // loaded probe must hash-match the same training chain
         "x179_ivfpq_persisted_topk" ->
-          SparkEntry.queries("x179_ivfpq_persisted_topk"))
+          SparkEntry.queries("x179_ivfpq_persisted_topk"),
+        // round-16 (verdict item 2): the re-pointed trained-index
+        // probes at their own dials — x79's nprobe=4 chain and x151's
+        // forward∪reverse pool both retrain on the 10× population
+        // (x19/x31 are dial-identical to x166/x173 above and would
+        // duplicate those rows)
+        "x79_ann_ivfpq_topk" -> SparkEntry.queries("x79_ann_ivfpq_topk"),
+        "x151_ann_ivfpq_sym_topk" ->
+          SparkEntry.queries("x151_ann_ivfpq_sym_topk"),
+        // round-16 (verdict item 1): the adaptive candK dial at 10× is
+        // the whole point — candK tracks the ~12k-row probed population
+        // where the fixed dial decays
+        "x181_ivfpq_adaptive_topk" ->
+          SparkEntry.queries("x181_ivfpq_adaptive_topk"),
+        // round-16 (verdict item 6): the staleness audit at 10× — both
+        // encode passes and the per-cell ratios re-derive on the
+        // retrained 10× artifact
+        "x182_index_staleness" -> SparkEntry.queries("x182_index_staleness"),
+        // round-16 (verdict item 4): the collocation-graph tail (x81
+        // triangles, x103 link prediction — both on the 10 disjoint
+        // per-block vocab graphs), hybrid retrieval fusion (x69 — BM25
+        // over 10× suffixed docs fused with ANN over the 10× perturbed
+        // vectors), and the window-heavy event ops (b32 range frames,
+        // b50 time-weighted averages over 10× user populations)
+        "x81_triangle_stats" -> SparkEntry.queries("x81_triangle_stats"),
+        "x103_link_predict" -> SparkEntry.queries("x103_link_predict"),
+        "x69_hybrid_rrf" -> SparkEntry.queries("x69_hybrid_rrf"),
+        "b32_window_range_frame" ->
+          SparkEntry.queries("b32_window_range_frame"),
+        "b50_time_weighted_avg" ->
+          SparkEntry.queries("b50_time_weighted_avg"),
+        // round-16: the remaining documents-shaped aggregate tail —
+        // simhash near-dup (block-local pairs), vocab coverage /
+        // divergence / mixture weights / apportionment (per-block
+        // vocabularies grow the term tables 10× with the corpus)
+        "x32_simhash_near_dup" -> SparkEntry.queries("x32_simhash_near_dup"),
+        "x50_vocab_coverage" -> SparkEntry.queries("x50_vocab_coverage"),
+        "x53_source_divergence" ->
+          SparkEntry.queries("x53_source_divergence"),
+        "x46_mixture_weights" -> SparkEntry.queries("x46_mixture_weights"),
+        "x73_token_apportion" -> SparkEntry.queries("x73_token_apportion"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -73,6 +73,20 @@ case class PqEncode(qd: Expression, keys: Expression, qcs: Expression,
       if (acc < best(s)) { best(s) = acc; codes(s) = key % k }
       i += 1
     }
+    // boundary guard (round-15 advice): a subspace with zero surviving
+    // key entries would emit -1, which downstream element_at(lut, ...)
+    // resolves to a null (or a wrong neighboring-subspace entry)
+    // SILENTLY. The M-step always emits ≥1 code per subspace, so this
+    // is unreachable today — fail loud, not wrong, if a caller ever
+    // hands a codebook that violates the non-empty-per-subspace
+    // contract. Cost: m comparisons per row.
+    var s2 = 0
+    while (s2 < m) {
+      if (codes(s2) < 0L) throw new IllegalStateException(
+        s"pq_encode: no codebook entry for subspace $s2 — every " +
+          "subspace must keep at least one surviving code")
+      s2 += 1
+    }
     new GenericArrayData(codes)
   }
 
@@ -103,6 +117,11 @@ case class PqEncode(qd: Expression, keys: Expression, qcs: Expression,
          |    $acc += $t * $t;
          |  }
          |  if ($acc < $best[$s]) { $best[$s] = $acc; $codes[$s] = $key % $k; }
+         |}
+         |for (int $i = 0; $i < $m; $i++) {
+         |  if ($codes[$i] < 0L) throw new IllegalStateException(
+         |    "pq_encode: no codebook entry for subspace " + $i +
+         |    " — every subspace must keep at least one surviving code");
          |}
          |${ev.value} =
          |  new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);

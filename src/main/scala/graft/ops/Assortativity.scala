@@ -44,7 +44,7 @@ object Assortativity {
   private[graft] def assortativityOf(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.cache()
+    val e = edges.localCheckpoint()
     val deg = e.select($"u".as("n"))
       .union(e.select($"v".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("deg"))

@@ -47,7 +47,7 @@ object Bm25 {
       .filter($"word" =!= "")
       .groupBy($"doc_id", $"word")
       .agg(count(lit(1)).as("tf"))
-      .cache()
+      .localCheckpoint()
 
     val docLen = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
     val dfT = tf.groupBy($"word").agg(count(lit(1)).as("df"))

@@ -59,7 +59,7 @@ object Containment {
     * ContainmentSpec).
     */
   def containmentJoinOf(docs: DataFrame, maxCandDf: Long): DataFrame =
-    containmentJoinSh(Dedup.shinglesOf(docs).cache(), maxCandDf)
+    containmentJoinSh(Dedup.shinglesOf(docs).localCheckpoint(), maxCandDf)
 
   /** X63 over a pre-materialized (doc_id, sh) shingle frame — the
     * registered query reads the shared [[CorpusIndex]] checkpoint; the

@@ -44,11 +44,12 @@ object Cooccur {
     val words = docs.select($"doc_id",
       split(trim(lower($"text")), "\\s+").as("w"))
     // unigram counts: feeds the w1 join, the w2 join, and the token
-    // total — cache so the tokenize+agg runs once
+    // total — localCheckpoint so the tokenize+agg runs once without
+    // leaving a session-lifetime InMemoryRelation (the Heaps pattern)
     val uni = words
       .select(explode($"w").as("term"))
       .groupBy($"term").agg(count(lit(1)).as("c"))
-      .cache()
+      .localCheckpoint()
     // row-local pair generation: token i pairs with positions
     // i+1 … i+WindowW, canonicalized so w1 <= w2 — no positional
     // self-join. The fused native expression emits the pair strings
@@ -61,12 +62,12 @@ object Cooccur {
       explode(graft.functions.Hashing.skipGramPairs(
         $"w", windowW, canonical = true)).as("p"))
     // full pair counts (pre-threshold): reused for the pair total, so
-    // cache the compressed aggregate, not the pair stream
+    // materialize the compressed aggregate, not the pair stream
     val cxy = pairs.groupBy($"p")
       .agg(count(lit(1)).as("c_xy"))
       .select(split($"p", " ").getItem(0).as("w1"),
         split($"p", " ").getItem(1).as("w2"), $"c_xy")
-      .cache()
+      .localCheckpoint()
     val totals = uni.agg(sum($"c").as("n_tok"))
       .crossJoin(cxy.agg(sum($"c_xy").as("n_pairs")))
     val u1 = uni.select($"term".as("w1"), $"c".as("c_x"))

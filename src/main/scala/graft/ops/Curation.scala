@@ -71,12 +71,14 @@ object Curation {
       corpusShingles: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // scored feeds the verdict join AND the surviving-doc stages — cache
-    // the one row-local scan instead of re-scoring per consumer (persisted
-    // intermediate at cluster scale, same statement of intent as x06's tf)
+    // scored feeds the verdict join AND the surviving-doc stages —
+    // materialize the one row-local scan instead of re-scoring per
+    // consumer (persisted intermediate at cluster scale). localCheckpoint,
+    // not cache(): no session-lifetime InMemoryRelation from a registered
+    // query (the Heaps pattern)
     val scored = Text.qualityOf(docs)
       .select($"doc_id", $"text", $"lang_guess", $"quality_score")
-      .cache()
+      .localCheckpoint()
     // stage 2+3: quality gate, then exact content-hash dedup. The
     // min-over-group window runs on a SLIM (doc_id, hash, quality)
     // projection — text never rides the text_hash shuffle (the window is

@@ -202,10 +202,11 @@ object Dedup {
   }
 
   private[graft] def minhashPairs(shingleSet: DataFrame): DataFrame = {
-    val sh = shingleSet.cache()
-    // sig feeds both the band explode and the size lookup — cache so the
-    // 16-min aggregation runs once (one row per doc; tiny)
-    minhashVerified(sh, minhashSignatures(sh).cache())
+    val sh = shingleSet.localCheckpoint()
+    // sig feeds both the band explode and the size lookup — materialized
+    // (localCheckpoint, the Heaps pattern) so the 16-min aggregation runs
+    // once (one row per doc; tiny) without a session-lifetime cache
+    minhashVerified(sh, minhashSignatures(sh).localCheckpoint())
   }
 
   /** X2's verify core over pre-materialized shingle + signature frames
@@ -370,12 +371,13 @@ object Dedup {
   }
 
   /** Core of X17 over any (doc_id, sh) shingle frame — x22 feeds it only
-    * its curation survivors. Caches the input (it feeds five subplans);
+    * its curation survivors. Materializes the input via localCheckpoint
+    * (it feeds five subplans);
     * [[ngramJaccardFrom]] is the no-cache twin for frames that are
     * already materialized (the [[CorpusIndex]] checkpoint).
     */
   private[graft] def ngramJaccardOf(shingleSet: DataFrame): DataFrame =
-    ngramJaccardFrom(shingleSet.cache())
+    ngramJaccardFrom(shingleSet.localCheckpoint())
 
   private[graft] def ngramJaccardFrom(sh: DataFrame): DataFrame = {
     val spark = sh.sparkSession

@@ -49,7 +49,7 @@ object Divergence {
         explode(split(trim(lower($"text")), "\\s+")).as("word"))
       .groupBy($"source", $"word")
       .agg(count(lit(1)).as("c_sw"))
-      .cache() // feeds corpus counts, per-source totals, and the join
+      .localCheckpoint() // feeds corpus counts, per-source totals, and the join
 
     val corpus = srcWord.groupBy($"word").agg(sum($"c_sw").as("c_w"))
     val perSource = srcWord.groupBy($"source").agg(sum($"c_sw").as("n_s"))

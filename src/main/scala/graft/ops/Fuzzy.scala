@@ -43,7 +43,7 @@ object Fuzzy {
       .agg(count(lit(1)).as("n_parts"))
       .withColumn("adj", element_at(split($"name", " "), 1))
       .withColumn("noun", element_at(split($"name", " "), -1))
-      .cache() // both sides of both block joins
+      .localCheckpoint() // both sides of both block joins
 
     val a = names.select($"name".as("name_a"), $"n_parts".as("parts_a"),
       $"adj".as("adj_a"), $"noun".as("noun_a"))

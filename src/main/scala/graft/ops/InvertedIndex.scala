@@ -50,7 +50,7 @@ object InvertedIndex {
         explode(split(trim(lower($"text")), "\\s+")).as("term"))
       .groupBy($"term", $"doc_id")
       .agg(count(lit(1)).as("tf"))
-      .cache()
+      .localCheckpoint()
     val agg = tf.groupBy($"term")
       .agg(count(lit(1)).as("df"), sum($"tf").as("total_tf"))
       .filter($"df" >= minDf)

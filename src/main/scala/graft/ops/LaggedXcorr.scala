@@ -63,7 +63,7 @@ object LaggedXcorr {
         .select($"day", $"c".as("y")), Seq("day"), "left")
       .select($"day", coalesce($"x", lit(0L)).as("x"),
         coalesce($"y", lit(0L)).as("y"))
-      .cache()
+      .localCheckpoint()
     val lags = (-MaxLag to MaxLag).map(_.toLong).toDF("lag")
     series.as("a").crossJoin(broadcast(lags))
       .join(series.as("b"),

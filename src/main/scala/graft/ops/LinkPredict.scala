@@ -54,7 +54,7 @@ object LinkPredict {
     import spark.implicits._
     // edges feed the adjacency expansion, the degree table, and the
     // exclusion anti-join — one materialization
-    val edges = edgesIn.cache()
+    val edges = edgesIn.localCheckpoint()
     val adj = edges.select($"u".as("n"), $"v".as("nb"))
       .union(edges.select($"v".as("n"), $"u".as("nb")))
     val deg = adj.groupBy($"n").agg(count(lit(1)).as("deg"))

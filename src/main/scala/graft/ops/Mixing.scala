@@ -194,7 +194,7 @@ object Mixing {
     val counts = Tables.documents(spark, dir)
       .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
       .withColumn("p6", pow($"n_docs", lit(TempAlpha)).cast("decimal(27,6)"))
-      .cache()
+      .localCheckpoint()
     val totals = counts.agg(sum($"n_docs").as("n_total"),
       sum($"p6").as("p_total"))
     counts.crossJoin(broadcast(totals))
@@ -251,7 +251,7 @@ object Mixing {
     val counts = Tables.documents(spark, dir)
       .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
       .withColumn("p6", pow($"n_docs", lit(TempAlpha)).cast("decimal(27,6)"))
-      .cache()
+      .localCheckpoint()
     val totals = counts.agg(sum($"p6").as("p_total"))
     val w = counts.crossJoin(broadcast(totals))
       .withColumn("raw",

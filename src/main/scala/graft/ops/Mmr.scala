@@ -56,7 +56,7 @@ object Mmr {
           dotQ($"qe", $"qe")).as("rel"))
       .orderBy($"rel".desc, $"vec_id")
       .limit(C)
-      .cache()
+      .localCheckpoint()
     val scores = cand.select($"vec_id", $"rel")
     val pairs = cand.as("a").join(cand.as("b"),
         col("a.vec_id") =!= col("b.vec_id"))
@@ -64,7 +64,7 @@ object Mmr {
         cosQ(dotQ(col("a.embedding"), col("b.embedding")),
           dotQ(col("a.embedding"), col("a.embedding")),
           dotQ(col("b.embedding"), col("b.embedding"))).as("sim"))
-      .cache()
+      .localCheckpoint()
     var result = scores
       .orderBy($"rel".desc, $"vec_id").limit(1)
       .select(lit(1L).as("sel_rank"), $"vec_id", $"rel",

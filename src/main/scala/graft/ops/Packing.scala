@@ -78,14 +78,16 @@ object Packing {
     val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (mx - mn) / parallelism + 1L)
     // `div` = exact integral division (the `/` Column operator is double
-    // division — lossy past 2^53); cache so the two consumers (running-sum
-    // window, per-pid totals) tokenize once — safe now that every
-    // recompute yields identical values
+    // division — lossy past 2^53); materialize so the two consumers
+    // (running-sum window, per-pid totals) tokenize once. localCheckpoint
+    // (the Heaps pattern), NOT cache(): a cache inside a registered query
+    // outlives it as a session-lifetime InMemoryRelation — checkpoint
+    // blocks are reclaimed once the frame is unreachable
     val toks = docs
       .select($"doc_id",
         size(split(trim(lower($"text")), "\\s+")).cast("long").as("n_tokens"))
       .withColumn("pid", expr(s"(doc_id - ${mn}L) div ${width}L"))
-      .cache()
+      .localCheckpoint()
     // phase 2: local running (exclusive) sums — windows keyed by pid run
     // in parallel, one per partition
     val localW = Window.partitionBy($"pid").orderBy($"doc_id")

@@ -59,12 +59,12 @@ object PageRank {
     // symmetrize: the directed edge list of the undirected graph
     val edges = und.select($"u".as("src"), $"v".as("dst"))
       .union(und.select($"v".as("src"), $"u".as("dst")))
-      .cache() // vocab-bounded; reused every round
+      .localCheckpoint() // vocab-bounded; reused every round
     // symmetrized ⇒ out-degree ≥ 1 everywhere: no dangling-mass term,
     // and the per-round groupBy(dst) reaches every node
     val deg = edges.groupBy($"src".as("node"))
       .agg(count(lit(1)).as("d"))
-      .cache()
+      .localCheckpoint()
     val nRow = deg.agg(count(lit(1)).as("n"))
     var r = deg.select($"node").crossJoin(broadcast(nRow))
       .selectExpr("node", s"$Scale div n AS r")

@@ -73,7 +73,7 @@ object PpsSample {
       size(split(trim(lower($"text")), "\\s+")).cast("long").as("w"),
       Hashing.md5Long40(concat(lit(Salt), $"doc_id".cast("string"))).as("h"))
       .withColumn("pid", expr(s"h div ${width}L"))
-      .cache()
+      .localCheckpoint()
     val localW = Window.partitionBy($"pid").orderBy($"h", $"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = keyed.withColumn("local_cum",

@@ -51,7 +51,7 @@ object RandIndex {
     val spark = pairs.sparkSession
     import spark.implicits._
     val cells = pairs.groupBy($"k", $"c").agg(count(lit(1)).as("cnt"))
-      .cache()
+      .localCheckpoint()
     val a = cells.agg(
       expr("sum(cnt * (cnt - 1) div 2)").as("pairs_both"),
       count(lit(1)).as("n_cells"))

@@ -83,7 +83,7 @@ object SimHashDedup {
     // one fingerprint row per doc; cached so the self-join's two sides
     // share a single fingerprint build (the x18 lesson: an uncached
     // self-join subplan executes its producer twice)
-    val sims = fingerprintsOf(shingles).cache()
+    val sims = fingerprintsOf(shingles).localCheckpoint()
     val bandStructs = (0 until Bands).map(b =>
       struct(lit(b).as("band"),
         shiftright($"sim", b * BandBits)

@@ -60,7 +60,7 @@ object SortedNeighborhood {
     val width = Dedup.P / parallelism + 1L
     val keyed = sig.select($"doc_id", $"n_sh", $"m0")
       .withColumn("pid", expr(s"m0 div ${width}L"))
-      .cache()
+      .localCheckpoint()
     val local = keyed.withColumn("lrk",
       row_number().over(
         Window.partitionBy($"pid").orderBy($"m0", $"doc_id")).cast("long"))

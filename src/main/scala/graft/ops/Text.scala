@@ -89,16 +89,18 @@ object Text {
   def tfIdf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // tf feeds three consumers (the final join, the df aggregate, the
-    // corpus count) — cache it so the tokenize+explode+agg subplan runs
-    // once, not once per consumer. At cluster scale this is a persisted
-    // intermediate; locally .cache() is the same statement of intent.
+    // corpus count) — materialize it so the tokenize+explode+agg subplan
+    // runs once, not once per consumer. At cluster scale this is a
+    // persisted intermediate; locally localCheckpoint is the same
+    // statement of intent WITHOUT a session-lifetime InMemoryRelation
+    // (checkpoint blocks are reclaimed when the frame is unreachable)
     val tf = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
       .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("word"))
       .filter($"word" =!= "")
       .groupBy($"doc_id", $"word")
       .agg(count(lit(1)).as("tf"))
-      .cache()
+      .localCheckpoint()
     val dfT = tf.groupBy($"word").agg(count(lit(1)).as("df"))
     // corpus size N counts DOCUMENTS, not tokenized docs: a doc that
     // tokenizes to zero words still belongs to the corpus, and deriving N

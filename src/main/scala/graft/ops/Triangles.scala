@@ -70,11 +70,11 @@ object Triangles {
     val spark = edgesIn.sparkSession
     import spark.implicits._
     // edges feed degrees, orientation, and closure — one materialization
-    val edges = edgesIn.cache()
+    val edges = edgesIn.localCheckpoint()
     val deg = edges.select($"u".as("n"))
       .union(edges.select($"v".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("deg"))
-      .cache()
+      .localCheckpoint()
     // orient each edge toward the (deg, node)-larger endpoint; carry
     // the destination's degree for the wedge ordering
     val uLess = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
@@ -85,7 +85,7 @@ object Triangles {
         when(uLess, $"u").otherwise($"v").as("src"),
         when(uLess, $"v").otherwise($"u").as("dst"),
         when(uLess, $"dv").otherwise($"du").as("ddeg"))
-      .cache()
+      .localCheckpoint()
     // each wedge once, at its apex, with (b, c) in orientation order —
     // so {b, c}'s oriented form can only be b → c
     val wedges = oriented.as("o1").join(oriented.as("o2"),

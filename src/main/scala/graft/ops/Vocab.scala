@@ -39,7 +39,7 @@ object Vocab {
     val counts = docs
       .select(explode(split(trim(lower($"text")), "\\s+")).as("word"))
       .groupBy($"word").agg(count(lit(1)).as("freq"))
-      .cache()
+      .localCheckpoint()
     val totals = counts.agg(sum($"freq").as("total"))
     val top = counts.orderBy($"freq".desc, $"word".asc).limit(topV)
     val a = top.select($"word".as("a_word"), $"freq".as("a_freq"))

@@ -139,7 +139,7 @@ object Winnowing {
       .select($"doc_id", $"h").distinct()
     val rare = fpAll.groupBy($"h").agg(count(lit(1)).as("df"))
       .filter($"df" <= MaxDf)
-    fpAll.join(rare.select($"h"), Seq("h")).cache()
+    fpAll.join(rare.select($"h"), Seq("h")).localCheckpoint()
   }
 
   /** The candidate pair stream of [[matchOf]] — cardinality bounded by

@@ -83,12 +83,17 @@ object StreamIndexIngest {
         - floor(y.cast("double") * Scale).cast("long"))
 
   /** Encode a (streaming or batch) frame of (vec_id, embedding)
-    * arrivals against the frozen parameter rows: emits (vec_id,
-    * embedding, nq, cell, codes) — the inverted-list row the artifact
-    * appends. Fully stateless (see object doc). The PQ scan runs the
-    * native [[graft.functions.expr.PqEncode]] codegen loop; the coarse
-    * argmin stays a HOF over the cell-count centroid array (tens of
-    * elements whose inner product is already the native QuantizedDot).
+    * arrivals against the frozen parameter rows: emits (vec_id, cell,
+    * embedding, nq, codes) — the inverted-list row the artifact
+    * appends, in IvfPqIndex.encoded's exact column order so the
+    * combined artifact keeps ONE schema layout even for positional
+    * consumers (round-15 advice: parquet resolves by name, but a
+    * union-by-position or CSV-style sink of the appended files would
+    * silently mis-bind otherwise). Fully stateless (see object doc).
+    * The PQ scan runs the native [[graft.functions.expr.PqEncode]]
+    * codegen loop; the coarse argmin stays a HOF over the cell-count
+    * centroid array (tens of elements whose inner product is already
+    * the native QuantizedDot).
     */
   def encodeArrivals(vecs: DataFrame, centRow: DataFrame,
       cbFlatRow: DataFrame): DataFrame = {
@@ -114,7 +119,7 @@ object StreamIndexIngest {
       .withColumn("cell", $"best.cell")
       .withColumn("qd", quantDiff($"embedding", $"best.c"))
       .withColumn("codes", codes)
-      .select($"vec_id", $"embedding", $"nq", $"cell", $"codes")
+      .select($"vec_id", $"cell", $"embedding", $"nq", $"codes")
   }
 
   /** The built-in HOF reference form of [[encodeArrivals]] (bit-equal
@@ -152,6 +157,6 @@ object StreamIndexIngest {
       .withColumn("cell", $"best.cell")
       .withColumn("qd", quantDiff($"embedding", $"best.c"))
       .withColumn("codes", codes)
-      .select($"vec_id", $"embedding", $"nq", $"cell", $"codes")
+      .select($"vec_id", $"cell", $"embedding", $"nq", $"codes")
   }
 }

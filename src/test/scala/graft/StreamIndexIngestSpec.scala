@@ -87,6 +87,18 @@ class StreamIndexIngestSpec extends SparkSpec {
     assert(codes.forall(c => c >= 0 && c < LloydIvfPq.K))
   }
 
+  test("X180: encoded arrivals share the persisted encoded table's " +
+    "exact column ORDER (one schema layout for positional consumers)") {
+    val idx = LloydIvfPq.ivfPqIndex(spark, sfDir)
+    val centRow = StreamIndexIngest.centroidRow(idx.centroids)
+    val cbRow = StreamIndexIngest.codebookFlatRow(idx.codebooks)
+    val arrival = Seq((999999L, Array.fill(64)(0.1f)))
+      .toDF("vec_id", "embedding")
+    assert(StreamIndexIngest.encodeArrivals(arrival, centRow, cbRow)
+      .columns.toSeq == idx.encoded.columns.toSeq,
+      "appended files must bind identically by position, not just name")
+  }
+
   test("X180: the parameter rows are one bounded row each") {
     val idx = LloydIvfPq.ivfPqIndex(spark, sfDir)
     val centRow = StreamIndexIngest.centroidRow(idx.centroids)
