@@ -85,8 +85,11 @@ object LloydSweep {
     // ADC reads (code bytes) vs the rows exact rerank pays for.
     val ivfpq = ops.LloydIvfPq.ivfPqIndex(spark, sfDir)
     println()
-    println("| nprobe | candK | x178 recall@5 | x166 recall@5 (ceiling) | codes scanned | reranked |")
-    println("|---|---|---|---|---|---|")
+    println("| nprobe | candK | x178 recall@5 | x181 (adaptive) recall@5 | x166 recall@5 (ceiling) | codes scanned | reranked |")
+    println("|---|---|---|---|---|---|---|")
+    // "x181 recall@5" = the adaptive dial (candK = max(CandK, pop/6))
+    // at the same nprobe — the production form whose recall must sit at
+    // the coarse ceiling at ANY corpus size (round-16 verdict item 1)
     Seq(1, 2, 4).foreach { np =>
       val ceiling = LloydIvf.probe(lloyd, np).collect()
         .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
@@ -98,13 +101,15 @@ object LloydSweep {
       val perQ = LloydIvf.candidates(lloyd, np)
         .groupBy(col("query_id")).count().collect().map(_.getLong(1))
       val scanned = perQ.sum
+      val ga = ops.LloydIvfPq.probeAdaptive(ivfpq, np).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
       Seq(24, 48, 96).foreach { ck =>
         def recallOf(got: Set[(Long, Long)]) =
           (got & brute).size.toDouble / brute.size
         val gp = ops.LloydIvfPq.probe(ivfpq, np, ck).collect()
           .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
         val reranked = perQ.map(p => math.min(ck.toLong, p)).sum
-        println(f"| $np | $ck | ${recallOf(gp)}%.2f | ${recallOf(ceiling)}%.2f | $scanned | $reranked |")
+        println(f"| $np | $ck | ${recallOf(gp)}%.2f | ${recallOf(ga)}%.2f | ${recallOf(ceiling)}%.2f | $scanned | $reranked |")
       }
     }
     spark.stop()

@@ -46,32 +46,22 @@ class InvertedIndexSpec extends SparkSpec {
   test("X43: tf is shared, the hot-term cap is map-side, branches add one term exchange each") {
     val plan = InvertedIndex.invertedIndex(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("InMemoryTableScan"),
+    // tf is materialized once (localCheckpoint since round 16 — an RDD
+    // scan, not an InMemoryRelation) and shared by both branches
+    assert(plan.contains("Scan ExistingRDD"),
       s"tf must be computed once and shared by both branches:\n$plan")
     assert(plan.linesIterator.exists(l =>
         l.contains("WindowGroupLimit") && l.contains("Partial")),
       s"rank-limit pushdown missing — a stopword's postings would ship uncapped:\n$plan")
-    // count exchanges OUTSIDE the cached tf subtree (the cached plan is
-    // printed under every InMemoryRelation occurrence — skip those
-    // indented blocks): the df rollup and the window branch each add
-    // exactly one term exchange on top of the shared (term,doc) combine
-    val lines = plan.linesIterator.toVector
-    def indent(s: String) = s.takeWhile(!_.isLetter).length
-    val outside = new scala.collection.mutable.ArrayBuffer[String]
-    var skipDeeper = -1
-    lines.foreach { l =>
-      if (skipDeeper >= 0 && indent(l) > skipDeeper) () // inside cached tree
-      else {
-        skipDeeper = -1
-        if (l.contains("InMemoryRelation")) skipDeeper = indent(l)
-        else outside += l
-      }
-    }
-    val termExchanges = outside
+    // the checkpoint truncates the tf build out of the probe plan, so
+    // the remaining hash exchanges are exactly the df rollup and the
+    // window branch — one term exchange each on top of the shared
+    // (term, doc) combine
+    val termExchanges = plan.linesIterator
       .filter(_.contains("Exchange hashpartitioning"))
       .flatMap("plan_id=(\\d+)".r.findFirstMatchIn(_).map(_.group(1)))
-      .distinct.size
+      .toSeq.distinct.size
     assert(termExchanges == 2,
-      s"expected exactly 2 term exchanges outside the cached tf, got $termExchanges:\n$plan")
+      s"expected exactly 2 term exchanges outside the checkpointed tf, got $termExchanges:\n$plan")
   }
 }

@@ -119,12 +119,13 @@ class MixingSpec extends SparkSpec {
       assert(r.getAs[Long]("expected_draws") ==
         math.floor(w * Mixing.DrawBudget).toLong)
     }
-    // one corpus scan: the cached |strata|-row aggregate feeds both the
-    // totals and the final ratios
+    // one corpus scan: the materialized |strata|-row aggregate
+    // (localCheckpoint since round 16 — an RDD scan, not a cache)
+    // feeds both the totals and the final ratios
     val df = Mixing.mixtureWeights(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("InMemoryTableScan"),
+    assert(plan.contains("Scan ExistingRDD"),
       s"the per-stratum aggregate must be shared, not recomputed:\n$plan")
   }
 

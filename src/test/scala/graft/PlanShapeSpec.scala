@@ -61,7 +61,11 @@ class PlanShapeSpec extends SparkSpec {
       // the session first (observed 12↔13 with identical exchanges/
       // broadcasts). Its STRUCTURAL columns stay pinned; only the
       // span-count column is order-tolerant for it.
-      val codegenFuzzy = Set("x91_pipeline_manifest")
+      // x43 joined the set in round 16: its tf localCheckpoint replaced
+      // the shared InMemoryRelation, and one of its ~7 spans fuses
+      // differently with session warmth (observed 6↔7, structural
+      // columns identical solo and in-suite)
+      val codegenFuzzy = Set("x91_pipeline_manifest", "x43_inverted_index")
       // x102 flips between exactly two shapes with the session's warmth:
       // its two identical corpus-scan subtrees either collapse into a
       // ReusedExchange (2 exchanges / 8 spans) or plan independently

@@ -56,8 +56,9 @@ class SimHashDedupSpec extends SparkSpec {
       s"all-pairs join in the plan:\n$plan")
     // the candidate join must be keyed on the band columns
     assert(plan.contains("band"), s"band key missing from the join:\n$plan")
-    // the fingerprint build feeds both join sides from one cached copy
-    assert(plan.contains("InMemoryTableScan"),
+    // the fingerprint build feeds both join sides from one materialized
+    // copy (localCheckpoint since round 16 — an RDD scan, not a cache)
+    assert(plan.contains("Scan ExistingRDD"),
       s"fingerprint subplan not shared across the self-join:\n$plan")
   }
 }
