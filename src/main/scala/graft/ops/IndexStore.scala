@@ -51,12 +51,20 @@ object IndexStore {
     // the layout version participates in the key: write-once reuse
     // (ensureRoot) must never hand a probe an artifact written by an
     // older layout — bump when the three-table schema changes
-    s"target/index_store/ivfpq_v2_$md5"
+    // (v3 = cell-partitioned encoded table)
+    s"target/index_store/ivfpq_v3_$md5"
   }
 
-  /** Persist a trained IVFADC index as three parquet tables. */
+  /** Persist a trained IVFADC index as three parquet tables. The
+    * encoded inverted lists are PARTITIONED BY CELL — the production
+    * layout every probe scaladoc in the family refers to: a probe
+    * touches nprobe of |cells| partition directories, so the corpus
+    * outside the probed cells is pruned at the FILE level (not merely
+    * joined away), and an X180 ingest appends each arrival straight
+    * into its inverted list's directory. */
   def writeIvfPq(index: LloydIvfPq.IvfPqIndex, root: String): Unit = {
-    index.encoded.write.mode("overwrite").parquet(s"$root/encoded")
+    index.encoded.write.partitionBy("cell")
+      .mode("overwrite").parquet(s"$root/encoded")
     index.centroids.write.mode("overwrite").parquet(s"$root/centroids")
     index.codebooks.write.mode("overwrite").parquet(s"$root/codebooks")
   }
@@ -103,20 +111,47 @@ object IndexStore {
   }
 
   /** Load a persisted IVFADC index; the result probes exactly like the
-    * in-session build it was written from. */
-  def readIvfPq(spark: SparkSession, root: String): LloydIvfPq.IvfPqIndex =
+    * in-session build it was written from. The partition column comes
+    * back LAST and type-inferred from the directory names, so the read
+    * restores the canonical column order and the exact LongType the
+    * probe contract carries. */
+  def readIvfPq(spark: SparkSession, root: String): LloydIvfPq.IvfPqIndex = {
+    import spark.implicits._
     LloydIvfPq.IvfPqIndex(
-      spark.read.parquet(s"$root/encoded"),
+      spark.read.parquet(s"$root/encoded")
+        .select($"vec_id", $"cell".cast("long").as("cell"),
+          $"embedding", $"nq", $"codes"),
       spark.read.parquet(s"$root/centroids"),
       spark.read.parquet(s"$root/codebooks"))
+  }
 
   /** The registered query: build (memoized, x178's build), persist
     * (once per session+dir, atomically — [[ensureRoot]]), RELOAD,
     * probe the loaded artifact. Oracle = x178's unrolled training
     * chain — a hash match proves the parquet roundtrip is invisible
-    * to the probe. */
-  def ivfPqPersistedTopK(spark: SparkSession, dir: String): DataFrame =
-    LloydIvfPq.probe(readIvfPq(spark, ensureRoot(spark, dir)))
+    * to the probe.
+    *
+    * Probe planning collects the ≤ NQueries·nprobe probed cell ids
+    * (index METADATA — the same few longs partition pruning itself
+    * materializes) and pushes them as a LITERAL partition filter, so
+    * the scan reads ONLY the probed inverted-list directories — the
+    * "corpus outside the probed cells is never read" claim made
+    * file-system-literal. Semantically a no-op: the ADC join admits
+    * only probed-cell rows anyway, and every query's own home cell is
+    * its rank-1 nearest (the fixpoint law), so the query band
+    * survives the filter. Spark's own DPP plans the same pruning but
+    * may elide it under the broadcast-reuse heuristics (observed
+    * `dynamicpruningexpression(true)` at local scale) — an index
+    * probe should not gamble its I/O bound on an optimizer
+    * heuristic. */
+  def ivfPqPersistedTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val index = readIvfPq(spark, ensureRoot(spark, dir))
+    val cells = LloydIvfPq.probedCells(index, LloydIvfPq.NProbe)
+      .select($"cell").distinct().collect().map(_.getLong(0)).sorted
+    LloydIvfPq.probe(
+      index.copy(encoded = index.encoded.filter($"cell".isin(cells: _*))))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x179_ivfpq_persisted_topk" -> ivfPqPersistedTopK _)

@@ -73,7 +73,11 @@ class IndexStoreSpec extends SparkSpec {
     val encoded = StreamIndexIngest.encodeArrivals(arrival,
       StreamIndexIngest.centroidRow(built.centroids),
       StreamIndexIngest.codebookFlatRow(built.codebooks))
-    encoded.write.mode("append").parquet(s"$root/encoded")
+    // append lands INSIDE the arrival's inverted-list directory — the
+    // cell-partitioned layout makes the X180 append exactly "add to
+    // the inverted list", file-system-literally
+    encoded.write.partitionBy("cell").mode("append")
+      .parquet(s"$root/encoded")
     val grown = IndexStore.readIvfPq(spark, root)
     assert(grown.encoded.count() == built.encoded.count() + 1,
       "the artifact grew by exactly the ingested row")
@@ -83,6 +87,39 @@ class IndexStoreSpec extends SparkSpec {
       r.getAs[Int]("rnk") == 1),
       s"the near-duplicate arrival must rank first for its query, got " +
         top.map(_.toString).mkString(", "))
+  }
+
+  test("X179: the encoded artifact is cell-partitioned and a probed-" +
+    "cell read PRUNES to the probed partitions at the file level") {
+    val root = s"target/index_store_spec/cellpart"
+    IndexStore.writeIvfPq(LloydIvfPq.ivfPqIndex(spark, sfDir), root)
+    // layout: one directory per inverted list
+    val dirs = new java.io.File(s"$root/encoded").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("cell=")),
+      s"expected cell=* partition directories, got $dirs")
+    // a probed-cell read carries a PartitionFilters entry and scans
+    // only that partition — the corpus outside the probed cells is
+    // never READ, not merely joined away
+    val loaded = IndexStore.readIvfPq(spark, root)
+    val pruned = loaded.encoded.filter($"cell" === 3L)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"partition filter must reach the artifact scan:\n$plan")
+    assert(pruned.count() == LloydIvfPq.ivfPqIndex(spark, sfDir)
+      .encoded.filter($"cell" === 3L).count(),
+      "the pruned partition holds exactly that inverted list")
+    // and the REGISTERED persisted probe carries the literal probed-
+    // cell partition filter (probe planning pushes the cell ids, not
+    // relying on the DPP heuristic) — the artifact scan reads only
+    // the probed inverted-list directories
+    val reg = SparkEntry.queries("x179_ivfpq_persisted_topk")(spark, sfDir)
+    val regPlan = reg.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*IN \\("
+      .r.findFirstIn(regPlan).isDefined ||
+      regPlan.contains("cell#") && regPlan.contains(" IN ("),
+      s"probed-cell partition filter must reach the artifact scan:\n" +
+        regPlan.take(4000))
   }
 
   test("X179: the loaded ADC scan reads only the columns it needs — " +
