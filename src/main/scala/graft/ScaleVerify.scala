@@ -404,7 +404,23 @@ object ScaleVerify {
         "x53_source_divergence" ->
           SparkEntry.queries("x53_source_divergence"),
         "x46_mixture_weights" -> SparkEntry.queries("x46_mixture_weights"),
-        "x73_token_apportion" -> SparkEntry.queries("x73_token_apportion"))
+        "x73_token_apportion" -> SparkEntry.queries("x73_token_apportion"),
+        // round-16 second wave: the dedup decision family at 10× (exact
+        // dedup, LSH-pair connected components, cross-source dup pairs,
+        // duplication degrees), the composed curation pipeline, the
+        // brute-force cosine baseline the ANN family is audited
+        // against, and the event-family sessionize/heavy-hitter ops
+        "x01_exact_dedup" -> SparkEntry.queries("x01_exact_dedup"),
+        "x03_cosine_topk" -> SparkEntry.queries("x03_cosine_topk"),
+        "x09_sessionization" -> SparkEntry.queries("x09_sessionization"),
+        "x18_dup_clusters" -> SparkEntry.queries("x18_dup_clusters"),
+        "x22_curation_pipeline" ->
+          SparkEntry.queries("x22_curation_pipeline"),
+        "x37_heavy_hitters" -> SparkEntry.queries("x37_heavy_hitters"),
+        "x60_cross_source_dups" ->
+          SparkEntry.queries("x60_cross_source_dups"),
+        "x75_dup_degree_histogram" ->
+          SparkEntry.queries("x75_dup_degree_histogram"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
