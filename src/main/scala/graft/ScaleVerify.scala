@@ -420,7 +420,11 @@ object ScaleVerify {
         "x60_cross_source_dups" ->
           SparkEntry.queries("x60_cross_source_dups"),
         "x75_dup_degree_histogram" ->
-          SparkEntry.queries("x75_dup_degree_histogram"))
+          SparkEntry.queries("x75_dup_degree_histogram"),
+        // round-16: the versioned retrain at 10x — BOTH training
+        // chains (shipped + retrain over corpus ∪ ingested batch)
+        // re-derive on the 10x population inside one oracle
+        "x183_index_versions" -> SparkEntry.queries("x183_index_versions"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -330,170 +330,199 @@ object LloydIvfPq {
         cosQ(dotQ($"embedding", $"qe"), $"nq", $"qnq").as("cos_sim"))
   }
 
-  /** The oracle prefix shared by every probe variant: x166's unrolled
-    * coarse rounds, the residual grid derivation, x173's unrolled PQ
-    * rounds over the residual slices (p-prefixed CTE names), and the
-    * query band — every intermediate an exact integer or an
-    * identically-rounded scalar. The probe tails (plain / adaptive /
-    * symmetrized) append their own candidate CTEs. */
-  private[graft] val trainPrefixSql: String = {
+  /** The oracle training chain shared by every probe variant —
+    * x166's unrolled coarse rounds, the residual grid derivation,
+    * x173's unrolled PQ rounds over the residual slices, and the query
+    * band — every intermediate an exact integer or an identically-
+    * rounded scalar. PARAMETERIZED (round 16, for x183's versioned
+    * retrain): `p` prefixes every CTE name and `src` is the
+    * (vec_id, label, embedding) source relation, so two chains (the
+    * shipped index and its retrain over a grown corpus) can coexist in
+    * ONE oracle. `trainCtesFor("", "embeddings")` is byte-identical to
+    * the pre-refactor text, so the x178/x179/x181 oracles are
+    * unchanged. */
+  private[graft] def trainCtesFor(p: String, src: String): String = {
     val dvv = sqlDotQ("e.embedding", "e.embedding")
     val dvc = sqlDotQ("e.embedding", "c.c")
     val dcc = sqlDotQ("c.c", "c.c")
     val ivfRounds = (1 to T).map { t =>
-      s"""ex$t AS (
+      s"""${p}ex$t AS (
          |  SELECT a.cell, u.i - 1 AS dim,
          |         CAST(floor(CAST(e.embedding[u.i] AS DOUBLE)
          |           * $Scale) AS BIGINT) AS q
-         |  FROM asg${t - 1} a JOIN embeddings e USING (vec_id),
+         |  FROM ${p}asg${t - 1} a JOIN $src e USING (vec_id),
          |       LATERAL unnest(generate_series(1, len(e.embedding)))
          |         AS u(i)),
-         |cent$t AS MATERIALIZED (
+         |${p}cent$t AS MATERIALIZED (
          |  SELECT cell,
          |         list(CAST(CAST(s AS DOUBLE) / n / $Scale
          |           AS FLOAT) ORDER BY dim) AS c
          |  FROM (SELECT cell, dim, count(*) AS n,
          |               CAST(sum(q) AS BIGINT) AS s
-         |        FROM ex$t GROUP BY 1, 2)
+         |        FROM ${p}ex$t GROUP BY 1, 2)
          |  GROUP BY cell),
-         |asg$t AS MATERIALIZED (
+         |${p}asg$t AS MATERIALIZED (
          |  SELECT vec_id, cell FROM (
          |    SELECT e.vec_id, c.cell,
          |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |             $dvv - 2.0 * $dvc + $dcc ASC, c.cell ASC) AS rk
-         |    FROM embeddings e CROSS JOIN cent$t c)
+         |    FROM $src e CROSS JOIN ${p}cent$t c)
          |  WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
     val pqRounds = (1 to T).map { t =>
-      s"""pcb$t AS MATERIALIZED (
+      s"""${p}pcb$t AS MATERIALIZED (
          |  SELECT sub, code, dim,
          |         CAST(floor(CAST(CAST(CAST(s AS DOUBLE) / n / $Scale
          |           AS FLOAT) AS DOUBLE) * $Scale) AS BIGINT) AS qc
          |  FROM (SELECT a.sub, a.code, s.dim, count(*) AS n,
          |               CAST(sum(s.q) AS BIGINT) AS s
-         |        FROM pasg${t - 1} a
-         |        JOIN rsl s ON a.vec_id = s.vec_id AND a.sub = s.sub
+         |        FROM ${p}pasg${t - 1} a
+         |        JOIN ${p}rsl s ON a.vec_id = s.vec_id AND a.sub = s.sub
          |        GROUP BY 1, 2, 3)),
-         |pd$t AS (
+         |${p}pd$t AS (
          |  SELECT s.vec_id, s.sub, c.code,
          |         CAST(sum((s.q - c.qc) * (s.q - c.qc)) AS BIGINT) AS dist
-         |  FROM rsl s JOIN pcb$t c ON s.sub = c.sub AND s.dim = c.dim
+         |  FROM ${p}rsl s JOIN ${p}pcb$t c ON s.sub = c.sub AND s.dim = c.dim
          |  GROUP BY 1, 2, 3),
-         |pasg$t AS MATERIALIZED (
+         |${p}pasg$t AS MATERIALIZED (
          |  SELECT vec_id, sub, code FROM (
          |    SELECT vec_id, sub, code,
          |           row_number() OVER (PARTITION BY vec_id, sub
          |                              ORDER BY dist ASC, code ASC) AS rk
-         |    FROM pd$t)
+         |    FROM ${p}pd$t)
          |  WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH asg0 AS MATERIALIZED (
-       |  SELECT vec_id, CAST(label AS BIGINT) AS cell FROM embeddings),
+    s"""${p}asg0 AS MATERIALIZED (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS cell FROM $src),
        |$ivfRounds,
-       |vq AS MATERIALIZED (
+       |${p}vq AS MATERIALIZED (
        |  SELECT vec_id, u.i - 1 AS dim,
        |         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * $Scale)
        |           AS BIGINT) AS q
-       |  FROM embeddings,
+       |  FROM $src,
        |       LATERAL unnest(generate_series(1, ${M * Sub})) AS u(i)),
-       |cq AS MATERIALIZED (
+       |${p}cq AS MATERIALIZED (
        |  SELECT cell, u.i - 1 AS dim,
        |         CAST(floor(CAST(c[u.i] AS DOUBLE) * $Scale) AS BIGINT)
        |           AS qc
-       |  FROM cent$T, LATERAL unnest(generate_series(1, len(c))) AS u(i)),
-       |rsl AS MATERIALIZED (
+       |  FROM ${p}cent$T, LATERAL unnest(generate_series(1, len(c))) AS u(i)),
+       |${p}rsl AS MATERIALIZED (
        |  SELECT v.vec_id, CAST(v.dim // $Sub AS BIGINT) AS sub,
        |         CAST(v.dim % $Sub AS BIGINT) AS dim, v.q - cq.qc AS q
-       |  FROM vq v
-       |  JOIN asg$T a ON v.vec_id = a.vec_id
-       |  JOIN cq ON a.cell = cq.cell AND v.dim = cq.dim),
-       |pasg0 AS MATERIALIZED (
-       |  SELECT DISTINCT vec_id, sub, (vec_id + sub) % $K AS code FROM rsl),
+       |  FROM ${p}vq v
+       |  JOIN ${p}asg$T a ON v.vec_id = a.vec_id
+       |  JOIN ${p}cq cq ON a.cell = cq.cell AND v.dim = cq.dim),
+       |${p}pasg0 AS MATERIALIZED (
+       |  SELECT DISTINCT vec_id, sub, (vec_id + sub) % $K AS code FROM ${p}rsl),
        |$pqRounds,
-       |q AS MATERIALIZED (
+       |${p}q AS MATERIALIZED (
        |  SELECT vec_id AS query_id, embedding AS qe,
        |         ${sqlDotQ("embedding", "embedding")} AS qnq
-       |  FROM embeddings WHERE vec_id < $NQueries)""".stripMargin
+       |  FROM $src WHERE vec_id < $NQueries)""".stripMargin
   }
 
-  /** The lut + rerank tail shared by the probe oracles: `srcCte` is the
-    * (query_id, cell) lut demand set, `adcCte` the scored candidate
-    * stream's source, `candWhere` the rerank-admission predicate. */
-  private def lutSql(srcCte: String): String =
-    s"""qres AS (
-       |  SELECT p.query_id, p.cell, CAST(v.dim // $Sub AS BIGINT) AS sub,
+  private[graft] val trainPrefixSql: String =
+    "WITH " + trainCtesFor("", "embeddings")
+
+  /** The lut chain over a (query_id, cell) demand-set CTE. */
+  private[graft] def lutSqlFor(p: String, srcCte: String): String =
+    s"""${p}qres AS (
+       |  SELECT pp.query_id, pp.cell, CAST(v.dim // $Sub AS BIGINT) AS sub,
        |         CAST(v.dim % $Sub AS BIGINT) AS dim, v.q - cq.qc AS q
-       |  FROM $srcCte p
-       |  JOIN vq v ON p.query_id = v.vec_id
-       |  JOIN cq ON p.cell = cq.cell AND v.dim = cq.dim),
-       |lut AS (
+       |  FROM $srcCte pp
+       |  JOIN ${p}vq v ON pp.query_id = v.vec_id
+       |  JOIN ${p}cq cq ON pp.cell = cq.cell AND v.dim = cq.dim),
+       |${p}lut AS (
        |  SELECT r.query_id, r.cell, r.sub, b.code,
        |         CAST(sum((r.q - b.qc) * (r.q - b.qc)) AS BIGINT) AS d2
-       |  FROM qres r JOIN pcb$T b ON r.sub = b.sub AND r.dim = b.dim
+       |  FROM ${p}qres r JOIN ${p}pcb$T b ON r.sub = b.sub AND r.dim = b.dim
        |  GROUP BY 1, 2, 3, 4)""".stripMargin
 
-  private def rerankSql: String = {
+  private def lutSql(srcCte: String): String = lutSqlFor("", srcCte)
+
+  /** The exact-cosine rerank CTE over a ${p}cand candidate set. */
+  private[graft] def rerankCteFor(p: String, src: String): String = {
     val dq = sqlDotQ("e.embedding", "q.qe")
     val nq = sqlDotQ("e.embedding", "e.embedding")
-    s"""reranked AS (
+    s"""${p}reranked AS (
        |  SELECT c.query_id, c.vec_id,
        |         ${sqlCosQ(dq, nq, "q.qnq")} AS cos_sim
-       |  FROM cand c
-       |  JOIN embeddings e ON c.vec_id = e.vec_id
-       |  JOIN q ON c.query_id = q.query_id)
+       |  FROM ${p}cand c
+       |  JOIN $src e ON c.vec_id = e.vec_id
+       |  JOIN ${p}q q ON c.query_id = q.query_id)""".stripMargin
+  }
+
+  private def rerankSql: String =
+    s"""${rerankCteFor("", "embeddings")}
        |SELECT query_id, rnk, vec_id, cos_sim
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
        |                                   ORDER BY cos_sim DESC, vec_id ASC) AS rnk
        |      FROM reranked)
        |WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
-  }
 
-  private def prSql(nprobe: Int): String = {
+  private[graft] def prSqlFor(p: String, nprobe: Int): String = {
     val dqc = sqlDotQ("q.qe", "c.c")
     val dcc2 = sqlDotQ("c.c", "c.c")
-    s"""pr AS (
+    s"""${p}pr AS (
        |  SELECT query_id, cell FROM (
        |    SELECT q.query_id, c.cell,
        |           row_number() OVER (PARTITION BY q.query_id ORDER BY
        |             q.qnq - 2.0 * $dqc + $dcc2 ASC, c.cell ASC) AS rn
-       |    FROM q CROSS JOIN cent$T c)
+       |    FROM ${p}q q CROSS JOIN ${p}cent$T c)
        |  WHERE rn <= $nprobe)""".stripMargin
   }
 
-  /** The plain / adaptive probe oracle: forward probed cells, per-cell
-    * luts, ADC over the probed inverted lists, candK (fixed or
-    * population-tracking) cut, exact rerank. */
-  private[graft] def probeSqlPlain(nprobe: Int = NProbe,
-      candK: Int = CandK, adaptive: Boolean = false): String = {
+  private def prSql(nprobe: Int): String = prSqlFor("", nprobe)
+
+  /** The ADC + candidate-cut CTEs of the plain probe. */
+  private[graft] def adcCandSqlFor(p: String, candK: Int,
+      adaptive: Boolean): String = {
     val candWhere =
       if (adaptive) s"arn <= greatest($candK, pop // $AdaptiveDiv)"
       else s"arn <= $candK"
     val popCol =
       if (adaptive) ",\n           count(*) OVER (PARTITION BY query_id) AS pop"
       else ""
-    s"""$trainPrefixSql,
-       |${prSql(nprobe)},
-       |${lutSql("pr")},
-       |adc AS (
+    s"""${p}adc AS (
        |  SELECT l.query_id, pa.vec_id,
        |         CAST(sum(l.d2) AS BIGINT) AS approx_d2
-       |  FROM pasg$T pa
-       |  JOIN asg$T a ON pa.vec_id = a.vec_id
-       |  JOIN lut l ON a.cell = l.cell AND pa.sub = l.sub
+       |  FROM ${p}pasg$T pa
+       |  JOIN ${p}asg$T a ON pa.vec_id = a.vec_id
+       |  JOIN ${p}lut l ON a.cell = l.cell AND pa.sub = l.sub
        |            AND pa.code = l.code
        |  WHERE pa.vec_id <> l.query_id
        |  GROUP BY 1, 2),
-       |cand AS (
+       |${p}cand AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
        |           row_number() OVER (PARTITION BY query_id
        |                              ORDER BY approx_d2 ASC, vec_id ASC)
        |             AS arn$popCol
-       |    FROM adc)
-       |  WHERE $candWhere),
-       |$rerankSql""".stripMargin
+       |    FROM ${p}adc)
+       |  WHERE $candWhere)""".stripMargin
   }
+
+  /** The full plain-probe chain (training + probe CTEs, no final
+    * select) for an arbitrary prefix/source — x183 composes two. */
+  private[graft] def probeChainFor(p: String, src: String, nprobe: Int,
+      candK: Int): String =
+    s"""${trainCtesFor(p, src)},
+       |${prSqlFor(p, nprobe)},
+       |${lutSqlFor(p, s"${p}pr")},
+       |${adcCandSqlFor(p, candK, adaptive = false)},
+       |${rerankCteFor(p, src)}""".stripMargin
+
+  /** The plain / adaptive probe oracle: forward probed cells, per-cell
+    * luts, ADC over the probed inverted lists, candK (fixed or
+    * population-tracking) cut, exact rerank. */
+  private[graft] def probeSqlPlain(nprobe: Int = NProbe,
+      candK: Int = CandK, adaptive: Boolean = false): String =
+    s"""$trainPrefixSql,
+       |${prSql(nprobe)},
+       |${lutSql("pr")},
+       |${adcCandSqlFor("", candK, adaptive)},
+       |$rerankSql""".stripMargin
 
   /** The symmetrized probe oracle (x151): forward pool ∪ reverse pool
     * (per-vector nprobe-nearest cells vs the query's home cell), luts

@@ -120,7 +120,8 @@ class SparkEntrySpec extends SparkSpec {
       "ContaminationKmv" -> ContaminationKmv.queries,
       "LloydIvfPq" -> LloydIvfPq.queries,
       "IndexStore" -> IndexStore.queries,
-      "IndexStaleness" -> IndexStaleness.queries)
+      "IndexStaleness" -> IndexStaleness.queries,
+      "IndexVersions" -> IndexVersions.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
