@@ -424,7 +424,12 @@ object ScaleVerify {
         // round-16: the versioned retrain at 10x — BOTH training
         // chains (shipped + retrain over corpus ∪ ingested batch)
         // re-derive on the 10x population inside one oracle
-        "x183_index_versions" -> SparkEntry.queries("x183_index_versions"))
+        "x183_index_versions" -> SparkEntry.queries("x183_index_versions"),
+        // round-17 (verdict item 1): the serving-alias cutover at 10× —
+        // the staleness decision, the retrain, the alias flip and the
+        // served probe all re-derive on the 10× population
+        "x184_index_alias_probe" ->
+          SparkEntry.queries("x184_index_alias_probe"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

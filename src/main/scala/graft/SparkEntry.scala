@@ -70,7 +70,7 @@ object SparkEntry {
       LloydIvf.queries, RankDrift.queries, MannKendall.queries,
       ContaminationMatrix.queries, LloydPq.queries,
       ContaminationKmv.queries, LloydIvfPq.queries, IndexStore.queries,
-      IndexStaleness.queries, IndexVersions.queries
+      IndexStaleness.queries, IndexVersions.queries, IndexAlias.queries
     ).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -124,6 +124,6 @@ object SparkEntry {
       LloydIvf.oracles, RankDrift.oracles, MannKendall.oracles,
       ContaminationMatrix.oracles, LloydPq.oracles,
       ContaminationKmv.oracles, LloydIvfPq.oracles, IndexStore.oracles,
-      IndexStaleness.oracles, IndexVersions.oracles
+      IndexStaleness.oracles, IndexVersions.oracles, IndexAlias.oracles
     ).reduce(_ ++ _)
 }

@@ -188,7 +188,7 @@ object IndexStaleness {
   /** Per-split stat CTEs over a (vec_id, embedding) source CTE: coarse
     * argmin vs cent$T, residual vs cq, ADC error vs pcb$T — all on the
     * shared grid. `p` prefixes the split's CTE names. */
-  private def statCtes(p: String, src: String): String = {
+  private[graft] def statCtes(p: String, src: String): String = {
     val dvv = sqlDotQ("s.embedding", "s.embedding")
     val dvc = sqlDotQ("s.embedding", "c.c")
     val dcc = sqlDotQ("c.c", "c.c")

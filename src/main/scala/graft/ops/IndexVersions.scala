@@ -49,9 +49,12 @@ object IndexVersions {
   private val NProbe = LloydIvfPq.NProbe
   private val CandK = LloydIvfPq.CandK
 
-  /** Arrival ids live above every corpus/replica id (testdata ids are
-    * < 10^4; the 10× scale replicas offset by block·10^7 < 10^8). */
-  val ArrivalOffset = 100000000L
+  /** Arrival ids live above every corpus/replica id. vec_id is a
+    * long; replica ids are base + block·10^7, so any replica count
+    * below 10^5 blocks stays under 10^12 (round-16 advice: the old
+    * 10^8 collided with replica ids from block 10 up — ScaleBench's
+    * 30× corpora were already past it). */
+  val ArrivalOffset = 1000000000000L
 
   // memoized like the other trained indexes — weak session key
   private val cache =
@@ -104,20 +107,16 @@ object IndexVersions {
       .orderBy($"version", $"query_id", $"rnk")
   }
 
-  /** The oracle: v1's full chain (x178's, unprefixed), the ingest-seed
-    * derivation (drifted arrivals + frozen-v1 coarse argmin), the
-    * grown source, v2's full chain (r-prefixed) — both probe tails —
-    * and the tagged union. */
-  val indexVersionsTopKSql: String = {
+  /** The grown-source CTEs shared by x183 and X184's oracle: drifted
+    * arrivals (`arre`), the frozen-v1 ingest-seed assignment (`ra` —
+    * coarse argmin vs the v1 chain's cent$T), and the retrain source
+    * `src2` = corpus ∪ offset-id arrivals. Assumes the UNPREFIXED v1
+    * training chain is already in scope. */
+  private[graft] def grownSrcCtes: String = {
     val dvv = graft.functions.Hashing.sqlDotQ("e.embedding", "e.embedding")
     val dvc = graft.functions.Hashing.sqlDotQ("e.embedding", "c.c")
     val dcc = graft.functions.Hashing.sqlDotQ("c.c", "c.c")
-    s"""WITH ${LloydIvfPq.trainCtesFor("", "embeddings")},
-       |${LloydIvfPq.prSqlFor("", NProbe)},
-       |${LloydIvfPq.lutSqlFor("", "pr")},
-       |${LloydIvfPq.adcCandSqlFor("", CandK, adaptive = false)},
-       |${LloydIvfPq.rerankCteFor("", "embeddings")},
-       |arre AS MATERIALIZED (
+    s"""arre AS MATERIALIZED (
        |  SELECT vec_id,
        |         list(CAST(embedding[u.i] * CAST(2.0 AS FLOAT) AS FLOAT)
        |              ORDER BY u.i) AS embedding
@@ -136,7 +135,20 @@ object IndexVersions {
        |  FROM embeddings
        |  UNION ALL
        |  SELECT a.vec_id + $ArrivalOffset, r.cell, a.embedding
-       |  FROM arre a JOIN ra r USING (vec_id)),
+       |  FROM arre a JOIN ra r USING (vec_id))""".stripMargin
+  }
+
+  /** The oracle: v1's full chain (x178's, unprefixed), the ingest-seed
+    * derivation (drifted arrivals + frozen-v1 coarse argmin), the
+    * grown source, v2's full chain (r-prefixed) — both probe tails —
+    * and the tagged union. */
+  val indexVersionsTopKSql: String = {
+    s"""WITH ${LloydIvfPq.trainCtesFor("", "embeddings")},
+       |${LloydIvfPq.prSqlFor("", NProbe)},
+       |${LloydIvfPq.lutSqlFor("", "pr")},
+       |${LloydIvfPq.adcCandSqlFor("", CandK, adaptive = false)},
+       |${LloydIvfPq.rerankCteFor("", "embeddings")},
+       |$grownSrcCtes,
        |${LloydIvfPq.trainCtesFor("r", "src2")},
        |${LloydIvfPq.prSqlFor("r", NProbe)},
        |${LloydIvfPq.lutSqlFor("r", "rpr")},

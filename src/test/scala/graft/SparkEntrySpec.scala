@@ -121,7 +121,8 @@ class SparkEntrySpec extends SparkSpec {
       "LloydIvfPq" -> LloydIvfPq.queries,
       "IndexStore" -> IndexStore.queries,
       "IndexStaleness" -> IndexStaleness.queries,
-      "IndexVersions" -> IndexVersions.queries)
+      "IndexVersions" -> IndexVersions.queries,
+      "IndexAlias" -> IndexAlias.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
