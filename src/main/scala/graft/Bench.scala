@@ -28,6 +28,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    HarnessLog.quietCheckpointWarns()
     // warm the session (codegen compiler, shuffle machinery, noop sink)
     // so the first timed query isn't charged for JVM start-up
     spark.range(100000).selectExpr("id", "id * 2 as x")

@@ -58,6 +58,7 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    HarnessLog.quietCheckpointWarns()
     import spark.implicits._
     val base = Tables.documents(spark, sfDir)
       .select($"doc_id", $"source", $"lang", $"text")
@@ -611,6 +612,77 @@ object ScaleBench {
       three("x02_minhash_lsh", dir1, dir10, dir30)(d =>
         graft.ops.Dedup.minhashPairs(graft.ops.Dedup.shinglesOf(d))
           .filter($"jaccard" >= 0.5))
+      // round-17 (verdict item 3): the multi-second tail's third
+      // decade — each had a 10× point and a declared scale argument
+      // (bounded spine / K-row sketch / vocab-bounded state); the 30×
+      // point converts argument to measurement, as round 16 did for
+      // the capped dedup family.
+      // x137: per-source K=256 bottom-k sketches — the pair matrix
+      // stays C(|sources|,2) while the distinct-shingle universe grows
+      three("x137_theta_overlap", dir1, dir10, dir30) { d =>
+        import graft.functions.Hashing.md5Long40
+        graft.ops.ThetaOverlap.pairsOf(
+          graft.ops.Dedup.shinglesOf(d)
+            .join(d.select($"doc_id", $"source"), Seq("doc_id"))
+            .select($"source".as("grp"), md5Long40($"sh").as("h"))
+            .distinct())
+      }
+      // x146: probe slice + truth join scale with the corpus; the LSH
+      // candidate stage is the banding-bounded x02 shape
+      three("x146_dedup_recall", dir1, dir10, dir30)(d =>
+        graft.ops.DedupRecall.recallOf(graft.ops.Dedup.shinglesOf(d)))
+      // x172: eval gram sets grow with the per-block vocab, matches
+      // stay block-local, the matrix stays |evals|×|sources|
+      three("x172_contamination_matrix", dir1, dir10, dir30)(d =>
+        graft.ops.ContaminationMatrix.matrixOf(d))
+      // x110: 4 fixed rounds; per-round state is vocab-bounded after
+      // one corpus pass (the suffixed replica vocab grows WITH the
+      // corpus — the honest worst case)
+      three("x110_bpe_merges", dir1, dir10, dir30)(d =>
+        graft.ops.Bpe.bpeMergesOf(d))
+      // x120: three exact rounds over the D²-bounded covariance — the
+      // corpus pass grows, the iteration frames stay 64×64
+      three("x120_cov_power_iteration", em1, em10, em30)(d =>
+        graft.ops.PowerIteration.powerIterationOf(d))
+      // b58/b54: the order-history family — disjoint per-block
+      // customer populations (depth per customer unchanged, customers
+      // grow), the production scale dimension
+      val od30s = Seq(1, Blocks, B30).map { b =>
+        val path = s"target/scale_orders_full_${b}x"
+        Tables.orders(spark, sfDir)
+          .crossJoin(spark.range(b).toDF("block"))
+          .select(($"o_orderkey" + $"block" * 100000000L).as("o_orderkey"),
+            ($"o_custkey" + $"block" * 10000000L).as("o_custkey"),
+            $"o_orderstatus", $"o_totalprice", $"o_orderdate",
+            $"o_orderpriority")
+          .repartition(8 * b).write.mode("overwrite").parquet(path)
+        path
+      }
+      val li30s = Seq(1, Blocks, B30).map { b =>
+        val path = s"target/scale_lineitem_pit_${b}x"
+        Tables.lineitem(spark, sfDir)
+          .select($"l_orderkey", $"l_shipdate", $"l_extendedprice",
+            $"l_discount")
+          .crossJoin(spark.range(b).toDF("block"))
+          .select(($"l_orderkey" + $"block" * 100000000L).as("l_orderkey"),
+            $"l_shipdate", $"l_extendedprice", $"l_discount")
+          .repartition(8 * b).write.mode("overwrite").parquet(path)
+        path
+      }
+      three("b58_incremental_scd2", od30s(0), od30s(1), od30s(2))(d =>
+        graft.ops.IncScd2.incrementalScd2Of(d,
+          lit(graft.ops.IncScd2.Cutoff).cast("timestamp")))
+      if (selected("b54_scd2_pit_join")) {
+        val walls = od30s.zip(li30s).map { case (od, li) =>
+          timed(graft.ops.PitJoin
+            .scd2PitJoinOf(spark.read.parquet(od), spark.read.parquet(li))
+            .write.format("noop").mode("overwrite").save())
+        }
+        println(f"SCALE30 b54_scd2_pit_join 1x=${walls(0)}%.2f s " +
+          f"10x=${walls(1)}%.2f s 30x=${walls(2)}%.2f s " +
+          f"growth10=${walls(1) / walls(0)}%.1fx " +
+          f"growth30=${walls(2) / walls(0)}%.1fx")
+      }
     }
     spark.stop()
   }

@@ -48,6 +48,7 @@ object ScaleVerify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    HarnessLog.quietCheckpointWarns()
     import spark.implicits._
 
     // dev-only toggles for incremental re-runs: skip the replica build
@@ -123,6 +124,27 @@ object ScaleVerify {
         $"label")
       .repartition(8 * blocks)
       .write.mode("overwrite").parquet(s"$tables/embeddings.parquet")
+    // round-17 (verdict item 2): the dimension tables, so the whole
+    // relational core can join the gate. customer grows WITH orders
+    // (disjoint per-block populations — c_custkey matches the replica
+    // orders' offset o_custkey, and c_name is block-suffixed so
+    // name-derived columns stay distinct); region/nation/supplier/part
+    // stay 1× — the production 100 TB shape: facts grow, dims don't
+    // (the replica lineitem keeps l_partkey/l_suppkey unchanged, so
+    // per-dim fact fan-in grows 10×, which is exactly the skew a
+    // broadcast-dim plan must absorb).
+    Tables.customer(spark, baseDir)
+      .crossJoin(spark.range(blocks).toDF("block"))
+      .select(
+        ($"c_custkey" + $"block" * 10000000L).as("c_custkey"),
+        concat($"c_name", lit("_"), $"block").as("c_name"),
+        $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+      .repartition(4 * blocks)
+      .write.mode("overwrite").parquet(s"$tables/customer.parquet")
+    Seq("region", "nation", "supplier", "part").foreach { t =>
+      Tables.load(spark, baseDir, t)
+        .write.mode("overwrite").parquet(s"$tables/$t.parquet")
+    }
     }
 
     val queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
@@ -429,7 +451,118 @@ object ScaleVerify {
         // the staleness decision, the retrain, the alias flip and the
         // served probe all re-derive on the 10× population
         "x184_index_alias_probe" ->
-          SparkEntry.queries("x184_index_alias_probe"))
+          SparkEntry.queries("x184_index_alias_probe"),
+        // round-17 (verdict item 2): the full remaining oracle surface —
+        // the relational core over the new replica dim tables (customer
+        // grown with orders, region/nation/supplier/part held at 1x:
+        // facts grow, dims don't), the R-composites, and the X
+        // profile/vector tail. Excluded rows are documented in
+        // SCALE.md's exclusion table: b11 (no oracle by design), b41
+        // (unreplicated part names square block candidates for no
+        // signal), x118 (ASCII vocabulary screen rejects the suffixed
+        // replica tokens by design), x19/x31 (dial-identical to the
+        // gated x166/x173 rows - duplicate training chains).
+        "b01_scan_pushdown" -> SparkEntry.queries("b01_scan_pushdown"),
+        "b02_filter_predicates" -> SparkEntry.queries("b02_filter_predicates"),
+        "b03_join_broadcast_star" -> SparkEntry.queries("b03_join_broadcast_star"),
+        "b04_join_fact_fact" -> SparkEntry.queries("b04_join_fact_fact"),
+        "b05_join_left_outer" -> SparkEntry.queries("b05_join_left_outer"),
+        "b05b_join_full_outer" -> SparkEntry.queries("b05b_join_full_outer"),
+        "b06_join_semi_anti" -> SparkEntry.queries("b06_join_semi_anti"),
+        "b07_join_range" -> SparkEntry.queries("b07_join_range"),
+        "b08_cross_join_dims" -> SparkEntry.queries("b08_cross_join_dims"),
+        "b10_agg_rollup" -> SparkEntry.queries("b10_agg_rollup"),
+        "b10b_agg_cube" -> SparkEntry.queries("b10b_agg_cube"),
+        "b10c_agg_grouping_sets" -> SparkEntry.queries("b10c_agg_grouping_sets"),
+        "b12_window_ranking" -> SparkEntry.queries("b12_window_ranking"),
+        "b12b_window_distribution" -> SparkEntry.queries("b12b_window_distribution"),
+        "b13_window_analytic" -> SparkEntry.queries("b13_window_analytic"),
+        "b14_sort_global" -> SparkEntry.queries("b14_sort_global"),
+        "b15_topk" -> SparkEntry.queries("b15_topk"),
+        "b16_set_ops" -> SparkEntry.queries("b16_set_ops"),
+        "b17_dedup_first_per_key" -> SparkEntry.queries("b17_dedup_first_per_key"),
+        "b18a_scalar_string" -> SparkEntry.queries("b18a_scalar_string"),
+        "b18b_scalar_date" -> SparkEntry.queries("b18b_scalar_date"),
+        "b18c_scalar_math_conditional" -> SparkEntry.queries("b18c_scalar_math_conditional"),
+        "b19_array_hof" -> SparkEntry.queries("b19_array_hof"),
+        "b21_sliding_window" -> SparkEntry.queries("b21_sliding_window"),
+        "b22_session_window" -> SparkEntry.queries("b22_session_window"),
+        "b24_udaf_secondmax" -> SparkEntry.queries("b24_udaf_secondmax"),
+        "b26_asof_join" -> SparkEntry.queries("b26_asof_join"),
+        "b27_pivot" -> SparkEntry.queries("b27_pivot"),
+        "b28_salted_skew_join" -> SparkEntry.queries("b28_salted_skew_join"),
+        "b29_deterministic_sample" -> SparkEntry.queries("b29_deterministic_sample"),
+        "b30_merge_upsert" -> SparkEntry.queries("b30_merge_upsert"),
+        "b31_correlated_subquery" -> SparkEntry.queries("b31_correlated_subquery"),
+        "b35_null_semantics" -> SparkEntry.queries("b35_null_semantics"),
+        "b36_gaps_islands" -> SparkEntry.queries("b36_gaps_islands"),
+        "b38_ntile_buckets" -> SparkEntry.queries("b38_ntile_buckets"),
+        "b40_interval_join" -> SparkEntry.queries("b40_interval_join"),
+        "b42_resample_ffill" -> SparkEntry.queries("b42_resample_ffill"),
+        "b44_repeat_suppress" -> SparkEntry.queries("b44_repeat_suppress"),
+        "b45_integrity_audit" -> SparkEntry.queries("b45_integrity_audit"),
+        "b46_basket_pair_lift" -> SparkEntry.queries("b46_basket_pair_lift"),
+        "b47_compaction_plan" -> SparkEntry.queries("b47_compaction_plan"),
+        "b49_partition_skew" -> SparkEntry.queries("b49_partition_skew"),
+        "b51_robust_mad" -> SparkEntry.queries("b51_robust_mad"),
+        "b52_grouped_mode" -> SparkEntry.queries("b52_grouped_mode"),
+        "b53_resample_interp" -> SparkEntry.queries("b53_resample_interp"),
+        "b55_bloom_prune_semi" -> SparkEntry.queries("b55_bloom_prune_semi"),
+        "q_events_window_agg" -> SparkEntry.queries("q_events_window_agg"),
+        "r_weather_roundtrip" -> SparkEntry.queries("r_weather_roundtrip"),
+        "x04_pairwise_similarity" -> SparkEntry.queries("x04_pairwise_similarity"),
+        "x05_token_tf" -> SparkEntry.queries("x05_token_tf"),
+        "x07_lang_profile" -> SparkEntry.queries("x07_lang_profile"),
+        "x08_props_decode" -> SparkEntry.queries("x08_props_decode"),
+        "x102_matryoshka_recall" -> SparkEntry.queries("x102_matryoshka_recall"),
+        "x10_text_quality" -> SparkEntry.queries("x10_text_quality"),
+        "x11_doc_fingerprint" -> SparkEntry.queries("x11_doc_fingerprint"),
+        "x12_simhash" -> SparkEntry.queries("x12_simhash"),
+        "x13_multimodal_features" -> SparkEntry.queries("x13_multimodal_features"),
+        "x14_ann_lsh_topk" -> SparkEntry.queries("x14_ann_lsh_topk"),
+        "x15_regex_tokens" -> SparkEntry.queries("x15_regex_tokens"),
+        "x16_langid_ngram" -> SparkEntry.queries("x16_langid_ngram"),
+        "x20_embedding_near_dup" -> SparkEntry.queries("x20_embedding_near_dup"),
+        "x21_ann_multiprobe" -> SparkEntry.queries("x21_ann_multiprobe"),
+        "x25_data_profile" -> SparkEntry.queries("x25_data_profile"),
+        "x27_repetition_stats" -> SparkEntry.queries("x27_repetition_stats"),
+        "x28_stratified_sample" -> SparkEntry.queries("x28_stratified_sample"),
+        "x29_quality_quota" -> SparkEntry.queries("x29_quality_quota"),
+        "x30_pii_scrub" -> SparkEntry.queries("x30_pii_scrub"),
+        "x33_doc_chunking" -> SparkEntry.queries("x33_doc_chunking"),
+        "x34_percentile_profile" -> SparkEntry.queries("x34_percentile_profile"),
+        "x35_zorder_layout" -> SparkEntry.queries("x35_zorder_layout"),
+        "x36_label_centroids" -> SparkEntry.queries("x36_label_centroids"),
+        "x38_funnel" -> SparkEntry.queries("x38_funnel"),
+        "x39_cohort_retention" -> SparkEntry.queries("x39_cohort_retention"),
+        "x40_event_transitions" -> SparkEntry.queries("x40_event_transitions"),
+        "x44_cooccur_pmi" -> SparkEntry.queries("x44_cooccur_pmi"),
+        "x45_cms_counts" -> SparkEntry.queries("x45_cms_counts"),
+        "x48_embedding_quantization" -> SparkEntry.queries("x48_embedding_quantization"),
+        "x49_lm_coverage" -> SparkEntry.queries("x49_lm_coverage"),
+        "x51_hard_negatives" -> SparkEntry.queries("x51_hard_negatives"),
+        "x52_normalize_text" -> SparkEntry.queries("x52_normalize_text"),
+        "x54_span_dedup" -> SparkEntry.queries("x54_span_dedup"),
+        "x55_winsorized_stats" -> SparkEntry.queries("x55_winsorized_stats"),
+        "x58_cdc_chunking" -> SparkEntry.queries("x58_cdc_chunking"),
+        "x59_tokenizer_apply" -> SparkEntry.queries("x59_tokenizer_apply"),
+        "x61_split_leakage" -> SparkEntry.queries("x61_split_leakage"),
+        "x64_embed_profile" -> SparkEntry.queries("x64_embed_profile"),
+        "x65_minhash_calibration" -> SparkEntry.queries("x65_minhash_calibration"),
+        "x66_split_repair" -> SparkEntry.queries("x66_split_repair"),
+        "x67_quality_canonical" -> SparkEntry.queries("x67_quality_canonical"),
+        "x70_centroid_assign" -> SparkEntry.queries("x70_centroid_assign"),
+        "x71_kmeans_step" -> SparkEntry.queries("x71_kmeans_step"),
+        "x72_filter_cascade" -> SparkEntry.queries("x72_filter_cascade"),
+        "x74_exact_k_sample" -> SparkEntry.queries("x74_exact_k_sample"),
+        "x76_type_correlation" -> SparkEntry.queries("x76_type_correlation"),
+        "x77_snapshot_diff" -> SparkEntry.queries("x77_snapshot_diff"),
+        "x78_incremental_cc" -> SparkEntry.queries("x78_incremental_cc"),
+        "x80_length_bucket_batches" -> SparkEntry.queries("x80_length_bucket_batches"),
+        "x83_cluster_shards" -> SparkEntry.queries("x83_cluster_shards"),
+        "x86_incremental_agg" -> SparkEntry.queries("x86_incremental_agg"),
+        "x87_mutual_knn" -> SparkEntry.queries("x87_mutual_knn"),
+        "x90_decayed_activity" -> SparkEntry.queries("x90_decayed_activity"))
 
     queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

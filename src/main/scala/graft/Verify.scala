@@ -21,6 +21,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    HarnessLog.quietCheckpointWarns()
     new java.io.File(outDir).mkdirs()
     // Dev-only subset filter (comma-separated names); driver leaves it unset.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")

@@ -39,52 +39,22 @@ import org.apache.spark.sql.functions._
   */
 object IndexStore {
 
-  /** Content fingerprint of the embeddings table the index derives
-    * from: MD5 over the sorted (relative path, size, mtime) triples of
-    * its parquet files (round-16 advice: a write-once root keyed only
-    * by path would silently serve a stale index if the dataset at
-    * `dir` were regenerated in place — the DuckDB gate would catch it
-    * in Verify, but bench/sweep mains would serve stale neighbors with
-    * no error). Driver-side metadata walk only — one stat per file,
-    * no data read; at production scale this is the object-store
-    * listing an index build already performs. */
-  private[graft] def dataFingerprint(dir: String): String = {
-    import scala.jdk.CollectionConverters._
-    val base = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    if (java.nio.file.Files.exists(base)) {
-      val walk = java.nio.file.Files.walk(base)
-      try walk.iterator().asScala
-        .filter(p => java.nio.file.Files.isRegularFile(p))
-        .map(p => (base.relativize(p).toString,
-          java.nio.file.Files.size(p),
-          java.nio.file.Files.getLastModifiedTime(p).toMillis))
-        .toVector.sortBy(_._1)
-        .foreach { case (n, s, t) =>
-          md.update(s"$n|$s|$t;".getBytes("UTF-8")) }
-      finally walk.close()
-    }
-    md.digest().map(b => f"$b%02x").mkString.take(12)
-  }
-
   /** Default artifact root for a registered query — per-sfDir so
     * concurrent harnesses (Verify at sf0.01, ScaleVerify at 10×) never
     * collide on one path. Keyed by an MD5 digest of the absolute path
     * (round-15 advice: String.hashCode is 32 bits — two dirs colliding
     * would silently share one artifact root) PLUS the source-data
     * fingerprint (round-16 advice: regenerating the dataset in place
-    * must invalidate the write-once artifact). `tag` distinguishes
-    * versions built from the same source (X184's retrained "v2"). */
-  private[graft] def defaultRoot(dir: String, tag: String = ""): String = {
-    val abs = java.nio.file.Paths.get(dir).toAbsolutePath.toString
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    * must invalidate the write-once artifact — see
+    * [[ArtifactStore.fingerprint]]). `tag` distinguishes versions
+    * built from the same source (X184's retrained "v2"). */
+  private[graft] def defaultRoot(dir: String, tag: String = ""): String =
     // the layout version participates in the key: write-once reuse
     // (ensureRoot) must never hand a probe an artifact written by an
     // older layout — bump when the three-table schema changes
     // (v3 = cell-partitioned encoded table)
-    s"target/index_store/ivfpq_v3_${md5}_${dataFingerprint(dir)}$tag"
-  }
+    s"target/index_store/ivfpq_v3_${ArtifactStore.pathKey(dir)}_" +
+      s"${ArtifactStore.fingerprint(dir, "embeddings.parquet")}$tag"
 
   /** Persist a trained IVFADC index as three parquet tables. The
     * encoded inverted lists are PARTITIONED BY CELL — the production
@@ -108,43 +78,12 @@ object IndexStore {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, String]]
 
-  /** The disk half of the build-once protocol, session-free: if `root`
-    * is absent, build the index, write it to a temp sibling, and
-    * ATOMIC-rename it into place — the canonical root only ever holds
-    * a complete artifact, and concurrent processes ensuring the same
-    * root race benignly (the build is deterministic, so whichever
-    * rename wins, the content is identical; every loser discards its
-    * temp copy). Round-16 advice fix: on Linux, the loser's move lands
-    * as DirectoryNotEmptyException (a FileSystemException), not the
-    * FileAlreadyExistsException the old catch named — so the catch is
-    * now any FileSystemException WITH the root verified present
-    * (anything else is a real disk error and rethrows), and the temp
-    * copy is removed in a finally so no .tmp-* directory leaks on any
-    * path. */
+  /** The disk half of the build-once protocol, session-free — the
+    * shared [[ArtifactStore.ensureDirAt]] temp-dir + atomic-rename
+    * discipline with the index build as the writer. */
   private[graft] def ensureAt(root: String,
-      build: () => LloydIvfPq.IvfPqIndex): String = {
-    val rootPath = java.nio.file.Paths.get(root)
-    if (!java.nio.file.Files.exists(rootPath)) {
-      val tmp = root + ".tmp-" + java.util.UUID.randomUUID().toString
-      try {
-        writeIvfPq(build(), tmp)
-        try
-          java.nio.file.Files.move(java.nio.file.Paths.get(tmp), rootPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case e: java.nio.file.FileSystemException
-              if java.nio.file.Files.exists(rootPath) =>
-            // another ensure won the rename with identical content
-            val _ = e
-        }
-      } finally {
-        val tmpFile = new java.io.File(tmp)
-        if (tmpFile.exists())
-          org.apache.commons.io.FileUtils.deleteDirectory(tmpFile)
-      }
-    }
-    root
-  }
+      build: () => LloydIvfPq.IvfPqIndex): String =
+    ArtifactStore.ensureDirAt(root)(tmp => writeIvfPq(build(), tmp))
 
   /** The build-once artifact root for (session, dir, tag): memoizes
     * [[ensureAt]] per session so the registered queries write once per
@@ -157,7 +96,7 @@ object IndexStore {
       ensured.computeIfAbsent(spark,
         _ => scala.collection.concurrent.TrieMap.empty[String, String])
     }
-    perSession.getOrElseUpdate(dir + " " + tag,
+    perSession.getOrElseUpdate(dir + "\t" + tag,
       ensureAt(defaultRoot(dir, tag), build))
   }
 

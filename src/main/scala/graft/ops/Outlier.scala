@@ -64,16 +64,15 @@ object Outlier {
       .agg(sum($"t").as("score_q"))
     // global top-K via orderBy+limit (TakeOrderedAndProject — per-task
     // heaps, never a corpus sort or a one-partition window); the rank
-    // window then runs over the K survivors only. It is partitioned by
-    // a CONSTANT: semantically identical on the K-row frame, but an
-    // empty partitionSpec makes WindowExec log the all-data-to-one-
-    // partition warning on every bench run — noise that desensitizes a
-    // log reader to the one warning class that matters at scale
-    // (round-15 verdict item 8). The key is vec_id % 1 ≡ 0 rather than
-    // a literal: a foldable key would be constant-folded away, leaving
-    // the partitionSpec empty and the warning back
-    val byScore = Window.partitionBy(pmod($"vec_id", lit(1)))
-      .orderBy($"score_q".desc, $"vec_id".asc)
+    // window then runs over the K = 20 survivors only, so its empty
+    // partitionSpec is bounded by construction. WindowExec still logs
+    // the all-data-to-one-partition warning for it; round 16 suppressed
+    // that by partitioning on a non-foldable constant (vec_id % 1), but
+    // the round-16 review rightly called that suppression-by-
+    // construction — the plan should stay honest and the EXPECTED
+    // warning is silenced at the harness instead (HarnessLog, the
+    // WindowExec logger; BASELINE.md §log-hygiene documents it)
+    val byScore = Window.orderBy($"score_q".desc, $"vec_id".asc)
     scored.orderBy($"score_q".desc, $"vec_id".asc).limit(K)
       .withColumn("rank", row_number().over(byScore).cast("long"))
       .select($"rank", $"vec_id", $"label",
