@@ -36,8 +36,15 @@ object Weather {
     */
   private def envelopeJson(spark: SparkSession): Column = {
     import spark.implicits._
-    // R15 — deterministic simulation; round(…,6) absorbs libm sin ULP skew
-    val sim = round(lit(20.0) + sin($"event_id" * 0.1) * 5.0, 6)
+    // R15 — deterministic simulation; round(…,6) absorbs libm sin ULP
+    // skew. The phase is BOUNDED (event_id mod 6283 ⇒ argument < 629,
+    // ~100 full cycles) before the transcendental: at unbounded ids the
+    // argument-reduction error of sin grows with |x| (at the 10×
+    // replica's ~9·10⁸ ids it reached ~5e-9 — past the 6-decimal round
+    // guard, observed as cross-engine flips in round 17), while below
+    // ~10³ both engines are within 1 ulp and the guard has ~1e-15 of
+    // slack. Same oscillation character, scale-safe by construction.
+    val sim = round(lit(20.0) + sin(($"event_id" % 6283) * 0.1) * 5.0, 6)
     // R12 — clamp: humidity to [0,100], wind to ≥0 (weather-producer.py:168,171)
     val humidity = least(lit(100.0), greatest(lit(0.0), $"value" - 100.0))
     val windSpeed = greatest(lit(0.0), ($"value" - 150.0) * 0.5)
@@ -142,7 +149,7 @@ object Weather {
   private[graft] val roundTripSql: String =
     """WITH e AS (
       |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value,
-      |         round(20.0 + sin(event_id * 0.1) * 5.0, 6) AS sim
+      |         round(20.0 + sin((event_id % 6283) * 0.1) * 5.0, 6) AS sim
       |  FROM events)
       |SELECT ts AS event_time,
       |       44.4274689 AS lat,
