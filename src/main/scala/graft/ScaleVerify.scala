@@ -452,6 +452,10 @@ object ScaleVerify {
         // served probe all re-derive on the 10× population
         "x184_index_alias_probe" ->
           SparkEntry.queries("x184_index_alias_probe"),
+        // round-17: compaction probe-invariance at 10x (shared x178
+        // chain over the compacted reload of the 10x artifact)
+        "x185_index_compaction" ->
+          SparkEntry.queries("x185_index_compaction"),
         // round-17 (verdict item 2): the full remaining oracle surface —
         // the relational core over the new replica dim tables (customer
         // grown with orders, region/nation/supplier/part held at 1x:

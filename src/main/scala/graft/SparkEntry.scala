@@ -70,7 +70,8 @@ object SparkEntry {
       LloydIvf.queries, RankDrift.queries, MannKendall.queries,
       ContaminationMatrix.queries, LloydPq.queries,
       ContaminationKmv.queries, LloydIvfPq.queries, IndexStore.queries,
-      IndexStaleness.queries, IndexVersions.queries, IndexAlias.queries
+      IndexStaleness.queries, IndexVersions.queries, IndexAlias.queries,
+      IndexCompaction.queries
     ).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -124,6 +125,7 @@ object SparkEntry {
       LloydIvf.oracles, RankDrift.oracles, MannKendall.oracles,
       ContaminationMatrix.oracles, LloydPq.oracles,
       ContaminationKmv.oracles, LloydIvfPq.oracles, IndexStore.oracles,
-      IndexStaleness.oracles, IndexVersions.oracles, IndexAlias.oracles
+      IndexStaleness.oracles, IndexVersions.oracles, IndexAlias.oracles,
+      IndexCompaction.oracles
     ).reduce(_ ++ _)
 }

@@ -122,7 +122,8 @@ class SparkEntrySpec extends SparkSpec {
       "IndexStore" -> IndexStore.queries,
       "IndexStaleness" -> IndexStaleness.queries,
       "IndexVersions" -> IndexVersions.queries,
-      "IndexAlias" -> IndexAlias.queries)
+      "IndexAlias" -> IndexAlias.queries,
+      "IndexCompaction" -> IndexCompaction.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
