@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.ops.{ArtifactStore, IndexStore, Multimodal}
+
+/** The shared write-once artifact protocol (round-16 advice items 1+2,
+  * factored in round 17): content-fingerprinted root keys that
+  * invalidate when the source data is regenerated in place, and the
+  * temp-dir + atomic-rename ensure that never leaks a .tmp directory —
+  * including when the writer itself throws.
+  */
+class ArtifactStoreSpec extends SparkSpec {
+
+  test("fingerprint: regenerating the source table in place changes " +
+    "the artifact root key (stale write-once roots are unreachable)") {
+    val dir = "target/artifact_store_spec/data"
+    val table = Paths.get(dir, "embeddings.parquet")
+    Files.createDirectories(table)
+    Files.writeString(table.resolve("part-0.parquet"), "v1-bytes")
+    val root1 = IndexStore.defaultRoot(dir)
+    // same content, same mtime → stable key
+    assert(IndexStore.defaultRoot(dir) == root1,
+      "the key must be deterministic while the source is unchanged")
+    // regenerate in place: size changes ⇒ new key, old root orphaned
+    Files.writeString(table.resolve("part-0.parquet"), "v2-bytes-longer")
+    val root2 = IndexStore.defaultRoot(dir)
+    assert(root2 != root1,
+      "an in-place regen must invalidate the write-once root " +
+        "(round-16 advice: a stale persisted index would otherwise " +
+        "serve stale neighbors in bench/sweep runs with no error)")
+    // adding a file also changes the key
+    Files.writeString(table.resolve("part-1.parquet"), "more")
+    assert(IndexStore.defaultRoot(dir) != root2)
+    // and the media fixture key tracks ITS source table independently
+    val docs = Paths.get(dir, "documents.parquet")
+    Files.createDirectories(docs)
+    Files.writeString(docs.resolve("part-0.parquet"), "docs-v1")
+    val mroot1 = Multimodal.defaultMediaRoot(dir)
+    Files.writeString(table.resolve("part-1.parquet"), "embeddings-moved")
+    assert(Multimodal.defaultMediaRoot(dir) == mroot1,
+      "the media key must not move when only embeddings change")
+  }
+
+  test("ensureDirAt: a writer that THROWS leaves no .tmp directory " +
+    "and no root — the failure is loud, the filesystem is clean") {
+    val root = "target/artifact_store_spec/throwing_root"
+    val boom = intercept[RuntimeException] {
+      ArtifactStore.ensureDirAt(root) { tmp =>
+        Files.createDirectories(Paths.get(tmp))
+        Files.writeString(Paths.get(tmp, "partial"), "half-written")
+        throw new RuntimeException("writer failed mid-artifact")
+      }
+    }
+    assert(boom.getMessage.contains("writer failed"))
+    assert(!Files.exists(Paths.get(root)),
+      "a failed build must never surface as a canonical root")
+    val parent = Paths.get(root).getParent
+    val leftovers = Files.list(parent).iterator()
+    while (leftovers.hasNext) {
+      val f = leftovers.next().getFileName.toString
+      assert(!f.contains(".tmp-"),
+        s"failed write leaked a temp directory: $f")
+    }
+    // and a subsequent successful ensure works on the same root
+    ArtifactStore.ensureDirAt(root) { tmp =>
+      Files.createDirectories(Paths.get(tmp))
+      Files.writeString(Paths.get(tmp, "whole"), "complete")
+    }
+    assert(Files.readString(Paths.get(root, "whole")) == "complete")
+  }
+
+  test("ensureDirAt: an existing root is never rebuilt or touched") {
+    val root = "target/artifact_store_spec/immutable_root"
+    ArtifactStore.ensureDirAt(root) { tmp =>
+      Files.createDirectories(Paths.get(tmp))
+      Files.writeString(Paths.get(tmp, "gen"), "first")
+    }
+    var ran = false
+    ArtifactStore.ensureDirAt(root) { _ => ran = true }
+    assert(!ran, "the writer must not run when the root exists")
+    assert(Files.readString(Paths.get(root, "gen")) == "first")
+  }
+}
