@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -43,9 +42,11 @@ import graft.functions.Hashing.{md5Long40, sqlMd5Long40}
   * sketch exists to avoid, dropped in production).
   *
   * Scale shape: one distinct over (source, shingle-hash) — map-side
-  * combined, 40-bit keys; per-source rank-window cut to K rows
-  * (WindowGroupLimit, B15 discipline); everything pairwise runs on
-  * ≤ K·|S| sketch rows + |S|² pair rows. Output is C(|S|,2) rows.
+  * combined, 40-bit keys; per-source bottom-K via the X139 bounded
+  * KmvSketch Aggregator (≤K-slot partial buffers, map-side combined —
+  * no per-source window sort; see [[sketchOf]]); everything pairwise
+  * runs on ≤ K·|S| sketch rows + |S|² pair rows. Output is C(|S|,2)
+  * rows.
   *
   * Reference scope: no sketches in the reference; engine extension
   * (SURVEY §2.5, the B11/X45/X134–X136 sketch family).
@@ -69,23 +70,37 @@ object ThetaOverlap {
       .distinct()
   }
 
-  /** Per-source sketch rows (grp, h, rn) limited to the K smallest,
+  /** Per-source sketch rows (grp, h, nd) limited to the K smallest,
     * plus per-source meta (grp, nd, theta). Test seam.
-    */
+    *
+    * Round-17 rewrite from the rank-window form: the old shape stacked
+    * row_number + count(*) windows over the same (grp) spec — the nd
+    * count defeats WindowGroupLimit's map-side cut, so EVERY distinct
+    * hash shuffled to its source's partition and was sorted in ONE
+    * task per source (the x158/x109 scale-weak class the round-14
+    * rewrites eliminated), and the whole chain re-executed once per
+    * downstream consumer (observed 4+ copies in the executed plan).
+    * Now it is ONE hash aggregate: the X139 bounded KmvSketch
+    * Aggregator (≤K-slot partial buffers, map-side combined — each
+    * task ships at most K hashes per (source, partition)) plus
+    * count(*) over the pre-distincted items for the exact nd; the
+    * |S|-row result is localCheckpointed so the pair-stage consumers
+    * read settled rows instead of re-running the corpus pass. Same
+    * (grp, h, nd) set, same meta — the unchanged window-form oracle
+    * certifies the aggregator's distinct-bottom-k law cross-engine
+    * (the X139 argument, here load-bearing for the pair estimates). */
   private[graft] def sketchOf(items: DataFrame):
       (DataFrame, DataFrame) = {
     val spark = items.sparkSession
     import spark.implicits._
-    val ranked = items
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"grp").orderBy($"h")).cast("long"))
-      .withColumn("nd", count(lit(1)).over(
-        Window.partitionBy($"grp")).cast("long"))
-    val sketch = ranked.filter($"rn" <= K).select($"grp", $"h", $"nd")
-    val meta = sketch.groupBy($"grp").agg(
-        max($"nd").as("nd"), max($"h").as("kmax"))
-      .select($"grp", $"nd",
-        when($"nd" >= K, $"kmax").otherwise(lit(H)).as("theta"))
+    val kmv = udaf(new graft.functions.KmvSketch(K))
+    val agg = items.groupBy($"grp")
+      .agg(count(lit(1)).as("nd"), kmv($"h").as("ks"))
+      .localCheckpoint()
+    val meta = agg.select($"grp", $"nd",
+      when($"nd" >= K, element_at($"ks", K)).otherwise(lit(H))
+        .as("theta"))
+    val sketch = agg.select($"grp", explode($"ks").as("h"), $"nd")
     (sketch, meta)
   }
 
@@ -94,10 +109,14 @@ object ThetaOverlap {
     val spark = items.sparkSession
     import spark.implicits._
     val (sketch, meta) = sketchOf(items)
+    // the |S|-row meta self-join is pure-non-equi (grp_a < grp_b); the
+    // checkpointed source hides size stats from the planner, which
+    // would otherwise fall back to CartesianProduct — the hint pins
+    // the |sources|-bounded side (BROADCAST_INVENTORY class `types`)
     val pairs = meta.select($"grp".as("grp_a"), $"nd".as("nd_a"),
         $"theta".as("ta"))
-      .join(meta.select($"grp".as("grp_b"), $"nd".as("nd_b"),
-        $"theta".as("tb")), $"grp_a" < $"grp_b")
+      .join(broadcast(meta.select($"grp".as("grp_b"), $"nd".as("nd_b"),
+        $"theta".as("tb"))), $"grp_a" < $"grp_b")
       .select($"grp_a", $"grp_b", $"nd_a", $"nd_b",
         least($"ta", $"tb").as("theta"))
     def below(side: String): DataFrame =

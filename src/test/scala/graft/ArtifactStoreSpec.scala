@@ -44,7 +44,10 @@ class ArtifactStoreSpec extends SparkSpec {
 
   test("ensureDirAt: a writer that THROWS leaves no .tmp directory " +
     "and no root — the failure is loud, the filesystem is clean") {
-    val root = "target/artifact_store_spec/throwing_root"
+    // unique per run: ensureDirAt is write-once by design, so a root
+    // surviving from a previous suite run would skip the writer
+    val root = "target/artifact_store_spec/throwing_root_" +
+      java.util.UUID.randomUUID().toString.take(8)
     val boom = intercept[RuntimeException] {
       ArtifactStore.ensureDirAt(root) { tmp =>
         Files.createDirectories(Paths.get(tmp))
