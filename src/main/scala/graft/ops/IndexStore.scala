@@ -82,8 +82,13 @@ object IndexStore {
     * shared [[ArtifactStore.ensureDirAt]] temp-dir + atomic-rename
     * discipline with the index build as the writer. */
   private[graft] def ensureAt(root: String,
-      build: () => LloydIvfPq.IvfPqIndex): String =
+      build: () => LloydIvfPq.IvfPqIndex): String = {
+    // store-open janitor (round-17 verdict item 3): SIGKILL-orphaned
+    // .tmp-* siblings from crashed writers are swept once per process
+    Option(java.nio.file.Paths.get(root).toAbsolutePath.getParent)
+      .foreach(p => ArtifactStore.sweepAtOpen(p.toString))
     ArtifactStore.ensureDirAt(root)(tmp => writeIvfPq(build(), tmp))
+  }
 
   /** The build-once artifact root for (session, dir, tag): memoizes
     * [[ensureAt]] per session so the registered queries write once per

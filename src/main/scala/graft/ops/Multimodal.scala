@@ -102,9 +102,11 @@ object Multimodal {
       ensured.computeIfAbsent(spark,
         _ => scala.collection.concurrent.TrieMap.empty[String, String])
     }
-    perSession.getOrElseUpdate(dir,
+    perSession.getOrElseUpdate(dir, {
+      ArtifactStore.sweepAtOpen("target/media_store")
       ArtifactStore.ensureDirAt(defaultMediaRoot(dir))(tmp =>
-        buildMediaTable(spark, dir).write.mode("overwrite").parquet(tmp)))
+        buildMediaTable(spark, dir).write.mode("overwrite").parquet(tmp))
+    })
   }
 
   /** The media table — the RELOADED persisted fixture: a genuine

@@ -42,6 +42,65 @@ class ArtifactStoreSpec extends SparkSpec {
       "the media key must not move when only embeddings change")
   }
 
+  test("fingerprint: an mtime-preserving same-size rewrite (rsync -a / " +
+    "archive restore of a different fixture) still changes the key") {
+    val dir = "target/artifact_store_spec/content_data"
+    val table = Paths.get(dir, "embeddings.parquet")
+    Files.createDirectories(table)
+    val part = table.resolve("part-0.parquet")
+    Files.writeString(part, "fixture-A-bytes")
+    val mtime = Files.getLastModifiedTime(part)
+    val root1 = IndexStore.defaultRoot(dir)
+    // same length, same restored mtime, different bytes — the metadata
+    // triple is identical; only the content component can see this
+    Files.writeString(part, "fixture-B-bytes")
+    Files.setLastModifiedTime(part, mtime)
+    assert(IndexStore.defaultRoot(dir) != root1,
+      "a same-size mtime-preserving rewrite must invalidate the root " +
+        "(round-17 advice: the metadata-only key would silently serve " +
+        "a stale write-once artifact)")
+    // and restoring the original bytes + mtime restores the key
+    Files.writeString(part, "fixture-A-bytes")
+    Files.setLastModifiedTime(part, mtime)
+    assert(IndexStore.defaultRoot(dir) == root1,
+      "the content component must be a pure function of the bytes")
+  }
+
+  test("sweepOrphanTmp: a stale SIGKILL-orphaned .tmp-* sibling is " +
+    "deleted at store open; a fresh one (a live writer's) is untouched") {
+    val store = "target/artifact_store_spec/janitor_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    Files.createDirectories(Paths.get(store))
+    // a stale orphan DIRECTORY (a crashed index writer's temp copy)
+    val stale = Paths.get(store, "root_a.tmp-dead-writer")
+    Files.createDirectories(stale)
+    Files.writeString(stale.resolve("partial"), "half-written")
+    assert(stale.toFile.setLastModified(
+      System.currentTimeMillis() - 2 * ArtifactStore.OrphanAgeMs))
+    // a stale orphan FILE (a crashed alias writer's temp payload)
+    val staleFile = Paths.get(store, "alias.serving.tmp-dead-writer")
+    Files.writeString(staleFile, "version=v1\n")
+    assert(staleFile.toFile.setLastModified(
+      System.currentTimeMillis() - 2 * ArtifactStore.OrphanAgeMs))
+    // a fresh orphan — by age indistinguishable from a LIVE concurrent
+    // writer's temp dir, so the janitor must leave it alone
+    val fresh = Paths.get(store, "root_b.tmp-live-writer")
+    Files.createDirectories(fresh)
+    // a canonical root must never be touched regardless of age
+    val root = Paths.get(store, "root_c")
+    Files.createDirectories(root)
+    assert(root.toFile.setLastModified(
+      System.currentTimeMillis() - 2 * ArtifactStore.OrphanAgeMs))
+
+    val deleted = ArtifactStore.sweepOrphanTmp(store)
+    assert(deleted.toSet ==
+      Set("root_a.tmp-dead-writer", "alias.serving.tmp-dead-writer"),
+      s"exactly the stale orphans must go, got $deleted")
+    assert(!Files.exists(stale) && !Files.exists(staleFile))
+    assert(Files.exists(fresh), "a fresh temp may belong to a live writer")
+    assert(Files.exists(root), "canonical roots are not the janitor's")
+  }
+
   test("ensureDirAt: a writer that THROWS leaves no .tmp directory " +
     "and no root — the failure is loud, the filesystem is clean") {
     // unique per run: ensureDirAt is write-once by design, so a root
