@@ -84,6 +84,71 @@ class IndexCompactionSpec extends SparkSpec {
     }
   }
 
+  test("X185: arrivals landing DURING compaction and DURING the alias " +
+    "flip survive the sequenced handoff — reconcile catches the " +
+    "mid-compaction appends, the post-flip sweep catches the flip " +
+    "racer, and the served probe is bit-equal to the grown live root") {
+    import graft.stream.StreamIndexIngest
+    import graft.ops.IndexAlias
+    val built = LloydIvfPq.ivfPqIndex(spark, sfDir)
+    // UUID-unique: compactAndCutover requires a fresh write-once dst
+    val base = "target/index_compaction_spec/handoff_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val live = s"$base/live"
+    IndexStore.writeIvfPq(built, live)
+    val centRow = StreamIndexIngest.centroidRow(built.centroids)
+    val cbRow = StreamIndexIngest.codebookFlatRow(built.codebooks)
+    val q0 = Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" === 0L).select($"embedding")
+      .collect().head.getSeq[Float](0).toArray
+    // X180's ingest path verbatim: encode against the frozen tables,
+    // append a file into the arrival's inverted-list directory. Near-
+    // duplicates of query 0 so every arrival MUST rank in the probe —
+    // a lost arrival is a wrong answer, not a silent row-count drift.
+    def appendArrival(id: Long, eps: Float): Unit = {
+      val nv = q0.clone(); nv(0) = nv(0) + eps
+      StreamIndexIngest.encodeArrivals(
+        Seq((id, nv)).toDF("vec_id", "embedding"), centRow, cbRow)
+        .write.partitionBy("cell").mode("append").parquet(s"$live/encoded")
+    }
+    val aliasP = java.nio.file.Paths.get(s"$base/serving.alias")
+    val h = IndexCompaction.compactAndCutover(spark, aliasP, "v1",
+      live, s"$base/compacted",
+      // two arrivals land between the snapshot read and the reconcile
+      afterSnapshot = () => {
+        appendArrival(777770L, 1e-4f); appendArrival(777771L, 2e-4f)
+      },
+      // one more lands AFTER the alias flip — the racing writer that
+      // resolved the alias before the flip and appended after it
+      afterFlip = () => appendArrival(777772L, 3e-4f))
+    assert(h.reconciled >= 2,
+      s"the reconcile loop must catch the mid-compaction appends, got $h")
+    assert(h.stragglers >= 1,
+      s"the post-flip sweep must catch the flip racer, got $h")
+    val serving = IndexAlias.readAlias(aliasP)
+    assert(serving.root == h.root && serving.version == "v1")
+    // the handoff's whole contract: probing THROUGH the alias after the
+    // flip is bit-equal to probing the live root grown with the same
+    // arrivals — nothing lost, nothing duplicated, ranks included
+    val servedProbe = LloydIvfPq.probe(
+      IndexStore.readIvfPq(spark, serving.root))
+      .collect().map(_.toString).toSeq
+    val liveProbe = LloydIvfPq.probe(IndexStore.readIvfPq(spark, live))
+      .collect().map(_.toString).toSeq
+    assert(servedProbe == liveProbe,
+      "post-flip probe must be bit-equal to the grown live root")
+    Seq("777770", "777771", "777772").foreach(id =>
+      assert(servedProbe.exists(_.contains(id)),
+        s"arrival $id missing from the served probe — the lost-arrival " +
+          "seam the handoff exists to close"))
+    // per-cell rows: the served root holds exactly the live rows
+    def counts(root: String): Map[Long, Long] =
+      IndexStore.readIvfPq(spark, root).encoded.groupBy($"cell").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(serving.root) == counts(live),
+      "served per-cell counts must equal the live root's")
+  }
+
   test("X185: the fragmentation planner reports exactly the on-disk " +
     "layout") {
     val built = LloydIvfPq.ivfPqIndex(spark, sfDir)
