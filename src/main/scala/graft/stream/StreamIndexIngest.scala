@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing.dotQ
-import graft.ops.{Centroids, LloydIvfPq, LloydPq}
+import graft.ops.{Centroids, IndexAlias, LloydIvfPq, LloydPq}
 
 /** X180 — streaming index ingestion: encode ARRIVING vectors against a
   * FROZEN persisted index (X179's artifact) — the way a production IVF
@@ -120,6 +120,46 @@ object StreamIndexIngest {
       .withColumn("qd", quantDiff($"embedding", $"best.c"))
       .withColumn("codes", codes)
       .select($"vec_id", $"cell", $"embedding", $"nq", $"codes")
+  }
+
+  /** The alias-FOLLOWING ingest sink (round-17 verdict item 4): the
+    * plain encode path resolves its frozen artifact once at stream
+    * start, so after an X184 cutover arrivals kept encoding against the
+    * retired version until restart. This foreachBatch writer re-reads
+    * the SERVING alias at EVERY micro-batch — one tiny driver-side file
+    * read per trigger; the alias is built to be read hot (X184's
+    * atomic-rename pointer) — loads the named root's parameter tables
+    * (memoized per root: one bounded row each, [[centroidRow]]/
+    * [[codebookFlatRow]]), encodes the batch against them, and appends
+    * into THAT root's inverted lists.
+    *
+    * Batch-boundary semantics (pinned in StreamIndexIngestSpec): the
+    * alias is read once per batch, so a batch straddling a flip encodes
+    * WHOLLY against the version the alias named when the batch started
+    * — arrivals never split within a batch, and within one trigger
+    * interval every writer follows the new version. That interval is
+    * exactly the grace period [[graft.ops.IndexCompaction]]'s post-flip
+    * straggler sweep assumes before declaring the old root quiescent.
+    */
+  def aliasFollowingBatchWriter(aliasPath: java.nio.file.Path)
+      : (DataFrame, Long) => Unit = {
+    val params =
+      scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+    (batch: DataFrame, _: Long) => {
+      val serving = IndexAlias.readAlias(aliasPath)
+      val spark = batch.sparkSession
+      val (centRow, cbRow) = params.getOrElseUpdate(serving.root, {
+        // materialized once per followed root — the artifact tables are
+        // immutable (write-once roots), so the memo can never go stale
+        (centroidRow(spark.read.parquet(s"${serving.root}/centroids"))
+          .localCheckpoint(),
+          codebookFlatRow(spark.read.parquet(s"${serving.root}/codebooks"))
+            .localCheckpoint())
+      })
+      encodeArrivals(batch, centRow, cbRow)
+        .write.partitionBy("cell").mode("append")
+        .parquet(s"${serving.root}/encoded")
+    }
   }
 
   /** The built-in HOF reference form of [[encodeArrivals]] (bit-equal

@@ -111,6 +111,65 @@ class StreamIndexIngestSpec extends SparkSpec {
       LloydIvfPq.M * LloydIvfPq.K * LloydIvfPq.Sub)
   }
 
+  test("X180: the alias-following writer re-resolves the SERVING alias " +
+    "per micro-batch — a flip between triggers redirects arrivals to " +
+    "the new version's root AND its parameter tables; the straddling " +
+    "batch encodes wholly against the version at batch start") {
+    import graft.ops.{IndexAlias, IndexStore}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val built = LloydIvfPq.ivfPqIndex(spark, sfDir)
+    val base = "target/stream_index_ingest_spec/alias_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val v1 = s"$base/v1"
+    val v2 = s"$base/v2"
+    IndexStore.writeIvfPq(built, v1)
+    // v2: the same index with every cell RELABELED +1000 — a genuinely
+    // different coarse table, so WHICH parameter tables encoded a batch
+    // is visible in the landed inverted-list directory names
+    IndexStore.writeIvfPq(built.copy(
+      encoded = built.encoded.withColumn("cell", $"cell" + 1000L),
+      centroids = built.centroids.withColumn("c_cell", $"c_cell" + 1000L)),
+      v2)
+    val aliasP = java.nio.file.Paths.get(s"$base/serving.alias")
+    IndexAlias.writeAlias(aliasP, IndexAlias.Serving("v1", v1))
+
+    val nv = (0 until 64).map(d => ((d * 31 % 17) - 8) / 10.0f)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = input.toDF().toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .writeStream.outputMode("append")
+      .foreachBatch(StreamIndexIngest.aliasFollowingBatchWriter(aliasP))
+      .start()
+    try {
+      input.addData(Seq((555550L, nv)))
+      query.processAllAvailable()
+      val b1 = spark.read.parquet(s"$v1/encoded")
+        .filter($"vec_id" === 555550L)
+        .select($"cell".cast("long")).collect().map(_.getLong(0)).toSeq
+      assert(b1.length == 1 && b1.head < 1000L,
+        s"the pre-flip batch must land in v1's lists under v1's coarse " +
+          s"labels, got $b1")
+
+      // the cutover, between triggers
+      IndexAlias.writeAlias(aliasP, IndexAlias.Serving("v2", v2))
+
+      input.addData(Seq((555551L, nv)))
+      query.processAllAvailable()
+      val b2 = spark.read.parquet(s"$v2/encoded")
+        .filter($"vec_id" === 555551L)
+        .select($"cell".cast("long")).collect().map(_.getLong(0)).toSeq
+      assert(b2.length == 1 && b2.head >= 1000L,
+        s"the post-flip batch must land in v2's lists under v2's " +
+          s"relabeled coarse cells, got $b2")
+      assert(spark.read.parquet(s"$v1/encoded")
+        .filter($"vec_id" === 555551L).isEmpty,
+        "the retired version must receive nothing after the flip")
+      assert(spark.read.parquet(s"$v2/encoded")
+        .filter($"vec_id" === 555550L).isEmpty,
+        "the flip must not retroactively move pre-flip arrivals")
+    } finally query.stop()
+  }
+
   test("X180: the native PqEncode path equals the HOF reference form " +
     "bit-for-bit on the corpus") {
     val idx = LloydIvfPq.ivfPqIndex(spark, sfDir)
