@@ -71,7 +71,7 @@ object SparkEntry {
       ContaminationMatrix.queries, LloydPq.queries,
       ContaminationKmv.queries, LloydIvfPq.queries, IndexStore.queries,
       IndexStaleness.queries, IndexVersions.queries, IndexAlias.queries,
-      IndexCompaction.queries
+      IndexCompaction.queries, ArtifactRetention.queries
     ).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -126,6 +126,6 @@ object SparkEntry {
       ContaminationMatrix.oracles, LloydPq.oracles,
       ContaminationKmv.oracles, LloydIvfPq.oracles, IndexStore.oracles,
       IndexStaleness.oracles, IndexVersions.oracles, IndexAlias.oracles,
-      IndexCompaction.oracles
+      IndexCompaction.oracles, ArtifactRetention.oracles
     ).reduce(_ ++ _)
 }

@@ -123,7 +123,8 @@ class SparkEntrySpec extends SparkSpec {
       "IndexStaleness" -> IndexStaleness.queries,
       "IndexVersions" -> IndexVersions.queries,
       "IndexAlias" -> IndexAlias.queries,
-      "IndexCompaction" -> IndexCompaction.queries)
+      "IndexCompaction" -> IndexCompaction.queries,
+      "ArtifactRetention" -> ArtifactRetention.queries)
     val total = moduleMaps.map(_._2.size).sum
     assert(SparkEntry.queries.size == total,
       s"name collision: merged ${SparkEntry.queries.size} of $total registered; " +
