@@ -646,7 +646,12 @@ object ScaleBench {
         graft.ops.PowerIteration.powerIterationOf(d))
       // b58/b54: the order-history family — disjoint per-block
       // customer populations (depth per customer unchanged, customers
-      // grow), the production scale dimension
+      // grow), the production scale dimension. Replica builds are
+      // gated on their consumers (round-17 advice item 4: a run
+      // selecting only e.g. x137 must not pay the large orders/
+      // lineitem writes that only b58/b54 read).
+      if (selected("b58_incremental_scd2") ||
+          selected("b54_scd2_pit_join")) {
       val od30s = Seq(1, Blocks, B30).map { b =>
         val path = s"target/scale_orders_full_${b}x"
         Tables.orders(spark, sfDir)
@@ -658,7 +663,8 @@ object ScaleBench {
           .repartition(8 * b).write.mode("overwrite").parquet(path)
         path
       }
-      val li30s = Seq(1, Blocks, B30).map { b =>
+      val li30s = if (!selected("b54_scd2_pit_join")) Seq.empty[String]
+      else Seq(1, Blocks, B30).map { b =>
         val path = s"target/scale_lineitem_pit_${b}x"
         Tables.lineitem(spark, sfDir)
           .select($"l_orderkey", $"l_shipdate", $"l_extendedprice",
@@ -682,6 +688,7 @@ object ScaleBench {
           f"10x=${walls(1)}%.2f s 30x=${walls(2)}%.2f s " +
           f"growth10=${walls(1) / walls(0)}%.1fx " +
           f"growth30=${walls(2) / walls(0)}%.1fx")
+      }
       }
     }
     spark.stop()

