@@ -121,6 +121,32 @@ object CandGrowth {
       spark.catalog.clearCache()
     }
 
+    // 100× fourth decade — candidate COUNTS only (round-17 verdict
+    // item 7: the 100 TB claim rests on the caps holding one more
+    // decade; counts are box-independent where walls are not, so the
+    // curvature evidence is the candidate cardinality per factor).
+    // Lossless is out of reach by design at this factor — the capped /
+    // banded postures ARE the deployment dials being certified.
+    {
+      val factor = 100
+      val docs = replicaDocs(factor)
+      val tok = Dedup.shinglesOf(docs).cache()
+      tok.count()
+      val (nc62, w62) = timed(PrefixJoin.candidatesSh(tok, Cap).count())
+      record(factor, "x62_setsim_prefix_join", "capped-counts", nc62, -1, w62)
+      val (nc63, w63) = timed(Containment.candidatesSh(tok, Cap).count())
+      record(factor, "x63_containment_join", "capped-counts", nc63, -1, w63)
+      val sig = Dedup.minhashSignatures(tok).localCheckpoint()
+      val (nc02, w02) = timed(Dedup.minhashCandidates(sig).count())
+      record(factor, "x02_minhash_lsh", "banded-counts", nc02, -1, w02)
+      tok.unpersist()
+      val fp = Winnowing.keptFingerprintsOf(docs)
+      val (nc125, w125) = timed(Winnowing.candidatePairsFromFp(fp).count())
+      record(factor, "x125_winnowing_match", "capped-counts", nc125, -1, w125)
+      fp.unpersist()
+      spark.catalog.clearCache()
+    }
+
     // Boilerplate-hot corpus (ScaleBench's recall protocol): the
     // corpus-wide phrase every document shares (df = |corpus| — the
     // naive superlinear term, which the PREFIX FILTER itself turns out

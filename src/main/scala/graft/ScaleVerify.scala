@@ -456,6 +456,11 @@ object ScaleVerify {
         // chain over the compacted reload of the 10x artifact)
         "x185_index_compaction" ->
           SparkEntry.queries("x185_index_compaction"),
+        // round-18: the retention audit at 10x — the derived inventory
+        // grows with the replica's sources x generations and the
+        // verdict ladder re-derives per source
+        "x186_artifact_retention" ->
+          SparkEntry.queries("x186_artifact_retention"),
         // round-17 (verdict item 2): the full remaining oracle surface —
         // the relational core over the new replica dim tables (customer
         // grown with orders, region/nation/supplier/part held at 1x:

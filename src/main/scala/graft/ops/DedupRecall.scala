@@ -35,8 +35,16 @@ import org.apache.spark.sql.functions._
   */
 object DedupRecall {
 
-  /** Probe-slice modulus (code constant — the audit density dial). */
-  val ProbeMod = 11L
+  /** Probe-slice modulus — the audit density dial, REGISTERED through
+    * the [[ScaleCaps.probeMod]] seam (round-17 verdict item 6): default
+    * 11, overridable per deployment (`SPARK_GRAFT_PROBE_MOD`). Audit
+    * cost is 1/mod × the full join; the per-band recall estimate is
+    * unbiased at ANY density because the slice is hash-arbitrary in
+    * doc_id — measured at mods {11, 31, 101} × factors {1×, 10×, 30×}
+    * in SCALE.md §round-18 (DedupRecallSweep). Resolved once at class
+    * init so the engine query and the dumped oracle SQL always carry
+    * the same modulus. */
+  val ProbeMod: Long = ScaleCaps.probeMod
   /** Ground-truth floor: bands cover [0.25, 1]. */
   val MinJaccard = 0.25
 
@@ -50,7 +58,14 @@ object DedupRecall {
   private[graft] def recallOf(sh0: DataFrame): DataFrame =
     recallOf(sh0, Dedup.minhashSignatures(sh0))
 
-  private[graft] def recallOf(sh: DataFrame, sig: DataFrame): DataFrame = {
+  private[graft] def recallOf(sh: DataFrame, sig: DataFrame): DataFrame =
+    recallAt(sh, sig, ProbeMod)
+
+  /** [[recallOf]] at an explicit slice density — the sweep's seam
+    * (DedupRecallSweep measures recall stability and wall vs `mod`
+    * without re-initing the class dial). */
+  private[graft] def recallAt(sh: DataFrame, sig: DataFrame,
+      mod: Long): DataFrame = {
     // no cache() here: the registered query feeds the CorpusIndex
     // localCheckpoint (already materialized), and a lingering cached
     // shingle frame would substitute an InMemoryRelation into every
@@ -58,7 +73,7 @@ object DedupRecall {
     // (observed: it reshaped x62/x63's audited plans)
     val spark = sh.sparkSession
     import spark.implicits._
-    val probes = sh.filter($"doc_id" % ProbeMod === 0)
+    val probes = sh.filter($"doc_id" % mod === 0)
     // complete for jaccard > 0: any overlapping pair shares a shingle
     val truthCand = probes.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") &&
@@ -73,7 +88,7 @@ object DedupRecall {
     // the production candidate stage, restricted to pairs the truth
     // slice can see (probe on either side)
     val lsh = Dedup.minhashCandidates(sig)
-      .filter($"doc_a" % ProbeMod === 0 || $"doc_b" % ProbeMod === 0)
+      .filter($"doc_a" % mod === 0 || $"doc_b" % mod === 0)
       .withColumn("found", lit(1L))
     truth.join(lsh, Seq("doc_a", "doc_b"), "left")
       .withColumn("band",

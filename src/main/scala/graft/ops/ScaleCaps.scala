@@ -44,6 +44,23 @@ object ScaleCaps {
   def maxCellSize: Long =
     cap("graft.maxCellSize", "SPARK_GRAFT_MAX_CELL_SIZE")
 
+  /** Probe-slice modulus for x146's dedup-recall audit (round-17
+    * verdict item 6 — the x181 precedent: the "production turns the
+    * slice density down as the corpus grows" argument becomes a
+    * REGISTERED dial). The audit compares a 1/mod slice of documents
+    * exhaustively against the corpus, so audit cost scales with
+    * 1/mod × corpus while the per-band recall estimate stays unbiased
+    * at any density (the slice is hash-arbitrary in doc_id) — measured
+    * across mods {11, 31, 101} × factors {1×, 10×, 30×} in SCALE.md
+    * §round-18. Default 11 (the shipped oracle dial); set
+    * `SPARK_GRAFT_PROBE_MOD` / `graft.probeMod` to thin the slice at
+    * open scale. */
+  def probeMod: Long =
+    cap("graft.probeMod", "SPARK_GRAFT_PROBE_MOD") match {
+      case Long.MaxValue => 11L
+      case m => m
+    }
+
   private def cap(prop: String, env: String): Long = {
     val raw = sys.props.get(prop).orElse(sys.env.get(env))
       .map(_.trim).filter(_.nonEmpty)
