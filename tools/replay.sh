@@ -80,6 +80,23 @@ CHECK_ORACLE_JSON=CORRECTNESS_scale.json python3 tools/check_oracle.py \
   > /tmp/replay_scale_oracle.log 2>&1 || true
 tail -1 /tmp/replay_scale_oracle.log
 
+# Optional 30× hash gate for the linear-tracking tail (round-18 verdict
+# item 5). OFF by default: the x145 lossless oracle at 30× costs hours of
+# DuckDB CPU (round-protocol notes). REPLAY_SCALE30=fast runs the five
+# sub-hour trackers; REPLAY_SCALE30=full adds x145.
+if [[ "${REPLAY_SCALE30:-}" == "fast" || "${REPLAY_SCALE30:-}" == "full" ]]; then
+  echo "== [6/6] 30x scale gate ($SF_BENCH base, mode=$REPLAY_SCALE30) =="
+  sbt -batch "runMain graft.ScaleVerify $SF_BENCH target/scale_verify30 30" \
+    > /tmp/replay_scale30.log 2>&1 \
+    || { tail -30 /tmp/replay_scale30.log; echo "SCALE30 VERIFY RED"; exit 1; }
+  NAMES="x125_winnowing_match,x137_theta_overlap,x146_dedup_recall,x62_setsim_prefix_join,x63_containment_join"
+  [[ "$REPLAY_SCALE30" == "full" ]] && NAMES="$NAMES,x145_semdedup"
+  CHECK_ORACLE_JSON=CORRECTNESS_scale30.json python3 tools/check_oracle.py \
+    target/scale_verify30/tables target/scale_verify30 "$NAMES" \
+    > /tmp/replay_scale30_oracle.log 2>&1 || true
+  tail -1 /tmp/replay_scale30_oracle.log
+fi
+
 echo "== replay complete — artifacts: REPLAY_TESTS.log REPLAY_ORACLE.log" \
   "BENCH_LOCAL_replay.json PLANS.md PLAN_EXPECTATIONS.tsv" \
   "CORRECTNESS_scale.json =="
