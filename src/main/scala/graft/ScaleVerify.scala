@@ -461,6 +461,11 @@ object ScaleVerify {
         // verdict ladder re-derives per source
         "x186_artifact_retention" ->
           SparkEntry.queries("x186_artifact_retention"),
+        // round-18: the graceful (two-phase) reclamation audit at 10× —
+        // the six-generation inventory and the five-verdict ladder
+        // re-derive per replica source
+        "x187_graceful_retention" ->
+          SparkEntry.queries("x187_graceful_retention"),
         // round-17 (verdict item 2): the full remaining oracle surface —
         // the relational core over the new replica dim tables (customer
         // grown with orders, region/nation/supplier/part held at 1x:

@@ -24,6 +24,12 @@ import graft.Tables
   * rescues its new target even when classification already marked it
   * deletable (pinned in ArtifactRetentionSpec).
   *
+  * X187 adds the READER half of the safety story: deletion is
+  * two-phase (mark on first observed dereference, reclaim only after
+  * [[ReaderGraceMs]]), because the creation-age safety window cannot
+  * protect a long-serving root from being reclaimed out from under a
+  * reader the instant a flip retires it — see [[ReaderGraceMs]].
+  *
   * Cost shape at 100 TB: the sweep is driver-side store METADATA — one
   * directory listing plus one stat per root plus one tiny alias read
   * per root-delete; data files are never opened. That is the
@@ -56,9 +62,38 @@ object ArtifactRetention {
     * it. */
   private[graft] val SafetyWindowMs: Long = 24L * 3600L * 1000L
 
+  /** X187 — reader grace for deferred reclamation. The creation-age
+    * window above cannot protect a LONG-SERVING root: the moment an
+    * X184 flip dereferences a months-old root it is instantly
+    * delete-eligible, while a reader that resolved the alias just
+    * before the flip may still be mid-probe on it. So unreferenced
+    * roots are never deleted on sight: the first sweep that observes a
+    * root unreferenced MARKS it (a sidecar `<root>.retired` file with
+    * the observation time); only a sweep at least this much later
+    * reclaims it — the two-phase mark-then-reclaim of Iceberg snapshot
+    * expiry / S3 lifecycle transitions. The deployment bound: grace ≥
+    * max reader session length + the alias-resolution staleness of any
+    * consumer (one trigger interval for X180's alias-following ingest,
+    * per StreamIndexIngest). A re-referenced root (X184 rollback flip)
+    * has its marker cleared — the clock restarts from zero if it is
+    * ever dereferenced again. `graceMs = 0` degenerates to the
+    * single-sweep X186 behavior (valid for quiesced offline stores). */
+  private[graft] val ReaderGraceMs: Long = 6L * 3600L * 1000L
+
   /** Safety window of the derived audit, in its day units — sized so
     * the registered corpus exercises every verdict. */
   private[graft] val AuditWindowDays = 13L
+
+  /** Reader grace of the derived audit, in its day units — sized so
+    * the 6-generation inventory exercises marked_pending AND reclaim
+    * (ages 0/6/12/18/24/30 → days-out-of-window 0/0/0/5/11/17). */
+  private[graft] val AuditGraceDays = 8L
+
+  /** The sweep's report: every root still on disk, the unreferenced
+    * ones inside their reader grace (marked, not yet reclaimable), and
+    * the reclaimed ones. */
+  private[graft] final case class SweepReport(kept: Seq[String],
+      pending: Seq[String], deleted: Seq[String])
 
   // ---------------------------------------------------------- sweep --
 
@@ -81,37 +116,73 @@ object ArtifactRetention {
       .toSet
   }
 
-  /** The retention sweep. Returns (kept, deleted) root basenames.
-    * `beforeDelete` is the spec's seam for racing an alias flip against
-    * the delete loop. */
+  /** Sidecar marker recording when a sweep FIRST observed this root
+    * unreferenced — the grace clock X187 reclamation runs on. */
+  private[graft] def markerPath(storeDir: String,
+      rootName: String): java.nio.file.Path =
+    java.nio.file.Paths.get(storeDir, rootName + ".retired")
+
+  private[graft] def readMarker(p: java.nio.file.Path): Option[Long] =
+    if (!java.nio.file.Files.exists(p)) None
+    else scala.util.Try(
+      java.nio.file.Files.readString(p).trim.toLong).toOption
+
+  /** The retention sweep — X186's keep classification with X187's
+    * two-phase reclamation. `beforeDelete` is the spec's seam for
+    * racing an alias flip against the delete loop. */
   private[graft] def sweep(storeDir: String,
       windowMs: Long = SafetyWindowMs,
       nowMs: Long = System.currentTimeMillis(),
-      beforeDelete: String => Unit = _ => ()): (Seq[String], Seq[String]) = {
+      graceMs: Long = ReaderGraceMs,
+      beforeDelete: String => Unit = _ => ()): SweepReport = {
+    import java.nio.file.Files
     val dir = new java.io.File(storeDir)
-    val roots = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+    val all = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+    val roots = all
       .filter(f => f.isDirectory && !f.getName.contains(".tmp-"))
       .sortBy(_.getName).toSeq
+    val rootNames = roots.map(_.getName).toSet
     val serving = servingRoots(storeDir)
     val servingGroups = serving.map(groupOf)
+    def referenced(name: String, s: Set[String]): Boolean =
+      s.contains(name) || s.map(groupOf).contains(groupOf(name))
     val (keep, candidates) = roots.partition { f =>
-      serving.contains(f.getName) ||
-        servingGroups.contains(groupOf(f.getName)) ||
+      referenced(f.getName, serving) ||
         nowMs - f.lastModified() <= windowMs
     }
-    val deleted = candidates.flatMap { f =>
-      beforeDelete(f.getName)
-      // the alias may have flipped since classification: re-read, and
-      // never delete a root the alias NOW names (or its group sibling)
-      val now = servingRoots(storeDir)
-      if (now.contains(f.getName) ||
-          now.map(groupOf).contains(groupOf(f.getName))) None
+    // a kept root with a marker was re-referenced (rollback flip) or is
+    // young again: clear it — the grace clock restarts from zero on the
+    // next dereference, it never inherits a stale observation
+    keep.foreach(f => Files.deleteIfExists(markerPath(storeDir, f.getName)))
+    // markers whose root is gone (reclaimed by an earlier sweep that
+    // died between the two deletes, or a root removed out-of-band)
+    all.filter(f => f.isFile && f.getName.endsWith(".retired") &&
+        !rootNames.contains(f.getName.stripSuffix(".retired")))
+      .foreach(f => Files.deleteIfExists(f.toPath))
+    val pending = Seq.newBuilder[String]
+    val deleted = Seq.newBuilder[String]
+    candidates.foreach { f =>
+      val mp = markerPath(storeDir, f.getName)
+      // first observation marks; an unparseable (torn) marker re-marks
+      val markedAt = readMarker(mp).getOrElse {
+        Files.writeString(mp, nowMs.toString); nowMs
+      }
+      if (nowMs - markedAt < graceMs) pending += f.getName
       else {
-        org.apache.commons.io.FileUtils.deleteDirectory(f)
-        Some(f.getName)
+        beforeDelete(f.getName)
+        // the alias may have flipped since classification: re-read, and
+        // never delete a root the alias NOW names (or its group sibling)
+        val now = servingRoots(storeDir)
+        if (referenced(f.getName, now)) Files.deleteIfExists(mp)
+        else {
+          org.apache.commons.io.FileUtils.deleteDirectory(f)
+          Files.deleteIfExists(mp)
+          deleted += f.getName
+        }
       }
     }
-    (roots.map(_.getName).diff(deleted), deleted)
+    val gone = deleted.result()
+    SweepReport(roots.map(_.getName).diff(gone), pending.result(), gone)
   }
 
   // ------------------------------------------------ registered audit --
@@ -161,9 +232,68 @@ object ArtifactRetention {
        |FROM ranked
        |ORDER BY source, gen DESC""".stripMargin
 
+  /** X187 — the graceful-reclamation audit: x186's planner shape with
+    * the two-phase verdict ladder. The inventory widens to six
+    * generations per source (ages 0/6/12/18/24/30 days) so every
+    * verdict is exercised: newest = serving, next = rollback, inside
+    * the safety window = young, then `marked_days` — days since the
+    * root aged OUT of the safety window, the audit's deterministic
+    * stand-in for "days since a sweep first observed it unreferenced"
+    * — splits the remainder into marked_pending (inside the reader
+    * grace) and reclaim. Same parity discipline as x186: exact i64
+    * counts/sums, ROW_NUMBER over a per-source total order, integer
+    * day arithmetic. */
+  def gracefulRetentionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val roots = Tables.documents(spark, dir)
+      .groupBy($"source", expr("(doc_id div 7) % 6").as("gen"))
+      .agg(count(lit(1)).as("n_files"),
+        sum($"n_chars").as("root_bytes"))
+    val bySrc = Window.partitionBy($"source")
+    roots
+      .withColumn("rnk", row_number().over(bySrc.orderBy($"gen".desc)))
+      .withColumn("age_days", (max($"gen").over(bySrc) - $"gen") * 6L)
+      .withColumn("marked_days",
+        greatest($"age_days" - lit(AuditWindowDays), lit(0L)))
+      .withColumn("verdict",
+        when($"rnk" === 1, "keep_serving")
+          .when($"rnk" === 2, "keep_rollback")
+          .when($"age_days" <= AuditWindowDays, "keep_young")
+          .when($"marked_days" <= AuditGraceDays, "marked_pending")
+          .otherwise("reclaim"))
+      .select($"source", $"gen", $"n_files", $"root_bytes", $"age_days",
+        $"marked_days", $"verdict")
+      .orderBy($"source", $"gen".desc)
+  }
+
+  val gracefulRetentionPlanSql: String =
+    s"""WITH roots AS (
+       |  SELECT source, (doc_id // 7) % 6 AS gen, count(*) AS n_files,
+       |         CAST(sum(n_chars) AS BIGINT) AS root_bytes
+       |  FROM documents GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT source, gen, n_files, root_bytes,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY gen DESC) AS rnk,
+       |         (max(gen) OVER (PARTITION BY source) - gen) * 6 AS age_days
+       |  FROM roots
+       |)
+       |SELECT source, gen, n_files, root_bytes, age_days,
+       |       GREATEST(age_days - $AuditWindowDays, 0) AS marked_days,
+       |       CASE WHEN rnk = 1 THEN 'keep_serving'
+       |            WHEN rnk = 2 THEN 'keep_rollback'
+       |            WHEN age_days <= $AuditWindowDays THEN 'keep_young'
+       |            WHEN GREATEST(age_days - $AuditWindowDays, 0)
+       |                 <= $AuditGraceDays THEN 'marked_pending'
+       |            ELSE 'reclaim' END AS verdict
+       |FROM ranked
+       |ORDER BY source, gen DESC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x186_artifact_retention" -> retentionPlan _)
+    "x186_artifact_retention" -> retentionPlan _,
+    "x187_graceful_retention" -> gracefulRetentionPlan _)
 
   val oracles: Map[String, String] = Map(
-    "x186_artifact_retention" -> retentionPlanSql)
+    "x186_artifact_retention" -> retentionPlanSql,
+    "x187_graceful_retention" -> gracefulRetentionPlanSql)
 }

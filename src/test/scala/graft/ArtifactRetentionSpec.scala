@@ -53,7 +53,8 @@ class ArtifactRetentionSpec extends SparkSpec {
     IndexAlias.writeAlias(Paths.get(store, "probe.serving"),
       IndexAlias.Serving("v2", r1.toString))
 
-    val (kept, deleted) = ArtifactRetention.sweep(store)
+    val report = ArtifactRetention.sweep(store, graceMs = 0L)
+    val (kept, deleted) = (report.kept, report.deleted)
     assert(deleted.toSet == Set(staleB.getFileName.toString,
       staleBc.getFileName.toString),
       s"exactly the stale unreferenced group must go, got $deleted")
@@ -75,11 +76,11 @@ class ArtifactRetentionSpec extends SparkSpec {
     IndexAlias.writeAlias(aliasP, IndexAlias.Serving("v1", r1.toString))
     // classification marks B deletable; the flip lands between
     // classification and B's delete — exactly X184's any-moment cutover
-    val (_, deleted) = ArtifactRetention.sweep(store,
+    val deleted = ArtifactRetention.sweep(store, graceMs = 0L,
       beforeDelete = name =>
         if (name == doomedB.getFileName.toString)
           IndexAlias.writeAlias(aliasP,
-            IndexAlias.Serving("v2", doomedB.toString)))
+            IndexAlias.Serving("v2", doomedB.toString))).deleted
     assert(deleted.isEmpty,
       s"a flipped-mid-sweep alias target must never be orphaned, " +
         s"deleted=$deleted")
@@ -115,6 +116,116 @@ class ArtifactRetentionSpec extends SparkSpec {
       val newest = rows.maxBy(_.getAs[Long]("gen"))
       assert(newest.getAs[String]("verdict") == "keep_serving")
       assert(newest.getAs[Long]("age_days") == 0L)
+    }
+  }
+
+  // ------------------------------------------------------------ X187 --
+
+  private val Grace = ArtifactRetention.ReaderGraceMs
+
+  test("X187: a long-serving root dereferenced by a flip is NEVER " +
+    "reclaimed on sight — marked on first observation, pending through " +
+    "the reader grace, reclaimed only after it") {
+    val store = freshStore()
+    val t0 = System.currentTimeMillis()
+    // months old — the creation-age window is long expired, so under
+    // the pre-X187 rule this root would die in the very first sweep
+    val retired = plantRoot(store, s"ivfpq_v3_${Key}_$FpB", Old)
+    val servingR = plantRoot(store, s"ivfpq_v3_${Key}_$FpA", Old)
+    IndexAlias.writeAlias(Paths.get(store, "probe.serving"),
+      IndexAlias.Serving("v2", servingR.toString))
+    val marker = ArtifactRetention.markerPath(
+      store, retired.getFileName.toString)
+
+    val s1 = ArtifactRetention.sweep(store, nowMs = t0)
+    assert(s1.deleted.isEmpty && s1.pending ==
+      Seq(retired.getFileName.toString),
+      "first observation marks, never deletes — a reader that resolved " +
+        "the alias just before the flip may still be mid-probe")
+    assert(ArtifactRetention.readMarker(marker).contains(t0))
+
+    val s2 = ArtifactRetention.sweep(store, nowMs = t0 + Grace - 1)
+    assert(s2.deleted.isEmpty && s2.pending.nonEmpty && Files.exists(retired),
+      "inside the reader grace the marked root must survive")
+    assert(ArtifactRetention.readMarker(marker).contains(t0),
+      "a later sweep must not re-stamp the marker — the clock runs " +
+        "from the FIRST observation")
+
+    val s3 = ArtifactRetention.sweep(store, nowMs = t0 + Grace)
+    assert(s3.deleted == Seq(retired.getFileName.toString) &&
+      !Files.exists(retired) && !Files.exists(marker),
+      "past the grace the root and its marker are reclaimed together")
+    assert(Files.exists(servingR))
+  }
+
+  test("X187: a rollback flip onto a marked root clears its marker — " +
+    "the grace clock restarts from zero on the next dereference") {
+    val store = freshStore()
+    val t0 = System.currentTimeMillis()
+    val a = plantRoot(store, s"ivfpq_v3_${Key}_$FpA", Old)
+    val b = plantRoot(store, s"ivfpq_v3_${Key}_$FpB", Old)
+    val aliasP = Paths.get(store, "probe.serving")
+    IndexAlias.writeAlias(aliasP, IndexAlias.Serving("v2", a.toString))
+    val markerB = ArtifactRetention.markerPath(store, b.getFileName.toString)
+
+    assert(ArtifactRetention.sweep(store, nowMs = t0).pending ==
+      Seq(b.getFileName.toString))
+    // rollback onto B: it is serving again — the mark must not linger
+    IndexAlias.writeAlias(aliasP, IndexAlias.Serving("v1", b.toString))
+    val s2 = ArtifactRetention.sweep(store, nowMs = t0 + 2 * Grace)
+    assert(s2.deleted.isEmpty && !Files.exists(markerB),
+      "a re-referenced root sheds its marker")
+    // flip away again much later: B must get a FRESH observation, not
+    // inherit t0 — else a brief rollback window would strand readers
+    IndexAlias.writeAlias(aliasP, IndexAlias.Serving("v2", a.toString))
+    val s3 = ArtifactRetention.sweep(store, nowMs = t0 + 3 * Grace)
+    assert(s3.deleted.isEmpty && s3.pending == Seq(b.getFileName.toString),
+      "the second dereference starts a new grace period")
+    assert(ArtifactRetention.readMarker(markerB).contains(t0 + 3 * Grace))
+    assert(ArtifactRetention.sweep(store,
+      nowMs = t0 + 4 * Grace).deleted == Seq(b.getFileName.toString))
+  }
+
+  test("X187: orphan markers (root already gone) are cleaned; a torn " +
+    "marker re-marks instead of crashing or deleting early") {
+    val store = freshStore()
+    val t0 = System.currentTimeMillis()
+    val a = plantRoot(store, s"ivfpq_v3_${Key}_$FpA", Old)
+    IndexAlias.writeAlias(Paths.get(store, "probe.serving"),
+      IndexAlias.Serving("v1", a.toString))
+    val orphan = ArtifactRetention.markerPath(store, "long_gone_root")
+    Files.writeString(orphan, "12345")
+    val b = plantRoot(store, s"ivfpq_v3_${Key}_$FpB", Old)
+    val markerB = ArtifactRetention.markerPath(store, b.getFileName.toString)
+    Files.writeString(markerB, "not-a-timestamp")
+    val s1 = ArtifactRetention.sweep(store, nowMs = t0)
+    assert(!Files.exists(orphan), "markers without a root are swept")
+    assert(s1.pending == Seq(b.getFileName.toString) && Files.exists(b),
+      "an unparseable marker is re-stamped, never treated as expired")
+    assert(ArtifactRetention.readMarker(markerB).contains(t0))
+  }
+
+  test("X187: the registered graceful audit exercises the full " +
+    "five-verdict ladder with exact per-source counts") {
+    val plan = SparkEntry.queries("x187_graceful_retention")(spark, sfDir)
+      .collect()
+    assert(plan.map(_.getAs[String]("verdict")).toSet ==
+      Set("keep_serving", "keep_rollback", "keep_young",
+        "marked_pending", "reclaim"))
+    plan.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val byVerdict = rows.groupBy(_.getAs[String]("verdict"))
+        .view.mapValues(_.length).toMap
+      assert(byVerdict == Map("keep_serving" -> 1, "keep_rollback" -> 1,
+        "keep_young" -> 1, "marked_pending" -> 1, "reclaim" -> 2),
+        s"$src: six generations must land 1/1/1/1/2 on the ladder, " +
+          s"got $byVerdict")
+      // marked_days is 0 everywhere inside the window and counts days
+      // out-of-window beyond it — the audit's stand-in for the marker
+      rows.foreach { r =>
+        val expect = math.max(
+          r.getAs[Long]("age_days") - ArtifactRetention.AuditWindowDays, 0L)
+        assert(r.getAs[Long]("marked_days") == expect)
+      }
     }
   }
 }
