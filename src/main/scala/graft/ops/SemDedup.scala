@@ -156,6 +156,13 @@ object SemDedup {
 
   val semDedupSql: String = {
     val dxy = sqlDotQ("xe", "ye")
+    // Shared-CTE discipline (the x178 lesson, BASELINE/verify notes):
+    // DuckDB may re-execute an unmaterialized CTE once per reference.
+    // `pairs` is read by BOTH arms of `edges`' UNION — without
+    // MATERIALIZED the entire within-cell pair join (the quadratic
+    // core, ~180M candidate pairs at 30×) runs twice — and `best`
+    // feeds precand (twice), clustered, and the final SELECT. The
+    // hints change evaluation strategy only, never results.
     // The deciding test is the quantized cosine ≥ Tau, unchanged. The
     // `precand` stage is a PURELY conservative native prefilter so the
     // interpreted per-term dotQ lambda runs on near-threshold pairs
@@ -174,7 +181,7 @@ object SemDedup {
        |  SELECT vec_id, embedding,
        |         ${sqlDotQ("embedding", "embedding")} AS nq, c_label
        |  FROM rk WHERE rk = 1),
-       |best AS (
+       |best AS MATERIALIZED (
        |  SELECT b.vec_id, b.c_label AS cell, b.embedding AS e, b.nq,
        |         list_dot_product(b.embedding, b.embedding) AS nd,
        |         ${sqlCosQ(sqlDotQ("b.embedding", "cn.c"), "b.nq", "cn.nq_c")}
@@ -187,10 +194,10 @@ object SemDedup {
        |    ON x.cell = y.cell AND x.vec_id < y.vec_id
        |  WHERE list_dot_product(x.e, y.e) / (sqrt(x.nd) * sqrt(y.nd))
        |          >= $Tau - 1e-6),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM precand
        |  WHERE ${sqlCosQ(dxy, "xnq", "ynq")} >= $Tau),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
        |  UNION
        |  SELECT doc_b, doc_a FROM pairs),
