@@ -75,40 +75,58 @@ object Bpe {
 
     var merges: Option[DataFrame] = None
     for (r <- 1 to Rounds) {
-      val pairs = toks.as("t1").join(toks.as("t2"),
-          col("t1.word") === col("t2.word") &&
-            col("t2.pos") === col("t1.pos") + 1)
-        .select(col("t1.word").as("word"), col("t1.freq").as("freq"),
-          col("t1.pos").as("pos"),
-          col("t1.sym").as("lhs"), col("t2.sym").as("rhs"))
+      // Round restructure (round-18 optimization): the adjacent-pair
+      // stream is a lead() window over the word-partitioned symbol
+      // table, not a (word, pos+1) self-join — the join re-shuffled
+      // BOTH toks copies on (word, pos) every round; lead() rides the
+      // word partitioning the checkpoint already carries. The winning
+      // pair is checkpointed (1 row): it feeds both the merge table
+      // and the match flags, and un-materialized it re-ran its whole
+      // aggregation per consumer (once in the next round's checkpoint,
+      // once again in the final union's execution).
+      val w = Window.partitionBy($"word").orderBy($"pos")
+      val paired = toks.withColumn("rhs", lead($"sym", 1).over(w))
+      val pairs = paired.filter($"rhs".isNotNull)
+        .select($"word", $"freq", $"pos", $"sym".as("lhs"), $"rhs")
       val best = pairs.groupBy($"lhs", $"rhs")
         .agg(sum($"freq").as("pair_freq"))
         .orderBy($"pair_freq".desc, $"lhs".asc, $"rhs".asc)
         .limit(1)
+        .localCheckpoint()
       val roundRow = best.select(lit(r.toLong).as("round"),
         $"lhs", $"rhs", $"pair_freq")
       merges = Some(merges.map(_.unionAll(roundRow)).getOrElse(roundRow))
-      // matching positions of the winning pair, leftmost-nonoverlap
-      // via the run-parity rule
-      val m = pairs.join(broadcast(best.select($"lhs", $"rhs")),
-          Seq("lhs", "rhs"))
-        .select($"word", $"pos", concat($"lhs", $"rhs").as("ms"))
-      val runW = Window.partitionBy($"word").orderBy($"pos")
-      val withGrp = m.withColumn("grp",
-        $"pos" - row_number().over(runW).cast("long"))
-      val applied = withGrp.withColumn("k",
-          row_number().over(
-            Window.partitionBy($"word", $"grp").orderBy($"pos")))
-        .filter($"k" % 2 === 1)
-        .select($"word", $"pos", $"ms")
-      val dropped = applied.select($"word", ($"pos" + 1).as("pos"),
-        lit(1).as("dm"))
-      toks = toks
-        .join(applied.withColumn("am", lit(1)), Seq("word", "pos"), "left")
-        .join(dropped, Seq("word", "pos"), "left")
-        .filter($"dm".isNull)
+      // Merge application fused into windows over the SAME word
+      // partitioning (no joins): attach the 1-row winner via a
+      // broadcast left nested-loop join (left: an empty winner — no
+      // mergeable pair — must pass state through unchanged, which a
+      // cross join would empty out), flag matches, group consecutive
+      // matched positions into runs (pos − running-match-count), rank
+      // within the run (running count − count before the run), apply
+      // odd ranks (leftmost-first non-overlap), drop the right symbol
+      // of each applied merge via lag(), and re-number positions —
+      // the former four-frame join chain (m/applied/dropped/toks)
+      // expressed as one windowed pass.
+      val flagged = paired.join(
+          broadcast(best.select($"lhs".as("bl"), $"rhs".as("br"))),
+          lit(true), "left")
+        .withColumn("match",
+          coalesce($"rhs".isNotNull && $"sym" === $"bl" && $"rhs" === $"br",
+            lit(false)))
+        .withColumn("cum",
+          sum(when($"match", 1L).otherwise(0L)).over(w))
+        .withColumn("grp", when($"match", $"pos" - $"cum"))
+      val runW = Window.partitionBy($"word", $"grp").orderBy($"pos")
+      val applied = flagged
+        .withColumn("k", $"cum" - min($"cum").over(runW) + 1L)
+        .withColumn("applied", $"match" && $"k" % 2 === 1)
+      toks = applied
+        .withColumn("dropped",
+          coalesce(lag($"applied", 1).over(w), lit(false)))
+        .filter(!$"dropped")
         .select($"word", $"freq", $"pos",
-          when($"am".isNotNull, $"ms").otherwise($"sym").as("sym"))
+          when($"applied", concat($"sym", $"rhs")).otherwise($"sym")
+            .as("sym"))
         .withColumn("pos", row_number().over(
           Window.partitionBy($"word").orderBy($"pos")).cast("long"))
         .localCheckpoint()

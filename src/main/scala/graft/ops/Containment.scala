@@ -70,6 +70,11 @@ object Containment {
     import spark.implicits._
     val cand = candidatesSh(tok, maxCandDf)
 
+    // Verify stays in the expanded-join form DELIBERATELY (round-18
+    // optimization): the set-array alternative measured slower at
+    // bench scale — see the note in Dedup.exactJaccard. The round's
+    // win here is the checkpointed ranked index (one window/df pass
+    // feeding both candidate sides, not two).
     cand
       .join(tok.select($"doc_id".as("doc_inner"), $"sh"), Seq("doc_inner"))
       .join(tok.select($"doc_id".as("doc_outer"), $"sh"),
@@ -95,15 +100,13 @@ object Containment {
   private[graft] def candidatesSh(tok: DataFrame, maxCandDf: Long): DataFrame = {
     val spark = tok.sparkSession
     import spark.implicits._
-
-    val df = tok.groupBy($"sh").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy($"doc_id")
-    val ranked0 = tok.join(df, Seq("sh"))
-      .withColumn("n", count(lit(1)).over(wDoc))
-      .withColumn("pos", row_number().over(wDoc.orderBy($"df", $"sh")))
-    val ranked =
-      if (maxCandDf == Long.MaxValue) ranked0
-      else ranked0.where($"df" <= maxCandDf)
+    // Materialize the ranked index ONCE (projected to what the join
+    // reads): it feeds BOTH candidate sides (inner prefix and full
+    // outer), and self-join plan instances cannot share exchanges —
+    // without the checkpoint the df aggregate + doc windows run twice
+    // per execution (guide §2.4). ContainmentSpec pins the window
+    // discipline on the pre-checkpoint [[rankedIndexSh]] seam.
+    val ranked = rankedIndexSh(tok, maxCandDf).localCheckpoint()
 
     // inner side: prefix-pruned, ≥5 shingles; outer side: full index
     val innerPrefix = ranked
@@ -126,6 +129,25 @@ object Containment {
           * 4 >= $"n_sh_inner" * 3)
       .select($"doc_inner", $"doc_outer", $"n_sh_inner", $"n_sh_outer")
       .distinct()
+  }
+
+  /** The un-checkpointed ranked index (doc_id, sh, n, pos) behind
+    * [[candidatesSh]]: corpus df (groupBy + token-keyed join),
+    * doc-partitioned size/position windows, and the candidate-df cap
+    * when engaged. Factored out so ContainmentSpec can pin the window
+    * discipline on the frame the checkpoint materializes.
+    */
+  private[graft] def rankedIndexSh(tok: DataFrame, maxCandDf: Long): DataFrame = {
+    val spark = tok.sparkSession
+    import spark.implicits._
+    val df = tok.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy($"doc_id")
+    val ranked0 = tok.join(df, Seq("sh"))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("pos", row_number().over(wDoc.orderBy($"df", $"sh")))
+    (if (maxCandDf == Long.MaxValue) ranked0
+     else ranked0.where($"df" <= maxCandDf))
+      .select($"doc_id", $"sh", $"n", $"pos")
   }
 
   /** Pure all-pairs brute force — proving the asymmetric pruning

@@ -187,6 +187,15 @@ object Dedup {
       cand: DataFrame, sh: DataFrame, sizes: DataFrame): DataFrame = {
     val spark = cand.sparkSession
     import spark.implicits._
+    // Round-18 optimization note: a per-doc set-ARRAY verify
+    // (sort_array(collect_list) + native sorted-merge intersect count)
+    // was prototyped here and MEASURED SLOWER than this expanded join
+    // at bench scale (x62 verify 3.3 s vs 2.4 s; x146 6.1 s vs 4.7 s)
+    // — attaching ~2 KB set arrays to every candidate row through two
+    // joins outweighs the expansion it avoids while every join side
+    // still broadcasts. Kept in the expanded form deliberately; the
+    // candidate producers (x62/x63 prefix indexes, x146's fused truth
+    // count) carry the round's real wins.
     cand
       .join(sh.as("sa"), $"doc_a" === col("sa.doc_id"))
       .join(sh.as("sb"), $"doc_b" === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
@@ -552,10 +561,25 @@ object Dedup {
         .join(labels, $"doc_b" === $"doc")
         .select($"doc_a".as("doc"), $"label",
           when(lit(false), $"label").as("prev"))
+      // pointer-doubling shortcut (round-18 optimization): also fold in
+      // label(label(v)) — a labels⋈labels self-join on label-cardinality
+      // rows. Plain neighbor propagation converges in O(diameter)
+      // rounds, and threshold near-dup graphs DO form chains (measured:
+      // 352 label changes after the fused init on x145's sf0.1 pair
+      // set, ~14 rounds ≈ 6 s of barrier overhead for a 991-edge
+      // graph); the shortcut makes label ids hop to their current
+      // root's label each round — O(log diameter) rounds to the SAME
+      // fixpoint (min doc_id per component), since label(v) is always
+      // a vertex of v's own component and min() stays monotone.
+      val viaShortcut = labels.as("l1")
+        .join(labels.as("l2"), col("l1.label") === col("l2.doc"))
+        .select(col("l1.doc").as("doc"), col("l2.label").as("label"),
+          when(lit(false), col("l2.label")).as("prev"))
       val obs = org.apache.spark.sql.Observation(s"cc_round_$rounds")
       val (next, nextIds) = pinned {
         labels.select($"doc", $"label", $"label".as("prev"))
           .unionByName(viaNeighbor)
+          .unionByName(viaShortcut)
           .groupBy($"doc")
           .agg(min($"label").as("label"), min($"prev").as("prev"))
           .observe(obs,

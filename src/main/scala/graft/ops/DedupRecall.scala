@@ -74,17 +74,34 @@ object DedupRecall {
     val spark = sh.sparkSession
     import spark.implicits._
     val probes = sh.filter($"doc_id" % mod === 0)
-    // complete for jaccard > 0: any overlapping pair shares a shingle
-    val truthCand = probes.as("a").join(sh.as("b"),
+    // Fused truth count (round-18 optimization): the probe⋈corpus
+    // shared-shingle join already enumerates EVERY common shingle of
+    // every overlapping pair (complete for jaccard > 0 — any
+    // overlapping pair shares a shingle), so n_common is one COUNT
+    // aggregate over that join — the previous chain distinct-ed the
+    // pairs and re-expanded them through Dedup.exactJaccard's two
+    // joins to count the very matches the first join had produced
+    // (guide §1.2: don't compute things you throw away). A pair of
+    // two probe docs appears in both orientations; the a<b-or-b-not-
+    // probe filter keeps exactly one row per common shingle.
+    val truthCommon = probes.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") &&
-          col("a.doc_id") =!= col("b.doc_id"))
+          col("a.doc_id") =!= col("b.doc_id") &&
+          (col("a.doc_id") < col("b.doc_id") ||
+            col("b.doc_id") % mod =!= 0))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .distinct()
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_common"))
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val truth = Dedup.exactJaccard(truthCand, sh, sizes)
+    val truth = truthCommon
+      .join(sizes.as("za"), $"doc_a" === col("za.doc_id"))
+      .join(sizes.as("zb"), $"doc_b" === col("zb.doc_id"))
+      .select($"doc_a", $"doc_b",
+        ($"n_common".cast("double") /
+          (col("za.n_sh") + col("zb.n_sh") - $"n_common").cast("double"))
+          .as("jaccard"))
       .filter($"jaccard" >= MinJaccard)
-      .select($"doc_a", $"doc_b", $"jaccard")
     // the production candidate stage, restricted to pairs the truth
     // slice can see (probe on either side)
     val lsh = Dedup.minhashCandidates(sig)

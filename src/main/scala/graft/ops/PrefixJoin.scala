@@ -74,6 +74,11 @@ object PrefixJoin {
     import spark.implicits._
     val cand = candidatesSh(tok, maxCandDf)
 
+    // Verify stays in the expanded-join form DELIBERATELY (round-18
+    // optimization): the set-array alternative (sorted arrays +
+    // native merge-count) measured slower at bench scale — see the
+    // note in Dedup.exactJaccard. The round's win here is the
+    // checkpointed candidate index (one window/df pass, not two).
     cand
       .join(tok.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
       .join(tok.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
@@ -97,18 +102,14 @@ object PrefixJoin {
   private[graft] def candidatesSh(tok: DataFrame, maxCandDf: Long): DataFrame = {
     val spark = tok.sparkSession
     import spark.implicits._
-
-    val df = tok.groupBy($"sh").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy($"doc_id")
-    val ranked = tok.join(df, Seq("sh"))
-      .withColumn("n", count(lit(1)).over(wDoc))
-      .withColumn("pos",
-        row_number().over(wDoc.orderBy($"df", $"sh")))
-    val inBudget = ranked
-      .where($"pos" <= expr("n - ((n + 1) div 2) + 1"))
-    val prefix =
-      if (maxCandDf == Long.MaxValue) inBudget
-      else inBudget.where($"df" <= maxCandDf)
+    // Materialize the prefix index ONCE (projected to the four columns
+    // the join reads): both sides of the self-join below consume it,
+    // and self-join plan instances cannot share exchanges once one
+    // side is broadcast — without the checkpoint the df aggregate +
+    // doc windows run twice per execution (guide §2.4: remove repeated
+    // subtree computation outright). PrefixJoinSpec pins the window
+    // discipline on the pre-checkpoint [[prefixIndexSh]] seam.
+    val prefix = prefixIndexSh(tok, maxCandDf).localCheckpoint()
 
     // positional upper bound (PPJoin): a pair with J ≥ τ needs overlap
     // α = ⌈(n_a+n_b)/3⌉ (τ = 1/2); common shingles all sit at/after the
@@ -124,6 +125,29 @@ object PrefixJoin {
         (least($"n_sh_a" - $"pos_a", $"n_sh_b" - $"pos_b") + 1) * 3 >=
           $"n_sh_a" + $"n_sh_b")
       .select($"doc_a", $"doc_b", $"n_sh_a", $"n_sh_b").distinct()
+  }
+
+  /** The un-checkpointed prefix index (doc_id, sh, n, pos) behind
+    * [[candidatesSh]]: corpus df (groupBy + token-keyed join — never a
+    * PARTITION BY sh window), doc-partitioned size/position windows,
+    * the τ = 1/2 prefix budget, and the candidate-df cap when engaged.
+    * Factored out so PrefixJoinSpec can pin the window discipline on
+    * the frame the checkpoint materializes.
+    */
+  private[graft] def prefixIndexSh(tok: DataFrame, maxCandDf: Long): DataFrame = {
+    val spark = tok.sparkSession
+    import spark.implicits._
+    val df = tok.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy($"doc_id")
+    val ranked = tok.join(df, Seq("sh"))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("pos",
+        row_number().over(wDoc.orderBy($"df", $"sh")))
+    val inBudget = ranked
+      .where($"pos" <= expr("n - ((n + 1) div 2) + 1"))
+    (if (maxCandDf == Long.MaxValue) inBudget
+     else inBudget.where($"df" <= maxCandDf))
+      .select($"doc_id", $"sh", $"n", $"pos")
   }
 
   /** Pure all-pairs brute force — proving the prefix filter lossless. */

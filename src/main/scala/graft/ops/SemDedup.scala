@@ -129,7 +129,15 @@ object SemDedup {
       maxCell: Long = Long.MaxValue): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val best = bestOf(e)
+    // Materialize the assignment ONCE: `best` feeds three consumers —
+    // the within-cell pair join (twice, as both self-join sides), the
+    // clustered-subset join, and the singleton anti-join — and the
+    // AQE-final plan showed the whole centroid + crossJoin + argmin
+    // subtree executing once PER CONSUMER (self-join sides and the
+    // anti branch cannot share exchanges). One eager checkpoint of the
+    // corpus-sized assignment replaces three full corpus passes
+    // (guide §2.4: remove repeated computation outright).
+    val best = bestOf(e).localCheckpoint()
     val pairs = candidatePairsOf(best, maxCell)
       .filter(cosQ(dotQ(col("x.e"), col("y.e")),
         col("x.nq"), col("y.nq")) >= Tau)

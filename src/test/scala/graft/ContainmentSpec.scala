@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Containment, Dedup}
+import graft.ops.{Containment, CorpusIndex, Dedup}
 
 /** X63 — containment join: the asymmetrically-pruned plan must equal
   * an in-test all-pairs brute force, emit DIRECTED pairs (mutual
@@ -108,7 +108,18 @@ class ContainmentSpec extends SparkSpec {
       case p => p.toString
     }
     assert(!plan.contains("CartesianProduct"))
-    val windows = "(?m)^.*Window .*$".r.findAllIn(plan).toSeq
+    // window discipline lives in the ranked-index subtree, which the
+    // registered query materializes via localCheckpoint (round-18
+    // optimization) — pin it on the pre-checkpoint seam
+    val ix = Containment.rankedIndexSh(
+      CorpusIndex.shingles(spark, sfDir), Long.MaxValue)
+    ix.queryExecution.executedPlan.execute().foreach(_ => ())
+    val ixPlan = ix.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+    val windows = "(?m)^.*Window .*$".r.findAllIn(ixPlan).toSeq
     assert(windows.nonEmpty && windows.forall(_.contains("doc_id")),
       windows.mkString("\n"))
   }

@@ -107,4 +107,29 @@ class EventsSpec extends SparkSpec {
       "a props value failed the strict map<string,int> parse — the " +
         "single-parse plan would null n_keys/keys_csv where the oracle would not")
   }
+
+  test("B20: single-parse form equals the three-parse original " +
+    "(get_json_object / json_tuple parity on the corpus)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{MapType, StringType}
+    // round-18 optimization replaced get_json_object + json_tuple with
+    // element_at on the one parsed map (one Jackson parse per row, no
+    // Generate node); pin bit-equality against the original three-parse
+    // plan on the full events fixture
+    val original = Tables.events(spark, sfDir)
+      .withColumn("pm", from_json($"props", MapType(StringType, StringType)))
+      .select(
+        $"event_id",
+        get_json_object($"props", "$.k").as("k_get"),
+        json_tuple($"props", "k"),
+        array_join(map_values($"pm"), ",").as("values_csv"),
+        element_at(map_values($"pm"), 1).as("first_value"),
+        map_contains_key($"pm", "k").as("has_k"))
+      .withColumnRenamed("c0", "k_tuple")
+    val got = Events.mapJsonFunctions(spark, sfDir)
+    assert(got.schema.map(f => (f.name, f.dataType)) ==
+      original.schema.map(f => (f.name, f.dataType)))
+    assert(got.exceptAll(original).isEmpty &&
+      original.exceptAll(got).isEmpty)
+  }
 }

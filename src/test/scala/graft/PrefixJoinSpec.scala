@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, PrefixJoin}
+import graft.ops.{CorpusIndex, Dedup, PrefixJoin}
 
 /** X62 — prefix-filtered set-similarity join: the pruned plan must
   * equal an in-test all-pairs brute force (losslessness), contain every
@@ -113,7 +113,18 @@ class PrefixJoinSpec extends SparkSpec {
       case p => p.toString
     }
     assert(!plan.contains("CartesianProduct"))
-    val windows = "(?m)^.*Window .*$".r.findAllIn(plan).toSeq
+    // window discipline lives in the prefix-index subtree, which the
+    // registered query materializes via localCheckpoint (round-18
+    // optimization) — pin it on the pre-checkpoint seam
+    val ix = PrefixJoin.prefixIndexSh(
+      CorpusIndex.shingles(spark, sfDir), Long.MaxValue)
+    ix.queryExecution.executedPlan.execute().foreach(_ => ())
+    val ixPlan = ix.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+    val windows = "(?m)^.*Window .*$".r.findAllIn(ixPlan).toSeq
     assert(windows.nonEmpty && windows.forall(_.contains("doc_id")),
       windows.mkString("\n"))
   }
