@@ -48,13 +48,19 @@ object Boilerplate {
     val nDocs = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
     val bySource = Window.partitionBy($"source")
       .orderBy($"df".desc, $"phrase".asc)
+    // lambda-free n-gram build (round-18 optimization): zip N shifted
+    // slices and explode — the transform(sequence(…)) form evaluates
+    // its lambda interpreted, one boxed call per position, outside
+    // whole-stage codegen (the Dedup.shinglesOf lesson, ~7× slower)
+    val len = size($"ws") - (N - 1)
     docs
       .select($"source", $"doc_id",
         split(trim(lower($"text")), "\\s+").as("ws"))
-      .filter(size($"ws") >= N) // also keeps sequence() ascending
-      .select($"source", $"doc_id", explode(expr(
-        s"transform(sequence(1, size(ws) - ${N - 1})," +
-          s" i -> concat_ws(' ', slice(ws, i, $N)))")).as("phrase"))
+      .filter(size($"ws") >= N) // also keeps the slice length positive
+      .select($"source", $"doc_id", explode(arrays_zip(
+        (0 until N).map(j => slice($"ws", lit(j + 1), len)): _*)).as("z"))
+      .select($"source", $"doc_id",
+        concat_ws(" ", (0 until N).map(j => col(s"z.$j")): _*).as("phrase"))
       .distinct() // document frequency, not occurrence count
       .groupBy($"source", $"phrase").agg(count(lit(1)).as("df"))
       .filter($"df" >= MinDf)

@@ -49,6 +49,10 @@ object Distinctive {
   private[graft] def distinctiveTermsOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // vocab×sources rows; feeds BOTH the word marginal and the scored
+    // join — materialized so the tokenize+distinct corpus pass runs
+    // once, not per reference (round-18 optimization; the AQE-final
+    // plan held the whole Generate+aggregate chain twice)
     val cells = docs
       .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
       .select($"source", $"doc_id",
@@ -56,7 +60,7 @@ object Distinctive {
       .filter($"word" =!= "")
       .distinct() // document frequency, not term frequency
       .groupBy($"source", $"word").agg(count(lit(1)).as("a"))
-    val srcTot = cells.groupBy($"source").agg(sum($"a").as("sum_a"))
+      .localCheckpoint()
     val nDocs = docs.groupBy($"source").agg(count(lit(1)).as("n_src"))
     val wordTot = cells.groupBy($"word").agg(sum($"a").as("df_all"))
       .filter($"df_all" >= MinDf)

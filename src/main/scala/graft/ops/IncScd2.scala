@@ -64,7 +64,14 @@ object IncScd2 {
   private[graft] def incrementalScd2Of(orders: DataFrame, cutoff: Column): DataFrame = {
     val spark = orders.sparkSession
     import spark.implicits._
+    // Materialize the rebuilt history ONCE (round-18 optimization):
+    // `base` feeds the untouched anti-join and the touched semi-join
+    // (whose result is itself read twice, closed + open) — without a
+    // checkpoint the whole B37 window chain re-executed per reference
+    // (3 copies in the AQE-final plan). In production this frame IS the
+    // persisted SCD2 table; the checkpoint is the stand-in's read-once.
     val base = Relational.scd2IntervalsOf(orders.filter($"o_orderdate" < cutoff))
+      .localCheckpoint()
     mergeScd2(base, orders.filter($"o_orderdate" >= cutoff))
   }
 
@@ -109,6 +116,10 @@ object IncScd2 {
           .as("valid_from"),
         when($"version" === $"open_v", $"open_n" + $"cnt").otherwise($"cnt")
           .as("n_orders"))
+      // delta-version cardinality; read twice below (tail union + its
+      // anti-join) — materialize instead of re-running the seeded
+      // window chain per reference (round-18 optimization)
+      .localCheckpoint()
     // an open version the delta did NOT extend still joins the tail so
     // the lead() below closes it with the first delta version's start
     val openAsRow = open.select($"o_custkey", $"open_v".as("version"),

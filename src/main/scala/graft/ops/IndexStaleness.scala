@@ -97,6 +97,31 @@ object IndexStaleness {
       cbRow: DataFrame): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    // Native codegen audit kernel (round-18 optimization): one fused
+    // primitive loop per vector — the HOF form below ([[encodeStatsHof]],
+    // kept as the parity reference IndexStalenessSpec pins bit-equal)
+    // interprets ~|cells|·dims + M·K·Sub lambda frames per vector, twice
+    // per audit (training + arrivals). Same exactness contract: see
+    // [[graft.functions.expr.IvfPqAudit]].
+    val st = ColumnBridge.column(graft.functions.expr.IvfPqAudit(
+      ColumnBridge.expression($"embedding"),
+      ColumnBridge.expression($"cents"),
+      ColumnBridge.expression($"cbs"), M, Sub, Scale))
+    vecs
+      .crossJoin(broadcast(centRow))
+      .crossJoin(broadcast(cbRow))
+      .withColumn("st", st)
+      .select($"vec_id", $"st.cell".as("cell"),
+        $"st.adc_err".as("adc_err"), $"st.coarse_d2".as("coarse_d2"))
+  }
+
+  /** HOF reference form of [[encodeStats]] (interpreted lambdas; kept
+    * for the parity pin). */
+  private[graft] def encodeStatsHof(vecs: DataFrame, centRow: DataFrame,
+      cbRow: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
     val nq = dotQ($"embedding", $"embedding")
     // the index's own coarse argmin key (dist, cell) — X180's form
     val best = array_min(transform($"cents", c =>

@@ -70,12 +70,17 @@ object Manifest {
     val keptPairs = pairs
       .join(kept.select($"doc_id".as("doc_a"), $"split".as("sa")), Seq("doc_a"))
       .join(kept.select($"doc_id".as("doc_b"), $"split".as("sb")), Seq("doc_b"))
+    // both leak directions from ONE pass over the joined pair stream
+    // (round-18 optimization): the union-of-two-filters form executed
+    // the pairs⋈kept⋈kept chain once per arm (the arms are mutually
+    // exclusive — sb ≠ train vs sb = train — so the per-doc counts are
+    // identical)
     val leaks = keptPairs
-      .where($"sa" === "train" && $"sb" =!= "train")
-      .select($"doc_a".as("doc_id"))
-      .unionAll(keptPairs
-        .where($"sb" === "train" && $"sa" =!= "train")
-        .select($"doc_b".as("doc_id")))
+      .select(explode(array(
+        when($"sa" === "train" && $"sb" =!= "train", $"doc_a"),
+        when($"sb" === "train" && $"sa" =!= "train", $"doc_b")))
+        .as("doc_id"))
+      .filter($"doc_id".isNotNull)
       .groupBy($"doc_id").agg(count(lit(1)).as("n_leak_links"))
 
     val acted = tagged.join(leaks, Seq("doc_id"), "left")

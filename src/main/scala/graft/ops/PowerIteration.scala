@@ -58,17 +58,28 @@ object PowerIteration {
       // multiple, so truncate-vs-floor cannot differ)
       .withColumn("m", expr("(cov_num - pmod(cov_num, mden)) div mden"))
       .select($"i", $"j", $"m")
+    // Materialize the symmetrized matrix ONCE (round-18 optimization):
+    // it feeds v1, v2, v3 AND the diagonal of the final select, and
+    // without a checkpoint each reference re-executed the whole X113
+    // covariance aggregation — the corpus-sized pass — leaving ~7
+    // copies of the covariance subtree in the AQE-final plan (537
+    // operators). The matrix is ≤ 2·D² rows (8k at D = 64) —
+    // broadcast-sized at any corpus scale. The iterates are D rows:
+    // checkpointing v1/v2 keeps the final four-way join from
+    // re-running the earlier matvecs.
     val full = upper.select($"i", $"j", $"m")
       .union(upper.filter($"i" =!= $"j")
         .select($"j".as("i"), $"i".as("j"), $"m"))
+      .localCheckpoint()
     def matvec(v: DataFrame): DataFrame =
       full.join(broadcast(v.withColumnRenamed("j", "i")
           .withColumnRenamed("v", "vin")), "i")
         .groupBy($"j").agg(sum($"m" * $"vin").as("v"))
     val v1 = full.groupBy($"j").agg(sum($"m").as("v")) // v0 = all-ones
-    val v2 = matvec(v1)
+      .localCheckpoint()
+    val v2 = matvec(v1).localCheckpoint()
     val v3 = matvec(v2)
-    upper.filter($"i" === $"j").select($"i".as("dim"), $"m".as("m_diag"))
+    full.filter($"i" === $"j").select($"i".as("dim"), $"m".as("m_diag"))
       .join(v1.select($"j".as("dim"), $"v".as("v1")), "dim")
       .join(v2.select($"j".as("dim"), $"v".as("v2")), "dim")
       .join(v3.select($"j".as("dim"), $"v".as("v3")), "dim")

@@ -262,12 +262,16 @@ object Relational {
     Tables.lineitem(spark, dir)
       .filter($"l_shipdate" <= lit("1998-09-01").cast("timestamp"))
       // the local single-row-group parquet yields ONE input split, so the
-      // decimal partial aggregation would run on one core; the round-robin
+      // decimal partial aggregation would run on one core; the keyed
       // exchange fans the map-side pass across all of them (after the
-      // pushed filter, so pushdown is intact). At cluster scale the scan's
-      // natural splits provide this parallelism and the exchange is just
-      // one cheap extra hop (same trade as Weather.roundTrip).
-      .repartition(spark.sparkContext.defaultParallelism)
+      // pushed filter, so pushdown is intact). Hash on l_orderkey, not
+      // round-robin: a keyless repartition first pays a defensive local
+      // sort of its whole input partition (sortBeforeRepartition,
+      // SPARK-23207 — single-threaded here by construction), and the
+      // deterministic key also removes the retry hazard the sort guards
+      // against (guide §2.5). At cluster scale the scan's natural splits
+      // provide this parallelism and the exchange is one cheap hop.
+      .repartition(spark.sparkContext.defaultParallelism, $"l_orderkey")
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         dsum($"l_quantity").as("sum_qty"),
@@ -622,8 +626,9 @@ object Relational {
     Tables.lineitem(spark, dir)
       // sqrt/ln/pow over every row is the rare CPU-bound map stage; the
       // single-row-group local file would pin it to one task (see
-      // aggPricingSummary) — fan out before computing
-      .repartition(spark.sparkContext.defaultParallelism)
+      // aggPricingSummary) — fan out before computing, keyed on
+      // l_orderkey for the same sortBeforeRepartition reason as there
+      .repartition(spark.sparkContext.defaultParallelism, $"l_orderkey")
       .select(
         $"l_orderkey", $"l_linenumber",
         abs($"l_quantity" - lit(25.0)).as("qty_dev"),

@@ -105,9 +105,15 @@ object ThetaOverlap {
   }
 
   /** Core of X137 over any DISTINCT (grp, h) frame. */
-  private[graft] def pairsOf(items: DataFrame): DataFrame = {
-    val spark = items.sparkSession
+  private[graft] def pairsOf(items0: DataFrame): DataFrame = {
+    val spark = items0.sparkSession
     import spark.implicits._
+    // Materialize the distinct item universe ONCE (round-18
+    // optimization): `items` feeds the sketch aggregate AND both sides
+    // of the exact-intersection self-join — un-checkpointed, the
+    // join-source distinct chain (shingle join + md5 + DISTINCT, the
+    // corpus pass) re-executed once per reference.
+    val items = items0.localCheckpoint()
     val (sketch, meta) = sketchOf(items)
     // the |S|-row meta self-join is pure-non-equi (grp_a < grp_b); the
     // checkpointed source hides size stats from the planner, which

@@ -139,7 +139,11 @@ object Weather {
   def roundTrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val wire = Tables.events(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      // keyed on event_id, not round-robin: a keyless repartition pays
+      // a defensive local sort of the single-row-group input first
+      // (sortBeforeRepartition, SPARK-23207) and the deterministic key
+      // removes the retry hazard that sort guards against (guide §2.5)
+      .repartition(spark.sparkContext.defaultParallelism, $"event_id")
       .select(envelopeJson(spark).as("value"))
     flatten(wire, $"value")
       .withColumn("event_time", $"event_time".cast("timestamp_ntz"))

@@ -61,8 +61,15 @@ object Winnowing {
   def winnowingMatch(spark: SparkSession, dir: String): DataFrame =
     matchOf(Tables.documents(spark, dir))
 
-  /** Fingerprints (doc_id, pos, h) of any (doc_id, text) frame. */
-  private[graft] def fingerprintsOf(docs: DataFrame): DataFrame = {
+  /** The selected window-minimum keys (doc_id, mk) over all full
+    * windows, pre-distinct — the shared core behind [[fingerprintsOf]]
+    * (which decodes (pos, h) for the position-carrying contract) and
+    * [[keptFingerprintsOf]] (which only needs the distinct h set and
+    * skips the intermediate (pos, h) distinct — round-18 optimization:
+    * the old chain distinct-ed (doc_id, pos, h) and then distinct-ed
+    * (doc_id, h) AGAIN, two full exchanges over the selection stream).
+    */
+  private def selectedKeysOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val posCap = (1 << PosBits) - 1
@@ -86,6 +93,14 @@ object Winnowing {
       .withColumn("mk", min(key).over(win))
       .withColumn("full", $"p" >= W) // only full windows select
       .filter($"full")
+      .select($"doc_id", $"mk")
+  }
+
+  /** Fingerprints (doc_id, pos, h) of any (doc_id, text) frame. */
+  private[graft] def fingerprintsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    selectedKeysOf(docs)
       .select($"doc_id",
         (lit((1L << PosBits) - 1) - pmod($"mk", lit(1L << PosBits)))
           .as("pos"),
@@ -135,8 +150,14 @@ object Winnowing {
   private[graft] def keptFingerprintsOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val fpAll = fingerprintsOf(docs)
-      .select($"doc_id", $"h").distinct()
+    // ONE distinct over the decoded hash (identical set to
+    // distinct(pos, h) → project h → distinct, since the (pos, h)
+    // decode of mk is bijective; the match never reads positions)
+    val fpAll = selectedKeysOf(docs)
+      .select($"doc_id",
+        expr(s"(mk - pmod(mk, ${1L << PosBits})) div ${1L << PosBits}")
+          .as("h"))
+      .distinct()
     val rare = fpAll.groupBy($"h").agg(count(lit(1)).as("df"))
       .filter($"df" <= MaxDf)
     fpAll.join(rare.select($"h"), Seq("h")).localCheckpoint()

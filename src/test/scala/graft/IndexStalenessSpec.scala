@@ -83,4 +83,21 @@ class IndexStalenessSpec extends SparkSpec {
       "the audit's per-vector min-distance must equal the stored " +
         "encoding's distance — stored codes are the argmin")
   }
+
+  test("X182: native audit kernel is bit-equal to the HOF reference " +
+    "form (corpus and the registered drifted batch)") {
+    val index = IndexStore.readIvfPq(spark,
+      IndexStore.ensureRoot(spark, sfDir))
+    val centRow = graft.stream.StreamIndexIngest.centroidRow(index.centroids)
+    val cbRow = graft.stream.StreamIndexIngest.codebookRow(index.codebooks)
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+    for (vecs <- Seq(corpus, IndexStaleness.driftedArrivals(corpus))) {
+      val native = IndexStaleness.encodeStats(vecs, centRow, cbRow)
+      val hof = IndexStaleness.encodeStatsHof(vecs, centRow, cbRow)
+      assert(native.schema.map(f => (f.name, f.dataType)) ==
+        hof.schema.map(f => (f.name, f.dataType)))
+      assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+    }
+  }
 }
