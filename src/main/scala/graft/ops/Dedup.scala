@@ -536,6 +536,15 @@ object Dedup {
           struct($"doc_a", $"doc_b"),
           struct($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))).as("e"))
         .select($"e.doc_a", $"e.doc_b")
+        // partition AND sort by the propagation join key BEFORE the
+        // checkpoint (round-18 optimization): every loop round sort-
+        // merge-joins edges on doc_b, and a LogicalRDD checkpoint
+        // carries its partitioning and ordering — so the rounds pay
+        // zero exchange and zero sort on the EDGE side (the big side
+        // at scale; labels is vertex-cardinality). Establish the
+        // layout once, reuse it every round (guide §2.4).
+        .repartition($"doc_b")
+        .sortWithinPartitions($"doc_b")
         .localCheckpoint()
     }
     // initial labels FUSE the first propagation round: label(v) =
