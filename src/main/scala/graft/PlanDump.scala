@@ -10,9 +10,10 @@ import org.apache.spark.sql.SparkSession
   * noop-sink wall measurement (median of reps) for local attribution.
   *
   * Usage: runMain graft.PlanDump <suffix> <query>[,<query>...]
-  * Writes plans/r18/<query>_<suffix>.txt; suffix is "before"/"after".
+  * Writes <plansDir>/<query>_<suffix>.txt; suffix is "before"/"after".
   * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (32),
-  * SPARK_GRAFT_PLANDUMP_REPS (3).
+  * SPARK_GRAFT_PLANDUMP_REPS (3), SPARK_GRAFT_PLANS_DIR (default
+  * plans/r19 — the current round's evidence directory).
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -38,7 +39,8 @@ object PlanDump {
     spark.range(100000).selectExpr("id", "id * 2 as x")
       .groupBy(expr("id % 7")).count()
       .write.format("noop").mode("overwrite").save()
-    Files.createDirectories(Paths.get("plans/r18"))
+    val plansDir = sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r19")
+    Files.createDirectories(Paths.get(plansDir))
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)
@@ -79,8 +81,8 @@ object PlanDump {
            |== AQE-final executed plan ==
            |$finalPlan
            |""".stripMargin
-      Files.writeString(Paths.get(s"plans/r18/${name}_$suffix.txt"), out)
-      println(f"[plandump] $name%-28s $wall%6.2f s -> plans/r18/${name}_$suffix.txt")
+      Files.writeString(Paths.get(s"$plansDir/${name}_$suffix.txt"), out)
+      println(f"[plandump] $name%-28s $wall%6.2f s -> $plansDir/${name}_$suffix.txt")
     }
     spark.stop()
   }

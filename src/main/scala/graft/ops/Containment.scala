@@ -39,7 +39,8 @@ object Containment {
   private[graft] val minInnerShingles = 5L
 
   def containmentJoin(spark: SparkSession, dir: String): DataFrame =
-    containmentJoinSh(CorpusIndex.shingles(spark, dir), ScaleCaps.maxCandDf)
+    containmentJoinRanked(CorpusIndex.rankedShingles(spark, dir),
+      ScaleCaps.maxCandDf)
 
   /** Core of X63 over any (doc_id, text, …) frame; test/scale seam. */
   def containmentJoinOf(docs: DataFrame): DataFrame =
@@ -61,28 +62,56 @@ object Containment {
   def containmentJoinOf(docs: DataFrame, maxCandDf: Long): DataFrame =
     containmentJoinSh(Dedup.shinglesOf(docs).localCheckpoint(), maxCandDf)
 
-  /** X63 over a pre-materialized (doc_id, sh) shingle frame — the
-    * registered query reads the shared [[CorpusIndex]] checkpoint; the
-    * `Of` seams self-cache for arbitrary inputs.
+  /** X63 over a pre-materialized (doc_id, sh) shingle frame; the `Of`
+    * seams self-cache for arbitrary inputs.
     */
-  private[graft] def containmentJoinSh(tok: DataFrame, maxCandDf: Long): DataFrame = {
-    val spark = tok.sparkSession
-    import spark.implicits._
-    val cand = candidatesSh(tok, maxCandDf)
+  private[graft] def containmentJoinSh(tok: DataFrame, maxCandDf: Long): DataFrame =
+    containmentJoinRanked(
+      CorpusIndex.rankedShinglesOf(tok).localCheckpoint(), maxCandDf)
 
-    // Verify stays in the expanded-join form DELIBERATELY (round-18
-    // optimization): the set-array alternative measured slower at
-    // bench scale — see the note in Dedup.exactJaccard. The round's
-    // win here is the checkpointed ranked index (one window/df pass
-    // feeding both candidate sides, not two).
-    cand
-      .join(tok.select($"doc_id".as("doc_inner"), $"sh"), Seq("doc_inner"))
-      .join(tok.select($"doc_id".as("doc_outer"), $"sh"),
-        Seq("doc_outer", "sh"))
-      .groupBy($"doc_inner", $"doc_outer")
-      .agg(max($"n_sh_inner").as("n_sh_inner"),
-        max($"n_sh_outer").as("n_sh_outer"),
-        count(lit(1)).as("n_common"))
+  /** Core of X63 over the materialized ranked index (doc_id, sh, n,
+    * pos, df) — the registered query reads the [[CorpusIndex]] memo
+    * (the rarest-first index is a corpus artifact, built once for the
+    * whole lossless-join family).
+    *
+    * Fused verify (round-19 optimization, the x146 lesson): the old
+    * chain re-expanded every candidate pair through ALL of the inner
+    * doc's shingles (cand ⋈ tok on doc_inner, then ⋈ tok on (doc_outer,
+    * sh)) — 13.0M intermediate rows at sf0.1 for 235k candidates. The
+    * shared-shingle join over the corpus PRUNED to candidate docs
+    * (left-semi on each side, guide §3.2/§6) enumerates each common
+    * shingle of each overlapping doc pair exactly once — 2.5M rows,
+    * 5.2× less — and one count aggregate over it IS n_common; the
+    * candidate frame then just equi-joins on the pair. Lossless: every
+    * candidate pair shares ≥ 1 (prefix) shingle, so the inner join
+    * drops nothing. Scale posture: the pruned join is
+    * Σ_sh df_cand(sh)·df_cand(sh) over CANDIDATE docs only — bounded by
+    * the candidate population the ScaleCaps cap already governs,
+    * whereas the old expansion was Σ_cand n_sh_inner; CAND_GROWTH.json
+    * carries both measured volumes across four SF decades.
+    */
+  private[graft] def containmentJoinRanked(ranked: DataFrame,
+      maxCandDf: Long): DataFrame = {
+    val spark = ranked.sparkSession
+    import spark.implicits._
+    // candidates feed the doc-prune AND the final pair join — two
+    // consumers, so materialize once (guide §2.4); candidate
+    // cardinality rows only
+    val cand = candidatesRanked(ranked, maxCandDf).localCheckpoint()
+    val tok = ranked.select($"doc_id", $"sh")
+    val tokIn = tok.join(
+      cand.select($"doc_inner".as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val tokOut = tok.join(
+      cand.select($"doc_outer".as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val shared = tokIn.as("a").join(tokOut.as("b"),
+        col("a.sh") === col("b.sh") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_inner"),
+        col("b.doc_id").as("doc_outer"))
+      .agg(count(lit(1)).as("n_common"))
+    cand.join(shared, Seq("doc_inner", "doc_outer"))
       .where(lit(4) * $"n_common" >= lit(3) * $"n_sh_inner")
       .select($"doc_inner", $"doc_outer", $"n_sh_inner", $"n_sh_outer",
         $"n_common",
@@ -97,24 +126,30 @@ object Containment {
     * Factored out for the pair-count growth evidence (graft.CandGrowth
     * → SCALE.md), measuring exactly what the registered query executes.
     */
-  private[graft] def candidatesSh(tok: DataFrame, maxCandDf: Long): DataFrame = {
-    val spark = tok.sparkSession
+  private[graft] def candidatesSh(tok: DataFrame, maxCandDf: Long): DataFrame =
+    candidatesRanked(
+      CorpusIndex.rankedShinglesOf(tok).localCheckpoint(), maxCandDf)
+
+  /** [[candidatesSh]] over the materialized ranked index. The cap
+    * filter applies HERE (candidate generation only — the fused verify
+    * counts over the uncapped index), so the memoized frame stays
+    * cap-independent.
+    */
+  private[graft] def candidatesRanked(ranked: DataFrame,
+      maxCandDf: Long): DataFrame = {
+    val spark = ranked.sparkSession
     import spark.implicits._
-    // Materialize the ranked index ONCE (projected to what the join
-    // reads): it feeds BOTH candidate sides (inner prefix and full
-    // outer), and self-join plan instances cannot share exchanges —
-    // without the checkpoint the df aggregate + doc windows run twice
-    // per execution (guide §2.4). ContainmentSpec pins the window
-    // discipline on the pre-checkpoint [[rankedIndexSh]] seam.
-    val ranked = rankedIndexSh(tok, maxCandDf).localCheckpoint()
+    val base =
+      if (maxCandDf == Long.MaxValue) ranked
+      else ranked.where($"df" <= maxCandDf)
 
     // inner side: prefix-pruned, ≥5 shingles; outer side: full index
-    val innerPrefix = ranked
+    val innerPrefix = base
       .where($"n" >= minInnerShingles &&
         $"pos" <= expr("n - ((3 * n + 3) div 4) + 1"))
       .select($"doc_id".as("doc_inner"), $"sh", $"n".as("n_sh_inner"),
         $"pos".as("pos_in"))
-    val outerFull = ranked
+    val outerFull = base
       .select($"doc_id".as("doc_outer"), $"sh", $"n".as("n_sh_outer"),
         $"pos".as("pos_out"))
 
@@ -132,19 +167,16 @@ object Containment {
   }
 
   /** The un-checkpointed ranked index (doc_id, sh, n, pos) behind
-    * [[candidatesSh]]: corpus df (groupBy + token-keyed join),
-    * doc-partitioned size/position windows, and the candidate-df cap
-    * when engaged. Factored out so ContainmentSpec can pin the window
-    * discipline on the frame the checkpoint materializes.
+    * [[candidatesSh]] — a filtered view of the family-shared
+    * [[CorpusIndex.rankedShinglesOf]] (corpus df via groupBy +
+    * token-keyed join, doc-partitioned size/position windows), with the
+    * candidate-df cap when engaged. Kept so ContainmentSpec can pin the
+    * window discipline on the frame the checkpoint materializes.
     */
   private[graft] def rankedIndexSh(tok: DataFrame, maxCandDf: Long): DataFrame = {
     val spark = tok.sparkSession
     import spark.implicits._
-    val df = tok.groupBy($"sh").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy($"doc_id")
-    val ranked0 = tok.join(df, Seq("sh"))
-      .withColumn("n", count(lit(1)).over(wDoc))
-      .withColumn("pos", row_number().over(wDoc.orderBy($"df", $"sh")))
+    val ranked0 = CorpusIndex.rankedShinglesOf(tok)
     (if (maxCandDf == Long.MaxValue) ranked0
      else ranked0.where($"df" <= maxCandDf))
       .select($"doc_id", $"sh", $"n", $"pos")

@@ -1,6 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 import graft.Tables
 
@@ -177,6 +179,39 @@ object CorpusIndex {
     derived(spark, dir, "curationVerdicts") {
       Curation.curationVerdictsOf(Tables.documents(spark, dir),
         corpusShingles = Some(shingles(spark, dir))).localCheckpoint()
+    }
+
+  /** The df-ranked shingle index (doc_id, sh, n, pos, df) behind the
+    * lossless near-dup joins: corpus df (groupBy + token-keyed join —
+    * never a PARTITION BY sh window, the x17 hot-key lesson) and the
+    * doc-partitioned size/position windows of the rarest-first total
+    * order. Pure function over any (doc_id, sh) frame; UNCAPPED — the
+    * consumers apply their own prefix budgets and the candidate-df cap
+    * downstream (the cap must not leak into the memoized frame, which
+    * is keyed on (session, dir) only).
+    */
+  private[graft] def rankedShinglesOf(tok: DataFrame): DataFrame = {
+    val spark = tok.sparkSession
+    import spark.implicits._
+    val df = tok.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy($"doc_id")
+    tok.join(df, Seq("sh"))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("pos", row_number().over(wDoc.orderBy($"df", $"sh")))
+      .select($"doc_id", $"sh", $"n", $"pos", $"df")
+  }
+
+  /** Memoized [[rankedShinglesOf]] over the corpus shingles — round-19
+    * optimization: x62 (prefix index) and x63 (full + prefix-pruned
+    * sides) each rebuilt the IDENTICAL df aggregate + two doc windows
+    * per execution (~1.0-1.1 s each at sf0.1). Same production
+    * statement as [[minhashScores]]: the rarest-first ranked index is a
+    * corpus-snapshot artifact, computed once and read by every lossless
+    * near-dup join.
+    */
+  private[graft] def rankedShingles(spark: SparkSession, dir: String): DataFrame =
+    derived(spark, dir, "rankedShingles") {
+      rankedShinglesOf(shingles(spark, dir)).localCheckpoint()
     }
 
   /** Test-only: drop this session's memoized entries so the next access

@@ -510,7 +510,16 @@ object Dedup {
     * edge list; returns (doc, label = min doc_id in component). Test seam
     * for [[dupClusters]].
     */
-  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponentsWithRounds(pairs)._1
+
+  /** [[connectedComponents]] + the number of propagation rounds it ran
+    * (excluding the fused init aggregate) — the measurement seam behind
+    * SCALE.md's O(log diameter) convergence rows; identical plan and
+    * result, the round counter was always tracked internally.
+    */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val sc = spark.sparkContext
@@ -605,7 +614,7 @@ object Dedup {
     }
     // the result is checkpoint-backed; it no longer references the edges
     release(edgeIds)
-    labels
+    (labels, rounds)
   }
 
   /** CC label CTE chain (x17 pairs → edges → transitive closure →

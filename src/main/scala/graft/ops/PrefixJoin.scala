@@ -38,7 +38,8 @@ import graft.Tables
 object PrefixJoin {
 
   def prefixSimJoin(spark: SparkSession, dir: String): DataFrame =
-    prefixSimJoinSh(CorpusIndex.shingles(spark, dir), ScaleCaps.maxCandDf)
+    prefixSimJoinRanked(CorpusIndex.rankedShingles(spark, dir),
+      ScaleCaps.maxCandDf)
 
   /** Core of X62 over any (doc_id, text, …) frame; test/scale seam. */
   def prefixSimJoinOf(docs: DataFrame): DataFrame =
@@ -64,27 +65,53 @@ object PrefixJoin {
   def prefixSimJoinOf(docs: DataFrame, maxCandDf: Long): DataFrame =
     prefixSimJoinSh(Dedup.shinglesOf(docs).cache(), maxCandDf)
 
-  /** X62 over a pre-materialized (doc_id, sh) shingle frame — the
-    * registered query reads the shared [[CorpusIndex]] checkpoint (the
-    * corpus is shingled once per session/dir, not once per family
-    * member); the `Of` seams above self-cache for arbitrary inputs.
+  /** X62 over a pre-materialized (doc_id, sh) shingle frame; the `Of`
+    * seams above self-cache for arbitrary inputs.
     */
-  private[graft] def prefixSimJoinSh(tok: DataFrame, maxCandDf: Long): DataFrame = {
-    val spark = tok.sparkSession
-    import spark.implicits._
-    val cand = candidatesSh(tok, maxCandDf)
+  private[graft] def prefixSimJoinSh(tok: DataFrame, maxCandDf: Long): DataFrame =
+    prefixSimJoinRanked(
+      CorpusIndex.rankedShinglesOf(tok).localCheckpoint(), maxCandDf)
 
-    // Verify stays in the expanded-join form DELIBERATELY (round-18
-    // optimization): the set-array alternative (sorted arrays +
-    // native merge-count) measured slower at bench scale — see the
-    // note in Dedup.exactJaccard. The round's win here is the
-    // checkpointed candidate index (one window/df pass, not two).
-    cand
-      .join(tok.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
-      .join(tok.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
-      .groupBy($"doc_a", $"doc_b")
-      .agg(max($"n_sh_a").as("n_sh_a"), max($"n_sh_b").as("n_sh_b"),
-        count(lit(1)).as("n_common"))
+  /** Core of X62 over the materialized ranked index (doc_id, sh, n,
+    * pos, df) — the registered query reads the [[CorpusIndex]] memo
+    * (the rarest-first index is a corpus artifact, built once for the
+    * whole lossless-join family).
+    *
+    * Fused verify (round-19 optimization, the x146 lesson): the old
+    * chain re-expanded every candidate pair through ALL of doc_a's
+    * shingles (cand ⋈ tok on doc_a, then ⋈ tok on (doc_b, sh)) — 8.8M
+    * intermediate rows at sf0.1 for 125k candidates. The shared-shingle
+    * self-join over the corpus PRUNED to candidate docs (left-semi,
+    * guide §3.2/§6) enumerates each common shingle of each overlapping
+    * pair exactly once — 1.3M rows, 6.9× less — and one count
+    * aggregate over it IS n_common; the candidate frame then just
+    * equi-joins on the pair. Lossless: every candidate pair shares ≥ 1
+    * prefix shingle, so the inner join drops nothing. Scale posture:
+    * the pruned join is Σ_sh C(df_cand(sh), 2) over CANDIDATE docs
+    * only — bounded by the candidate population the ScaleCaps cap
+    * already governs, whereas the old expansion was Σ_cand n_sh_a;
+    * CAND_GROWTH.json carries both measured volumes across four SF
+    * decades. (The round-18 set-array alternative stays rejected — see
+    * Dedup.exactJaccard.)
+    */
+  private[graft] def prefixSimJoinRanked(ranked: DataFrame,
+      maxCandDf: Long): DataFrame = {
+    val spark = ranked.sparkSession
+    import spark.implicits._
+    // candidates feed the doc-prune AND the final pair join — two
+    // consumers, so materialize once (guide §2.4)
+    val cand = candidatesRanked(ranked, maxCandDf).localCheckpoint()
+    val tok = ranked.select($"doc_id", $"sh")
+    val candDocs = cand
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id"))
+      .distinct()
+    val tokC = tok.join(candDocs, Seq("doc_id"), "left_semi")
+    val shared = tokC.as("a").join(tokC.as("b"),
+        col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    cand.join(shared, Seq("doc_a", "doc_b"))
       .where(lit(2) * $"n_common" >= $"n_sh_a" + $"n_sh_b" - $"n_common")
       .select($"doc_a", $"doc_b", $"n_sh_a", $"n_sh_b", $"n_common",
         ($"n_common".cast("double") /
@@ -99,17 +126,25 @@ object PrefixJoin {
     * pair-count-vs-SF growth evidence (graft.CandGrowth → SCALE.md)
     * measures exactly what the registered query executes.
     */
-  private[graft] def candidatesSh(tok: DataFrame, maxCandDf: Long): DataFrame = {
-    val spark = tok.sparkSession
+  private[graft] def candidatesSh(tok: DataFrame, maxCandDf: Long): DataFrame =
+    candidatesRanked(
+      CorpusIndex.rankedShinglesOf(tok).localCheckpoint(), maxCandDf)
+
+  /** [[candidatesSh]] over the materialized ranked index. The prefix
+    * budget and the cap filter apply HERE (candidate generation only —
+    * the fused verify counts over the uncapped index), so the memoized
+    * frame stays cap-independent.
+    */
+  private[graft] def candidatesRanked(ranked: DataFrame,
+      maxCandDf: Long): DataFrame = {
+    val spark = ranked.sparkSession
     import spark.implicits._
-    // Materialize the prefix index ONCE (projected to the four columns
-    // the join reads): both sides of the self-join below consume it,
-    // and self-join plan instances cannot share exchanges once one
-    // side is broadcast — without the checkpoint the df aggregate +
-    // doc windows run twice per execution (guide §2.4: remove repeated
-    // subtree computation outright). PrefixJoinSpec pins the window
-    // discipline on the pre-checkpoint [[prefixIndexSh]] seam.
-    val prefix = prefixIndexSh(tok, maxCandDf).localCheckpoint()
+    val inBudget = ranked
+      .where($"pos" <= expr("n - ((n + 1) div 2) + 1"))
+    val prefix =
+      (if (maxCandDf == Long.MaxValue) inBudget
+       else inBudget.where($"df" <= maxCandDf))
+        .select($"doc_id", $"sh", $"n", $"pos")
 
     // positional upper bound (PPJoin): a pair with J ≥ τ needs overlap
     // α = ⌈(n_a+n_b)/3⌉ (τ = 1/2); common shingles all sit at/after the
@@ -137,13 +172,7 @@ object PrefixJoin {
   private[graft] def prefixIndexSh(tok: DataFrame, maxCandDf: Long): DataFrame = {
     val spark = tok.sparkSession
     import spark.implicits._
-    val df = tok.groupBy($"sh").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy($"doc_id")
-    val ranked = tok.join(df, Seq("sh"))
-      .withColumn("n", count(lit(1)).over(wDoc))
-      .withColumn("pos",
-        row_number().over(wDoc.orderBy($"df", $"sh")))
-    val inBudget = ranked
+    val inBudget = CorpusIndex.rankedShinglesOf(tok)
       .where($"pos" <= expr("n - ((n + 1) div 2) + 1"))
     (if (maxCandDf == Long.MaxValue) inBudget
      else inBudget.where($"df" <= maxCandDf))

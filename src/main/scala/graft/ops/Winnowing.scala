@@ -150,17 +150,54 @@ object Winnowing {
   private[graft] def keptFingerprintsOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // ONE distinct over the decoded hash (identical set to
-    // distinct(pos, h) → project h → distinct, since the (pos, h)
-    // decode of mk is bijective; the match never reads positions)
-    val fpAll = selectedKeysOf(docs)
+    // Materialized BEFORE the df branch (round-19): fpAll feeds both
+    // the df aggregate and the join's probe side, and without the
+    // checkpoint the whole selection stream ran twice per execution
+    // (guide §2.4).
+    val fpAll = fpAllOf(docs).localCheckpoint()
+    val rare = fpAll.groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" <= MaxDf)
+    fpAll.join(rare.select($"h"), Seq("h")).localCheckpoint()
+  }
+
+  /** The distinct selected-fingerprint set (doc_id, h) via the native
+    * [[graft.functions.expr.WinnowKeys]] kernel (round-19 optimization,
+    * the IvfPqAudit precedent): gram hashing, the packed-key window
+    * minimum and the per-doc distinct run as ONE fused primitive loop
+    * per document — map-only, where the column form explodes ~n rows
+    * per doc, shuffles them into a doc-partitioned sort for a 4-element
+    * trailing min, and distinct-s the survivors (two exchanges + a
+    * sort). The doc-keyed repartition stays: it spreads the per-doc
+    * md5 loops across cores regardless of scan split count (the X6
+    * explode-parallelism shape). WinnowingSpec pins this frame
+    * set-equal to [[fpAllColumnOf]] on the full corpus.
+    */
+  private[graft] def fpAllOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    val keys = ColumnBridge.column(graft.functions.expr.WinnowKeys(
+      ColumnBridge.expression(
+        regexp_replace(lower($"text"), "\\s+", " ")), K, W, PosBits))
+    docs
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id", explode(keys).as("h"))
+  }
+
+  /** Column-form reference of [[fpAllOf]] — ONE distinct over the
+    * decoded hash (identical set to distinct(pos, h) → project h →
+    * distinct, since the (pos, h) decode of mk is bijective; the match
+    * never reads positions). Kept as the parity-spec twin of the
+    * native kernel.
+    */
+  private[graft] def fpAllColumnOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    selectedKeysOf(docs)
       .select($"doc_id",
         expr(s"(mk - pmod(mk, ${1L << PosBits})) div ${1L << PosBits}")
           .as("h"))
       .distinct()
-    val rare = fpAll.groupBy($"h").agg(count(lit(1)).as("df"))
-      .filter($"df" <= MaxDf)
-    fpAll.join(rare.select($"h"), Seq("h")).localCheckpoint()
   }
 
   /** The candidate pair stream of [[matchOf]] — cardinality bounded by

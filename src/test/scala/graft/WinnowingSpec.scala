@@ -70,6 +70,18 @@ class WinnowingSpec extends SparkSpec {
     assert(nFp.toDouble / nGrams < 0.8)
   }
 
+  test("X125: native winnow kernel ≡ column form on the full corpus (multiset-exact)") {
+    val docs = Tables.documents(spark, sfDir)
+    val native = Winnowing.fpAllOf(docs)
+    val column = Winnowing.fpAllColumnOf(docs)
+    // exceptAll both ways: also proves the kernel's per-doc set is
+    // genuinely distinct (a duplicate (doc_id, h) would survive the
+    // multiset subtraction against the distinct column form)
+    assert(native.exceptAll(column).count() == 0L)
+    assert(column.exceptAll(native).count() == 0L)
+    assert(native.count() > 0L)
+  }
+
   test("X125: real corpus equals the exact full-chain replay") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
