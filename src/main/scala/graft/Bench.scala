@@ -34,6 +34,11 @@ object Bench {
     spark.range(100000).selectExpr("id", "id * 2 as x")
       .groupBy(expr("id % 7")).count()
       .write.format("noop").mode("overwrite").save()
+    // Reading the numbers: ~0.08-0.21 s of EVERY query's wall at this
+    // SF is session fixed overhead (planning + AQE barriers +
+    // scheduling — measured shape-by-shape in BASELINE.md §"Per-query
+    // fixed overhead"), so sub-0.1 s drift across many cheap queries
+    // is scheduler noise, not engine regression; check the sentinel.
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)

@@ -97,6 +97,26 @@ object CandGrowth {
         val (nr63, w63) = timed(
           Containment.containmentJoinSh(tok, cap).count())
         record(factor, "x63_containment_join", mode, nc63, nr63, w63)
+        // round-19 fused verify: the shared-shingle enumeration over
+        // candidate docs replaced the candidate×shingles re-expansion —
+        // record ITS volume per factor (n_cand field = enumerated rows)
+        // so the new verify's growth curve sits beside the candidate
+        // counts it is bounded by
+        val ranked = graft.ops.CorpusIndex.rankedShinglesOf(tok)
+          .localCheckpoint()
+        val c62 = PrefixJoin.candidatesRanked(ranked, cap).localCheckpoint()
+        val (ne62, we62) = timed(
+          PrefixJoin.sharedEnumRanked(ranked, c62).count())
+        record(factor, "x62_setsim_prefix_join", s"$mode-verify-enum",
+          ne62, -1, we62)
+        c62.unpersist()
+        val c63 = Containment.candidatesRanked(ranked, cap).localCheckpoint()
+        val (ne63, we63) = timed(
+          Containment.sharedEnumRanked(ranked, c63).count())
+        record(factor, "x63_containment_join", s"$mode-verify-enum",
+          ne63, -1, we63)
+        c63.unpersist()
+        ranked.unpersist()
       }
 
       // x02 — the LSH banding IS its candidate bound (band-bucket
@@ -136,6 +156,26 @@ object CandGrowth {
       record(factor, "x62_setsim_prefix_join", "capped-counts", nc62, -1, w62)
       val (nc63, w63) = timed(Containment.candidatesSh(tok, Cap).count())
       record(factor, "x63_containment_join", "capped-counts", nc63, -1, w63)
+      locally {
+        // at this factor the pinned frames (tok cache + ranked ckpt +
+        // candidate ckpts) crowd execution memory — release each as
+        // soon as its count lands
+        val ranked = graft.ops.CorpusIndex.rankedShinglesOf(tok)
+          .localCheckpoint()
+        val c62 = PrefixJoin.candidatesRanked(ranked, Cap).localCheckpoint()
+        val (ne62, we62) = timed(
+          PrefixJoin.sharedEnumRanked(ranked, c62).count())
+        record(factor, "x62_setsim_prefix_join", "capped-verify-enum",
+          ne62, -1, we62)
+        c62.unpersist()
+        val c63 = Containment.candidatesRanked(ranked, Cap).localCheckpoint()
+        val (ne63, we63) = timed(
+          Containment.sharedEnumRanked(ranked, c63).count())
+        record(factor, "x63_containment_join", "capped-verify-enum",
+          ne63, -1, we63)
+        c63.unpersist()
+        ranked.unpersist()
+      }
       val sig = Dedup.minhashSignatures(tok).localCheckpoint()
       val (nc02, w02) = timed(Dedup.minhashCandidates(sig).count())
       record(factor, "x02_minhash_lsh", "banded-counts", nc02, -1, w02)

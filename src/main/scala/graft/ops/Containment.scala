@@ -83,12 +83,14 @@ object Containment {
     * shingle of each overlapping doc pair exactly once — 2.5M rows,
     * 5.2× less — and one count aggregate over it IS n_common; the
     * candidate frame then just equi-joins on the pair. Lossless: every
-    * candidate pair shares ≥ 1 (prefix) shingle, so the inner join
-    * drops nothing. Scale posture: the pruned join is
-    * Σ_sh df_cand(sh)·df_cand(sh) over CANDIDATE docs only — bounded by
-    * the candidate population the ScaleCaps cap already governs,
-    * whereas the old expansion was Σ_cand n_sh_inner; CAND_GROWTH.json
-    * carries both measured volumes across four SF decades.
+    * candidate pair shares ≥ 1 (prefix) shingle, so adding the counts
+    * and left-joining drops nothing. Hot shingles
+    * (df > [[PrefixJoin.VerifyHotDf]]) are counted by the expansion
+    * form instead — the shared join is quadratic in df on boilerplate
+    * shingles, the expansion is candidate-bounded; the df split keeps
+    * BOTH sides linear (see VerifyHotDf). CAND_GROWTH.json carries the
+    * measured volumes across four SF decades, organic and hot-corpus
+    * modes.
     */
   private[graft] def containmentJoinRanked(ranked: DataFrame,
       maxCandDf: Long): DataFrame = {
@@ -98,20 +100,27 @@ object Containment {
     // consumers, so materialize once (guide §2.4); candidate
     // cardinality rows only
     val cand = candidatesRanked(ranked, maxCandDf).localCheckpoint()
-    val tok = ranked.select($"doc_id", $"sh")
-    val tokIn = tok.join(
-      cand.select($"doc_inner".as("doc_id")).distinct(),
-      Seq("doc_id"), "left_semi")
-    val tokOut = tok.join(
-      cand.select($"doc_outer".as("doc_id")).distinct(),
-      Seq("doc_id"), "left_semi")
-    val shared = tokIn.as("a").join(tokOut.as("b"),
-        col("a.sh") === col("b.sh") &&
-          col("a.doc_id") =!= col("b.doc_id"))
+    // df-split verify (see PrefixJoin.VerifyHotDf): rare shingles via
+    // the pruned shared-shingle join, hot shingles via the
+    // candidate-bounded expansion; the counts partition the shingle
+    // universe exactly.
+    val rare = sharedEnumRanked(ranked, cand)
       .groupBy(col("a.doc_id").as("doc_inner"),
         col("b.doc_id").as("doc_outer"))
-      .agg(count(lit(1)).as("n_common"))
-    cand.join(shared, Seq("doc_inner", "doc_outer"))
+      .agg(count(lit(1)).as("n_rare"))
+    val tokHot = ranked.where($"df" > PrefixJoin.VerifyHotDf)
+      .select($"doc_id", $"sh")
+    val hot = cand
+      .join(tokHot.select($"doc_id".as("doc_inner"), $"sh"),
+        Seq("doc_inner"))
+      .join(tokHot.select($"doc_id".as("doc_outer"), $"sh"),
+        Seq("doc_outer", "sh"))
+      .groupBy($"doc_inner", $"doc_outer")
+      .agg(count(lit(1)).as("n_hot"))
+    cand.join(rare, Seq("doc_inner", "doc_outer"), "left")
+      .join(hot, Seq("doc_inner", "doc_outer"), "left")
+      .withColumn("n_common",
+        coalesce($"n_rare", lit(0L)) + coalesce($"n_hot", lit(0L)))
       .where(lit(4) * $"n_common" >= lit(3) * $"n_sh_inner")
       .select($"doc_inner", $"doc_outer", $"n_sh_inner", $"n_sh_outer",
         $"n_common",
@@ -129,6 +138,31 @@ object Containment {
   private[graft] def candidatesSh(tok: DataFrame, maxCandDf: Long): DataFrame =
     candidatesRanked(
       CorpusIndex.rankedShinglesOf(tok).localCheckpoint(), maxCandDf)
+
+  /** The fused verify's rare-side enumeration stream — one row per
+    * common df ≤ [[PrefixJoin.VerifyHotDf]] shingle of each (inner,
+    * outer) doc pair among CANDIDATE docs (corpus pruned per side via
+    * left-semi, then the shared-shingle join, both orientations). Its
+    * cardinality IS the fused verify's dominant cost
+    * (Σ_{df≤H} df_in(sh)·df_out(sh)); factored out so CandGrowth
+    * records it per factor alongside the candidate counts.
+    */
+  private[graft] def sharedEnumRanked(ranked: DataFrame,
+      cand: DataFrame): DataFrame = {
+    val spark = ranked.sparkSession
+    import spark.implicits._
+    val tok = ranked.where($"df" <= PrefixJoin.VerifyHotDf)
+      .select($"doc_id", $"sh")
+    val tokIn = tok.join(
+      cand.select($"doc_inner".as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val tokOut = tok.join(
+      cand.select($"doc_outer".as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    tokIn.as("a").join(tokOut.as("b"),
+      col("a.sh") === col("b.sh") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+  }
 
   /** [[candidatesSh]] over the materialized ranked index. The cap
     * filter applies HERE (candidate generation only — the fused verify

@@ -529,7 +529,16 @@ object Dedup {
     // is not racing another materialization)
     def pinned(body: => DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet
-      val df = body
+      // strip the checkpoint's inherited origin stats (round-19 fix):
+      // inside this fixpoint loop they COMPOUND — each round's
+      // size-only join estimates multiply the previous round's, the
+      // checkpoint stores the product, and the estimate's bit-length
+      // grows geometrically until the driver spends hours multiplying
+      // BigInts to plan a vertex-cardinality query (observed live at
+      // hop 4; latent at any hop depth / high diameter). Same RDD,
+      // same partitioning/ordering — see CheckpointBridge.
+      val df = org.apache.spark.sql.graft.CheckpointBridge
+        .withoutOriginStats(body)
       (df, (sc.getPersistentRDDs.keySet -- before).toSet)
     }
     def release(ids: Set[Int]): Unit =
@@ -574,30 +583,54 @@ object Dedup {
       // changed-count as an OBSERVED metric of the same execution — the
       // eager localCheckpoint is then the round's ONLY distributed job;
       // convergence costs no second action, and only that one scalar
-      // reaches the driver
-      val viaNeighbor = edges
+      // reaches the driver.
+      //
+      // Round-19 rework of the propagation arms, after measuring the
+      // round-18 pointer-doubling on adversarial id layouts: the two
+      // acceleration mechanisms have COMPLEMENTARY worst cases, so the
+      // round folds in both.
+      //  - rep-pooled neighbor arm: the per-vertex neighbor minimum
+      //    (the one edge-volume join, zero-exchange on the pre-sorted
+      //    edge side) is pooled per CURRENT LABEL and broadcast back
+      //    to every vertex of that label — vertices sharing a rep
+      //    exchange frontier information in one hop, so rep-space
+      //    distances shrink geometrically on id-RANDOM graphs (the
+      //    contraction effect, without materializing a contracted
+      //    edge list; three extra vertex-cardinality joins per round,
+      //    no second edge-volume pass). Plain per-vertex propagation
+      //    is O(diameter): a permuted-id 300-path did NOT converge in
+      //    50 rounds under round-18's arms (and silently returned a
+      //    2-component labeling — the cap bug fixed below); rep
+      //    pooling converges it in 8.
+      //  - pointer-jump arm label⁴(v): three chained self-joins of
+      //    the checkpointed vertex-cardinality label table — the
+      //    accumulated map composed with itself squares reach on
+      //    id-ORDERED graphs (where rep pooling alone contracts by a
+      //    constant per round); an ordered 300-path converges in 6.
+      // Same fixpoint (min doc_id per component): every arm's value
+      // is the label of a vertex of v's own component, min() stays
+      // monotone, and at the fixpoint every arm returns label(v) so
+      // the changed-count observes 0. x145's sf0.1 pair graph:
+      // 11 rounds (round-18 arms) → 5; 30× capped replica: 9 → 4.
+      val nbMin = edges
         .join(labels, $"doc_b" === $"doc")
-        .select($"doc_a".as("doc"), $"label",
-          when(lit(false), $"label").as("prev"))
-      // pointer-doubling shortcut (round-18 optimization): also fold in
-      // label(label(v)) — a labels⋈labels self-join on label-cardinality
-      // rows. Plain neighbor propagation converges in O(diameter)
-      // rounds, and threshold near-dup graphs DO form chains (measured:
-      // 352 label changes after the fused init on x145's sf0.1 pair
-      // set, ~14 rounds ≈ 6 s of barrier overhead for a 991-edge
-      // graph); the shortcut makes label ids hop to their current
-      // root's label each round — O(log diameter) rounds to the SAME
-      // fixpoint (min doc_id per component), since label(v) is always
-      // a vertex of v's own component and min() stays monotone.
-      val viaShortcut = labels.as("l1")
+        .groupBy($"doc_a").agg(min($"label").as("nvmin"))
+      val repMin = labels.join(nbMin, $"doc" === $"doc_a")
+        .groupBy($"label".as("rep")).agg(min($"nvmin").as("nbmin"))
+      val viaRep = labels.join(repMin, $"label" === $"rep")
+        .select($"doc", $"nbmin".as("label"),
+          when(lit(false), $"nbmin").as("prev"))
+      val viaJump = labels.as("l1")
         .join(labels.as("l2"), col("l1.label") === col("l2.doc"))
-        .select(col("l1.doc").as("doc"), col("l2.label").as("label"),
-          when(lit(false), col("l2.label")).as("prev"))
+        .join(labels.as("l3"), col("l2.label") === col("l3.doc"))
+        .join(labels.as("l4"), col("l3.label") === col("l4.doc"))
+        .select(col("l1.doc").as("doc"), col("l4.label").as("label"),
+          when(lit(false), col("l4.label")).as("prev"))
       val obs = org.apache.spark.sql.Observation(s"cc_round_$rounds")
       val (next, nextIds) = pinned {
         labels.select($"doc", $"label", $"label".as("prev"))
-          .unionByName(viaNeighbor)
-          .unionByName(viaShortcut)
+          .unionByName(viaRep)
+          .unionByName(viaJump)
           .groupBy($"doc")
           .agg(min($"label").as("label"), min($"prev").as("prev"))
           .observe(obs,
@@ -612,6 +645,18 @@ object Dedup {
       labelIds = nextIds
       rounds += 1
     }
+    // Round-19 fix: the cap used to RETURN the non-converged labels —
+    // a silently-wrong partition of the graph (observed live: a
+    // permuted-id 300-path under the round-18 arms exhausted 50
+    // rounds and labeled one component as two). With the rep-pooled +
+    // pointer-jump arms convergence is ~log-shaped (≤ 8 rounds on
+    // every measured graph incl. adversarial layouts), so the cap is
+    // pure safety margin — and hitting it must FAIL the query, never
+    // hand a wrong component labeling to the seven consumers whose
+    // oracle gates assume the true fixpoint.
+    require(converged,
+      s"connectedComponents did not converge within $rounds rounds — " +
+        "refusing to return a partial (wrong) component labeling")
     // the result is checkpoint-backed; it no longer references the edges
     release(edgeIds)
     (labels, rounds)

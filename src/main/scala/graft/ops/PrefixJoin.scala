@@ -86,13 +86,14 @@ object PrefixJoin {
     * pair exactly once — 1.3M rows, 6.9× less — and one count
     * aggregate over it IS n_common; the candidate frame then just
     * equi-joins on the pair. Lossless: every candidate pair shares ≥ 1
-    * prefix shingle, so the inner join drops nothing. Scale posture:
-    * the pruned join is Σ_sh C(df_cand(sh), 2) over CANDIDATE docs
-    * only — bounded by the candidate population the ScaleCaps cap
-    * already governs, whereas the old expansion was Σ_cand n_sh_a;
-    * CAND_GROWTH.json carries both measured volumes across four SF
-    * decades. (The round-18 set-array alternative stays rejected — see
-    * Dedup.exactJaccard.)
+    * prefix shingle, so adding the counts and left-joining drops
+    * nothing. Hot shingles (df > [[VerifyHotDf]]) are counted by the
+    * expansion form instead — the shared join is quadratic in df on
+    * boilerplate shingles, the expansion is candidate-bounded; the
+    * df split keeps BOTH sides linear (see VerifyHotDf).
+    * CAND_GROWTH.json carries the measured volumes across four SF
+    * decades, organic and hot-corpus modes. (The round-18 set-array
+    * alternative stays rejected — see Dedup.exactJaccard.)
     */
   private[graft] def prefixSimJoinRanked(ranked: DataFrame,
       maxCandDf: Long): DataFrame = {
@@ -101,17 +102,23 @@ object PrefixJoin {
     // candidates feed the doc-prune AND the final pair join — two
     // consumers, so materialize once (guide §2.4)
     val cand = candidatesRanked(ranked, maxCandDf).localCheckpoint()
-    val tok = ranked.select($"doc_id", $"sh")
-    val candDocs = cand
-      .select(explode(array($"doc_a", $"doc_b")).as("doc_id"))
-      .distinct()
-    val tokC = tok.join(candDocs, Seq("doc_id"), "left_semi")
-    val shared = tokC.as("a").join(tokC.as("b"),
-        col("a.sh") === col("b.sh") &&
-          col("a.doc_id") < col("b.doc_id"))
+    // df-split verify: n_common = (common shingles with df ≤ VerifyHotDf,
+    // counted on the pruned shared-shingle join) + (common shingles with
+    // df > VerifyHotDf, counted by the expansion form restricted to the
+    // few hot shingles). The split is an exact partition of the shingle
+    // universe — see [[VerifyHotDf]] for why neither form alone is safe.
+    val rare = sharedEnumRanked(ranked, cand)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    cand.join(shared, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_rare"))
+    val tokHot = ranked.where($"df" > VerifyHotDf).select($"doc_id", $"sh")
+    val hot = cand
+      .join(tokHot.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
+      .join(tokHot.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_hot"))
+    cand.join(rare, Seq("doc_a", "doc_b"), "left")
+      .join(hot, Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_common",
+        coalesce($"n_rare", lit(0L)) + coalesce($"n_hot", lit(0L)))
       .where(lit(2) * $"n_common" >= $"n_sh_a" + $"n_sh_b" - $"n_common")
       .select($"doc_a", $"doc_b", $"n_sh_a", $"n_sh_b", $"n_common",
         ($"n_common".cast("double") /
@@ -119,6 +126,24 @@ object PrefixJoin {
           .as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
+
+  /** df split point of the fused verify: shingles with corpus df at or
+    * below this go through the shared-shingle count join (cost
+    * Σ C(df, 2) ≤ |tok|·VerifyHotDf/2 — linear in the corpus); hotter
+    * shingles go through the candidate-expansion count (cost
+    * |cand| × hot-shingles-per-doc — and at most |tok|/VerifyHotDf
+    * DISTINCT shingles can be hot, so that factor is small by
+    * construction). Neither form alone is scale-safe: the pure fused
+    * join is quadratic in df on ONE boilerplate shingle shared by d
+    * candidate docs (measured: the hot-corpus CandGrowth protocol's
+    * corpus-wide phrase turned the capped 10× run from 43 s into
+    * 25+ min before this split), and the pure expansion re-reads every
+    * candidate's full shingle set (6.9× the rows at sf0.1). The value
+    * only partitions WORK — any value yields identical results (the
+    * counts add exactly; the brute-force oracle and PrefixJoinSpec gate
+    * it), so it is a constant, not a results-affecting dial.
+    */
+  private[graft] val VerifyHotDf = 64L
 
   /** The verified-candidate stream of [[prefixSimJoinSh]] — the frame
     * whose cardinality IS the join's scale cost (Σ_sh df_prefix²
@@ -129,6 +154,28 @@ object PrefixJoin {
   private[graft] def candidatesSh(tok: DataFrame, maxCandDf: Long): DataFrame =
     candidatesRanked(
       CorpusIndex.rankedShinglesOf(tok).localCheckpoint(), maxCandDf)
+
+  /** The fused verify's rare-side enumeration stream — one row per
+    * common df ≤ [[VerifyHotDf]] shingle of each overlapping pair
+    * among CANDIDATE docs (corpus pruned to them via left-semi, then
+    * the shared-shingle self-join). Its cardinality IS the fused
+    * verify's dominant cost (Σ_{df≤H} C(df_cand(sh), 2)); factored out
+    * so CandGrowth records it per factor alongside the candidate
+    * counts.
+    */
+  private[graft] def sharedEnumRanked(ranked: DataFrame,
+      cand: DataFrame): DataFrame = {
+    val spark = ranked.sparkSession
+    import spark.implicits._
+    val tok = ranked.where($"df" <= VerifyHotDf).select($"doc_id", $"sh")
+    val candDocs = cand
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id"))
+      .distinct()
+    val tokC = tok.join(candDocs, Seq("doc_id"), "left_semi")
+    tokC.as("a").join(tokC.as("b"),
+      col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+  }
 
   /** [[candidatesSh]] over the materialized ranked index. The prefix
     * budget and the cap filter apply HERE (candidate generation only —

@@ -97,6 +97,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components: permuted-id long path converges to ONE component") {
+    import spark.implicits._
+    // The round-18 arms' adversarial layout (found round 19): a
+    // high-diameter path whose vertex ids are UNCORRELATED with path
+    // position. Per-vertex propagation needs O(diameter) rounds and
+    // pointer jumps chase ball-minima rather than the frontier, so the
+    // old loop exhausted its 50-round cap and silently returned a
+    // 2-component labeling of a connected graph. The rep-pooled
+    // neighbor arm must converge it well inside the cap, to one
+    // component labeled by the global min.
+    val rnd = new scala.util.Random(7)
+    val ids = rnd.shuffle((0L until 300L).toVector)
+    val edges = (0 until 299).map(i => (ids(i), ids(i + 1)))
+    val (labels, rounds) =
+      Dedup.connectedComponentsWithRounds(edges.toDF("doc_a", "doc_b"))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 300)
+    assert(got.map(_._2).distinct.toSeq == Seq(0L),
+      "a connected path must form exactly one component rooted at id 0")
+    assert(rounds <= 15, s"convergence took $rounds rounds — the " +
+      "rep-pooling acceleration has regressed")
+  }
+
   test("connected components: empty edge list terminates with no labels") {
     import spark.implicits._
     val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
